@@ -1,0 +1,177 @@
+"""Text analysis operators over the ``documents`` table.
+
+Training-data-pipeline text ops: language identification (character
+n-gram heuristic), quality scoring (length / punctuation / stopword
+ratios), token histograms, and content fingerprinting. All pure
+column expressions (whole-stage codegen; no Python workers), each with
+a DuckDB oracle. Heuristics are intentionally simple and deterministic:
+integer counts combined with IEEE double arithmetic so both engines
+agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bc_proj3_spark.functions import text as T
+from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# t1 — language-ID heuristic (vowel-density buckets)
+# ---------------------------------------------------------------------------
+
+_T1_ORACLE = """
+WITH feat AS (
+  SELECT
+    doc_id, lang,
+    length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS n_vowels,
+    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_letters
+  FROM documents
+)
+SELECT
+  doc_id,
+  lang,
+  CAST(n_vowels AS DOUBLE) / n_letters AS vowel_ratio,
+  CASE
+    WHEN n_letters = 0 THEN 'und'
+    WHEN CAST(n_vowels AS DOUBLE) / n_letters < 0.28 THEN 'zh'
+    WHEN CAST(n_vowels AS DOUBLE) / n_letters < 0.33 THEN 'de'
+    WHEN CAST(n_vowels AS DOUBLE) / n_letters < 0.38 THEN 'en'
+    WHEN CAST(n_vowels AS DOUBLE) / n_letters < 0.43 THEN 'es'
+    ELSE 'fr'
+  END AS lang_pred
+FROM feat
+"""
+
+
+@register("t1_language_id", _T1_ORACLE)
+def t1_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class language-ID heuristic: vowel density bucketed to a
+    language guess. A real deployment swaps the bucket table for trained
+    n-gram profiles; the Spark shape (pure scan-side expressions, no
+    shuffle) is the point."""
+    docs = table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    n_vowels = F.length(F.regexp_replace(lower, "[^aeiou]", ""))
+    n_letters = F.length(F.regexp_replace(lower, "[^a-z]", ""))
+    ratio = n_vowels.cast("double") / n_letters
+    pred = (
+        F.when(n_letters == 0, F.lit("und"))
+        .when(ratio < 0.28, F.lit("zh"))
+        .when(ratio < 0.33, F.lit("de"))
+        .when(ratio < 0.38, F.lit("en"))
+        .when(ratio < 0.43, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        "doc_id", "lang", ratio.alias("vowel_ratio"), pred.alias("lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t2 — document quality score
+# ---------------------------------------------------------------------------
+
+_T2_ORACLE = f"""
+WITH feat AS (
+  SELECT
+    doc_id,
+    length(text) AS n_chars_m,
+    length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')) AS n_clean,
+    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+    len({T.sql_tokenize('text')}) AS n_content
+  FROM documents
+)
+SELECT
+  doc_id,
+  CAST(n_chars_m AS INTEGER) AS n_chars_m,
+  CAST(n_words AS INTEGER) AS n_words,
+  CAST(n_chars_m - n_clean AS DOUBLE) / n_chars_m AS punct_ratio,
+  CAST(n_words - n_content AS DOUBLE) / n_words AS stop_ratio,
+  0.4 * least(1.0, CAST(n_words AS DOUBLE) / 60)
+    + 0.3 * (1.0 - CAST(n_chars_m - n_clean AS DOUBLE) / n_chars_m)
+    + 0.3 * (1.0 - CAST(n_words - n_content AS DOUBLE) / n_words) AS quality
+FROM feat
+"""
+
+
+@register("t2_quality_score", _T2_ORACLE)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score from length, punctuation density and
+    stopword/short-token density — the standard pre-training corpus
+    filter shape (cf. the reference's normalize-then-filter gold chain,
+    gold_article_scoring.py:36-41,174)."""
+    docs = table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    n_chars = F.length(F.col("text"))
+    n_clean = F.length(F.regexp_replace(lower, r"[^a-z0-9\s]", ""))
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_content = F.size(T.tokenize(F.col("text")))
+    punct_ratio = (n_chars - n_clean).cast("double") / n_chars
+    stop_ratio = (n_words - n_content).cast("double") / n_words
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_words.cast("double") / F.lit(60))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("int").alias("n_chars_m"),
+        n_words.cast("int").alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t3 — corpus token histogram (the reference's declared "word frequency
+#      for trend monitoring" goal, gold_article_scoring.py:12-13)
+# ---------------------------------------------------------------------------
+
+_T3_ORACLE = f"""
+SELECT word, COUNT(*) AS n_docs
+FROM (
+  SELECT doc_id, unnest({T.sql_distinct_tokens('text')}) AS word
+  FROM documents
+) w
+GROUP BY word
+ORDER BY n_docs DESC, word
+LIMIT 50
+"""
+
+
+@register("t3_token_histogram", _T3_ORACLE)
+def t3_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency of the top-50 content words: explode distinct
+    tokens → count per word. Partial aggregation absorbs the explode
+    fan-out before the shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.distinct_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("word"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# t4 — document fingerprint
+# ---------------------------------------------------------------------------
+
+_T4_ORACLE = f"""
+SELECT doc_id, {T.sql_fingerprint('text')} AS fp
+FROM documents
+"""
+
+
+@register("t4_doc_fingerprint", _T4_ORACLE)
+def t4_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over the sorted distinct token set —
+    order-insensitive content identity, the building block for exact
+    dedup (operators/dedup.py)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))

@@ -1,0 +1,157 @@
+"""Event-stream analytics over the ``events`` table.
+
+The reference's "streaming" is a batch high-water-mark cursor
+(SURVEY.md §2.11); this module supplies the real event-time operators a
+user of the engine needs at scale — tumbling-window rollups, gap-based
+sessionization, and as-of (point-in-time) joins — in their batch form.
+``bc_proj3_spark.streaming`` carries the Structured Streaming variants.
+
+Determinism: window orderings always carry a unique tiebreaker
+(event_id); time arithmetic is done in exact integer microseconds
+(``unix_micros`` / ``epoch_us``) so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bc_proj3_spark.functions.numeric import dec_sum, sql_dec_sum
+from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.registry import register
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+# ---------------------------------------------------------------------------
+# e1 — tumbling hourly rollup per event type
+# ---------------------------------------------------------------------------
+
+_E1_ORACLE = f"""
+SELECT
+  date_trunc('hour', ts) AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  {sql_dec_sum("value", "total_value")}
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+@register("e1_hourly_rollup", _E1_ORACLE)
+def e1_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch form of a streaming
+    windowed agg; map-side partial aggregation keeps the shuffle small)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# e2 — gap-based sessionization (30-minute inactivity gap)
+# ---------------------------------------------------------------------------
+
+_E2_ORACLE = f"""
+WITH flagged AS (
+  SELECT
+    user_id, ts, event_id, value,
+    CASE
+      WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+      WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US} THEN 1
+      ELSE 0
+    END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *,
+    SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_seq
+  FROM flagged
+)
+SELECT
+  user_id,
+  CAST(session_seq AS INTEGER) AS session_seq,
+  COUNT(*) AS n_events,
+  {sql_dec_sum("value", "session_value")},
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+@register("e2_sessionization", _E2_ORACLE)
+def e2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via lag + running sum (the classic two-window
+    rewrite; at scale this shuffles once on user_id and both windows
+    reuse that partitioning)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sessions.groupBy("user_id", F.col("session_seq").cast("int").alias("session_seq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "session_value"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# e3 — as-of join: attribute each purchase to the latest prior signup
+# ---------------------------------------------------------------------------
+
+_E3_ORACLE = """
+SELECT
+  p.user_id AS user_id,
+  p.event_id AS purchase_event_id,
+  p.ts AS purchase_ts,
+  s.ts AS signup_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+@register("e3_asof_attribution", _E3_ORACLE)
+def e3_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively, SURVEY.md §2.3 note):
+    implemented as the union-and-carry-forward rewrite — one shuffle on
+    user_id, a running ``last(..., ignorenulls)`` window, then filter back
+    to the probe side. Scales linearly (no range-join explosion)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    signup_ts = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("signup_ts", signup_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+            "signup_ts",
+        )
+    )

@@ -1,0 +1,577 @@
+"""TPC-H-style headline queries over the testdata star schema.
+
+The reference's own query surface stops at scalar aggregates
+(SURVEY.md §2.4) because it is an ELT pipeline; a user switching to this
+engine also gets the general relational layer — grouped aggregation,
+multi-way joins, top-k, windows, semi/anti joins — expressed
+declaratively so Catalyst handles pushdown, join reordering and AQE.
+
+Queries are adapted from TPC-H to the columns the testdata actually has
+(no partsupp, no shipmode/commitdate; see FIXTURES.md §5). Each carries
+its DuckDB oracle.
+
+Scale notes (100 TB posture):
+- fact-to-fact joins (lineitem ⨝ orders) shuffle on the join key; the
+  dimension sides (region/nation/customer/supplier/part) stay far below
+  ``spark.sql.autoBroadcastJoinThreshold`` growth rates, so Catalyst
+  broadcasts them — verified in tests via explain().
+- aggregations are expressed as groupBy().agg() so partial (map-side)
+  aggregation happens before the shuffle.
+- filters are plain column predicates on the scan relation so they reach
+  the parquet reader (PushedFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bc_proj3_spark.functions.numeric import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
+from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# q1 — pricing summary report (TPC-H Q1 shape: scan + filter + groupBy agg)
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dec_sum("l_quantity", "sum_qty")},
+  {sql_dec_sum("l_extendedprice", "sum_base_price")},
+  {sql_dec_sum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+  {sql_dec_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+  {sql_dec_avg("l_quantity", "avg_qty")},
+  {sql_dec_avg("l_extendedprice", "avg_price")},
+  {sql_dec_avg("l_discount", "avg_disc")},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", _Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: full-scan grouped aggregation with derived measures."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price"),
+            dec_sum(charge, "sum_charge"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3 — shipping-priority style: customer ⨝ orders ⨝ lineitem, top-10 revenue
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = f"""
+SELECT
+  o_orderkey,
+  {sql_dec_sum("l_extendedprice * (1 - l_discount)", "revenue")},
+  MIN(o_orderdate) AS o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", _Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top unshipped-revenue orders for one market segment (3-way join + top-k).
+
+    customer is the small side → broadcast; orders⨝lineitem shuffles on
+    the order key. Top-k uses a total order (revenue DESC, o_orderkey)
+    so tie rows are deterministic across engines.
+    """
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(dec_sum(revenue, "revenue"), F.min("o_orderdate").alias("o_orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q5 — local supplier volume: 6-way join through region/nation
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = f"""
+SELECT
+  n_name,
+  {sql_dec_sum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@register("q5_local_supplier_volume", _Q5_ORACLE)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation where customer and supplier share the nation.
+
+    All four dimensions broadcast; only orders⨝lineitem shuffles.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dec_sum(revenue, "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q6 — forecast revenue change: pure pushdown filter + scalar aggregate
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = f"""
+SELECT {sql_dec_sum("l_extendedprice * l_discount", "revenue")}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", _Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar aggregate whose filters all push to the parquet scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+# ---------------------------------------------------------------------------
+# q7 — volume shipping between two nations, by year
+# ---------------------------------------------------------------------------
+
+_Q7_ORACLE = f"""
+SELECT
+  supp_nation, cust_nation, l_year,
+  {sql_dec_sum("volume", "revenue")}
+FROM (
+  SELECT
+    n1.n_name AS supp_nation,
+    n2.n_name AS cust_nation,
+    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+    l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", _Q7_ORACLE)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume between two nations by ship year."""
+    supp = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").alias("n1")
+    n2 = table(spark, sf_dir, "nation").alias("n2")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2.n_nationkey"))
+        .filter(
+            ((F.col("n1.n_name") == "NATION_1") & (F.col("n2.n_name") == "NATION_2"))
+            | ((F.col("n1.n_name") == "NATION_2") & (F.col("n2.n_name") == "NATION_1"))
+        )
+        .select(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("volume"),
+        )
+    )
+    return joined.groupBy("supp_nation", "cust_nation", "l_year").agg(dec_sum(F.col("volume"), "revenue"))
+
+
+# ---------------------------------------------------------------------------
+# q9 — profit by nation and year (part ⨝ supplier ⨝ lineitem ⨝ orders)
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = f"""
+SELECT
+  nation, o_year,
+  {sql_dec_sum("amount", "sum_profit")}
+FROM (
+  SELECT
+    n_name AS nation,
+    CAST(year(o_orderdate) AS INTEGER) AS o_year,
+    l_extendedprice * (1 - l_discount) - p_retailprice * 0.6 * l_quantity AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%green%' OR p_type = 'PROMO'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@register("q9_product_profit", _Q9_ORACLE)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit per nation/year with retail-price-derived cost (no partsupp)."""
+    part = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%green%") | (F.col("p_type") == "PROMO")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.lit(0.6) * F.col("l_quantity")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dec_sum(F.col("amount"), "sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — returned-item reporting: top 20 customers by return revenue
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT
+  c_custkey, c_name,
+  {sql_dec_sum("l_extendedprice * (1 - l_discount)", "revenue")},
+  MIN(n_name) AS n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", _Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who returned the most revenue in a quarter (top-20)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dec_sum(revenue, "revenue"), F.min("n_name").alias("n_name"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — large-volume customers: HAVING over a fact aggregate, then join
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = f"""
+SELECT
+  c_custkey, c_name, o_orderkey,
+  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+  {sql_dec_sum("l_quantity", "sum_qty")}
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(28,10))) > 120
+"""
+
+
+@register("q18_large_volume_customer", _Q18_ORACLE)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds a threshold, with their customer.
+
+    The HAVING predicate runs on the exact decimal sum (before the
+    double cast) in both engines, so threshold-boundary rows agree.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,10)")).alias("_sum_qty_dec"))
+        .filter(F.col("_sum_qty_dec") > 120)
+    )
+    return agg.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("_sum_qty_dec").cast("double").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — promo revenue share: conditional aggregation
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = f"""
+SELECT
+  {sql_dec_sum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", "promo_revenue")},
+  {sql_dec_sum("l_extendedprice * (1 - l_discount)", "total_revenue")}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate <  TIMESTAMP '1997-10-01'
+"""
+
+
+@register("q14_promo_revenue", _Q14_ORACLE)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotional part revenue vs total for one month (CASE aggregation)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        dec_sum(promo, "promo_revenue"),
+        dec_sum(revenue, "total_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q4-ish — order priority counts with an EXISTS-style semi join
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("q4_order_priority", _Q4_ORACLE)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order priority distribution for orders with a late-shipped line.
+
+    EXISTS is expressed as a left-semi join — the Spark-native form of
+    the reference's NOT IN pattern family (SURVEY.md §2.2 P7 dual).
+    """
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22-ish — anti join: customers with balance above average and no orders
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = f"""
+SELECT
+  c_nationkey,
+  COUNT(*) AS numcust,
+  {sql_dec_sum("c_acctbal", "totacctbal")}
+FROM customer
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE) / COUNT(c_acctbal)
+  FROM customer WHERE c_acctbal > 0.0
+)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+@register("q22_global_sales_opportunity", _Q22_ORACLE)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Well-funded customers who never ordered, per nation (anti join).
+
+    This is the engine-native form of the reference's NOT IN dedup
+    (silver_nyt_archive.py:116-119 → left_anti, SURVEY.md §2.3 J1).
+    The scalar AVG subquery is computed once and folded in as a literal
+    via a cross-joined 1-row aggregate (no driver-side collect).
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        dec_avg("c_acctbal", "_avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"), dec_sum("c_acctbal", "totacctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# window — top-3 orders per customer by total price (rank window)
+# ---------------------------------------------------------------------------
+
+_WINDOW_ORACLE = """
+SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS INTEGER) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+"""
+
+
+@register("w1_top_orders_per_customer", _WINDOW_ORACLE)
+def w1_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via a rank window (SURVEY.md §2.5 upgrade path:
+    the reference's driver-side latest-file pick, bronze_arxiv.py:34-40,
+    becomes Window.partitionBy + row_number at scale)."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"), "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# set op — union of the customer/supplier account-balance ledgers
+# ---------------------------------------------------------------------------
+
+_UNION_ORACLE = f"""
+SELECT side, n_name, COUNT(*) AS n_accounts, {sql_dec_sum("acctbal", "total_bal")}
+FROM (
+  SELECT 'customer' AS side, c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT 'supplier' AS side, s_nationkey AS nationkey, s_acctbal AS acctbal FROM supplier
+) ledger
+JOIN nation ON nationkey = n_nationkey
+GROUP BY side, n_name
+"""
+
+
+@register("u1_account_ledger_union", _UNION_ORACLE)
+def u1_account_ledger_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL across heterogenous tables then grouped agg — the
+    gold-layer combine pattern (gold_integrated_data_preNLP.py:156-166,
+    SURVEY.md §2.7 U1) on relational data."""
+    cust = table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("side"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("side"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    nation = table(spark, sf_dir, "nation")
+    return (
+        cust.unionByName(supp)
+        .join(F.broadcast(nation), F.col("nationkey") == nation.n_nationkey)
+        .groupBy("side", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_accounts"), dec_sum("acctbal", "total_bal"))
+    )

@@ -1,0 +1,68 @@
+"""SparkSession builder tuned for the engine.
+
+The reference inherits Databricks defaults and sets only
+``spark.sql.caseSensitive`` (notebooks/bronze_ny_times.py:2, scoped per
+source here instead — see SURVEY.md §7.4(6)). This builder makes the
+scale-relevant choices explicit so the same code runs on local[32] for
+tests and on a multi-executor cluster unchanged:
+
+- AQE on (runtime coalesce, skew-join splitting, join re-planning),
+- shuffle partitions sized from the env (small for local tests; on a
+  real cluster leave at 2-4x total cores / let AQE coalesce),
+- Arrow on for every pandas_udf / applyInPandas boundary,
+- parquet pushdown/pruning left on (defaults, stated for intent).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_spark"]
+
+
+def get_spark(
+    app_name: str = "bc_proj3_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    so tests and bench share one code path; on a cluster, pass
+    ``master=None`` with ``spark.master`` preset by spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # -- adaptive execution: runtime partition coalescing + skew splits
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # -- Arrow for every Python<->JVM columnar boundary
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # -- keep timestamps microsecond-exact when testdata has ns parquet
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # -- deterministic session timezone so date math matches the oracle
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
