@@ -137,9 +137,13 @@ def e3_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "signup")
     )
+    # Tie-break at equal ts: DuckDB's ASOF uses p.ts >= s.ts, so a signup
+    # sharing a timestamp with a purchase must still be visible to it —
+    # sort signups before purchases at the same instant (ADVICE.md r1).
+    type_rank = F.when(F.col("event_type") == "signup", F.lit(0)).otherwise(F.lit(1))
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", type_rank, "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     signup_ts = F.last(

@@ -48,10 +48,40 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder]
     return wrap
 
 
-def all_queries() -> dict[str, QuerySpec]:
-    """Import all registering modules, then return the registry."""
-    # imports are deferred so `import bc_proj3_spark` stays cheap
-    from bc_proj3_spark.plans import docpipeline, events, tpch  # noqa: F401
-    from bc_proj3_spark.operators import dedup, similarity, textstats  # noqa: F401
+#: Modules whose import side-effect is query registration. Kept as dotted
+#: strings (not a star import) so one missing/broken optional module can
+#: never take down the whole registry again (round-1 failure mode).
+_REGISTERING_MODULES = (
+    "bc_proj3_spark.plans.tpch",
+    "bc_proj3_spark.plans.events",
+    "bc_proj3_spark.plans.docpipeline",
+    "bc_proj3_spark.plans.silverops",
+    "bc_proj3_spark.operators.textstats",
+    "bc_proj3_spark.operators.dedup",
+    "bc_proj3_spark.operators.similarity",
+    "bc_proj3_spark.operators.multimodal",
+)
 
+
+def all_queries(strict: bool = False) -> dict[str, QuerySpec]:
+    """Import all registering modules, then return the registry.
+
+    Imports are deferred so ``import bc_proj3_spark`` stays cheap. A
+    module that fails to import is skipped (and remembered in
+    :data:`import_errors`) unless ``strict=True`` — the driver should
+    always see every query that *does* work.
+    """
+    import importlib
+
+    for mod in _REGISTERING_MODULES:
+        try:
+            importlib.import_module(mod)
+        except Exception as exc:  # pragma: no cover - defensive
+            if strict:
+                raise
+            import_errors[mod] = repr(exc)
     return dict(_REGISTRY)
+
+
+#: Populated by :func:`all_queries` for modules that failed to import.
+import_errors: dict[str, str] = {}

@@ -19,7 +19,40 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark"]
+__all__ = ["get_spark", "stop_spark", "apply_runtime_conf"]
+
+#: SQL confs that are safe to set on an already-running session and that
+#: the engine's plans depend on. The correctness driver hands us *its*
+#: SparkSession, so anything semantically load-bearing must be settable
+#: here, not only in the cold-start builder below.
+_RUNTIME_CONF = {
+    # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark 4 refuses
+    # to read as timestamp (PARQUET_TYPE_ILLEGAL); read as long nanos and
+    # convert in plans/tables.py. DuckDB truncates ns→µs identically.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic date/timestamp math vs the DuckDB oracle
+    "spark.sql.session.timeZone": "UTC",
+    # adaptive execution: runtime coalesce + skew-join splitting
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every Python<->JVM columnar boundary
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Set the engine's runtime-settable SQL confs on an existing session.
+
+    Idempotent and cheap; every query builder entry point calls this so
+    the plans behave identically under the driver's session and ours.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf not recognized/static
+            pass
+    return spark
 
 
 def get_spark(
@@ -48,15 +81,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # -- Arrow for every Python<->JVM columnar boundary
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # -- keep timestamps microsecond-exact when testdata has ns parquet
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        # -- deterministic session timezone so date math matches the oracle
-        .config("spark.sql.session.timeZone", "UTC")
+        # NOTE: spark.driver.memory only takes effect on a cold JVM start
+        # (spark-submit / first getOrCreate in-process); it is a no-op on
+        # an already-running JVM. Prefer SPARK_DRIVER_MEMORY in the env.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

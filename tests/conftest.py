@@ -1,0 +1,94 @@
+"""Shared pytest fixtures: one local SparkSession + DuckDB oracle helpers.
+
+Mirrors the correctness driver: every registered query runs at sf0.01 on
+local[*] and is compared to its DuckDB oracle on row-count, schema width,
+and an order-insensitive value comparison with columns sorted by name.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from bc_proj3_spark.plans.tables import TABLE_NAMES
+from bc_proj3_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="bc_proj3_spark-tests", shuffle_partitions=8)
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def oracle_con():
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = f"{SF_DIR}/{name}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    """Normalize a cell for order-insensitive comparison across engines."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # 12 significant digits: tolerant of float-sum association order
+        # while still catching real numeric errors.
+        return float(f"{v:.12g}")
+    if isinstance(v, int):
+        return float(v)
+    # decimals, dates, timestamps, strings, lists -> canonical string
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return str(v)
+
+
+def rows_key(columns, rows):
+    """Sorted multiset of normalized row tuples, columns sorted by name."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(
+        tuple(_norm(row[i]) for i in order) for row in rows
+    ), [columns[i] for i in order]
+
+
+def compare_to_oracle(spark, oracle_con, spec, sf_dir=SF_DIR):
+    """Run spec's Spark builder and DuckDB oracle; assert they agree."""
+    sdf = spec.builder(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+
+    res = oracle_con.execute(spec.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = [tuple(r) for r in res.fetchall()]
+
+    assert len(srows) == len(orows), (
+        f"{spec.name}: row count {len(srows)} (spark) != {len(orows)} (duckdb)"
+    )
+    assert sorted(scols) == sorted(ocols), (
+        f"{spec.name}: columns {sorted(scols)} != {sorted(ocols)}"
+    )
+    skey, _ = rows_key(scols, srows)
+    okey, _ = rows_key(ocols, orows)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(skey, okey)) if a != b
+    ]
+    assert not mismatches, (
+        f"{spec.name}: {len(mismatches)} mismatched rows; first: "
+        f"{mismatches[0]!r}"
+    )
