@@ -1,0 +1,59 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Execution uses the ``noop`` sink so the full physical plan runs (scan →
+shuffle → agg/join/window) without driver-side collect dominating the
+measurement — the same shape a cluster job has.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from bc_proj3_spark import registry
+from bc_proj3_spark.session import apply_runtime_conf, get_spark
+
+
+def _run_once(spark, builder, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = builder(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bc_proj3_spark-bench")
+    apply_runtime_conf(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = registry.all_queries()
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in sorted(specs):
+        try:
+            timings[name] = round(_run_once(spark, specs[name].builder, sf_dir), 3)
+        except Exception as exc:  # keep benching the rest
+            failures[name] = repr(exc)[:200]
+            print(f"bench: {name} FAILED: {exc!r}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
