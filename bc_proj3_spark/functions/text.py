@@ -36,7 +36,15 @@ STOPWORDS = (
 
 
 def clean_text(col: Column) -> Column:
-    """lower → strip URLs → strip non-alphanumerics (keep whitespace)."""
+    """lower → strip URLs → strip non-alphanumerics (keep whitespace).
+
+    Deliberate divergences from the reference chain
+    (gold_article_scoring.py:36-41): replacements insert ' ' rather than
+    '' so adjacent words never fuse into a phantom token
+    ("solar.Wind" → "solar wind", not "solarwind"), and the reference's
+    leading-"rt " strip (a Twitter-ism absent from this corpus) is
+    dropped.
+    """
     c = F.lower(col)
     c = F.regexp_replace(c, URL_RE, " ")
     return F.regexp_replace(c, NON_ALNUM_RE, " ")

@@ -11,10 +11,13 @@ Queries are adapted from TPC-H to the columns the testdata actually has
 its DuckDB oracle.
 
 Scale notes (100 TB posture):
-- fact-to-fact joins (lineitem ⨝ orders) shuffle on the join key; the
-  dimension sides (region/nation/customer/supplier/part) stay far below
-  ``spark.sql.autoBroadcastJoinThreshold`` growth rates, so Catalyst
-  broadcasts them — verified in tests via explain().
+- fact-to-fact joins (lineitem ⨝ orders) shuffle on the join key.
+- explicit ``F.broadcast`` hints appear ONLY on the fixed-cardinality
+  dimensions (region=5 rows, nation=25 rows — constant at every scale
+  factor). customer/supplier/part grow linearly with scale, so their
+  join strategy is left to Catalyst + AQE: at small SF they broadcast
+  automatically (under autoBroadcastJoinThreshold); at 100 TB they
+  correctly fall back to shuffle joins instead of OOMing the executors.
 - aggregations are expressed as groupBy().agg() so partial (map-side)
   aggregation happens before the shuffle.
 - filters are plain column predicates on the scan relation so they reach
@@ -99,9 +102,10 @@ LIMIT 10
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top unshipped-revenue orders for one market segment (3-way join + top-k).
 
-    customer is the small side → broadcast; orders⨝lineitem shuffles on
-    the order key. Top-k uses a total order (revenue DESC, o_orderkey)
-    so tie rows are deterministic across engines.
+    customer grows with scale → no broadcast hint; AQE broadcasts it at
+    small SF and shuffles at 100 TB. Top-k uses a total order
+    (revenue DESC, o_orderkey) so tie rows are deterministic across
+    engines.
     """
     cutoff = F.lit("1998-03-15").cast("timestamp")
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -110,7 +114,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey")
         .agg(dec_sum(revenue, "revenue"), F.min("o_orderdate").alias("o_orderdate"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -143,7 +147,8 @@ GROUP BY n_name
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by nation where customer and supplier share the nation.
 
-    All four dimensions broadcast; only orders⨝lineitem shuffles.
+    nation/region (fixed 25/5 rows) broadcast by hint; customer/supplier
+    are left to AQE so the plan survives a 100× scale-up.
     """
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders").filter(
@@ -157,9 +162,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -234,8 +239,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = table(spark, sf_dir, "nation").alias("n2")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1.n_nationkey"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2.n_nationkey"))
         .filter(
@@ -291,8 +296,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.lit(0.6) * F.col("l_quantity")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -339,7 +344,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name")
         .agg(dec_sum(revenue, "revenue"), F.min("n_name").alias("n_name"))
@@ -377,7 +382,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
         .agg(F.sum(F.col("l_quantity").cast("decimal(28,10)")).alias("_sum_qty_dec"))
         .filter(F.col("_sum_qty_dec") > 120)
@@ -416,7 +421,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part")
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
         dec_sum(promo, "promo_revenue"),
         dec_sum(revenue, "total_revenue"),
     )
@@ -463,7 +468,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q22-ish — anti join: customers with balance above average and no orders
+# q22-ish — anti join: above-average-balance customers with no recent orders
 # ---------------------------------------------------------------------------
 
 _Q22_ORACLE = f"""
@@ -476,29 +481,37 @@ WHERE c_acctbal > (
   SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE) / COUNT(c_acctbal)
   FROM customer WHERE c_acctbal > 0.0
 )
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01'
+  )
 GROUP BY c_nationkey
 """
 
 
 @register("q22_global_sales_opportunity", _Q22_ORACLE)
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Well-funded customers who never ordered, per nation (anti join).
+    """Well-funded customers with no 1998 orders, per nation (anti join).
 
     This is the engine-native form of the reference's NOT IN dedup
     (silver_nyt_archive.py:116-119 → left_anti, SURVEY.md §2.3 J1).
     The scalar AVG subquery is computed once and folded in as a literal
-    via a cross-joined 1-row aggregate (no driver-side collect).
+    via a cross-joined 1-row aggregate (no driver-side collect). The
+    anti side is date-filtered ("no *recent* orders") so the join is
+    exercised on real rows at every scale factor — every customer has
+    *some* order, so an unfiltered variant would be vacuously empty.
     """
     cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    recent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
         dec_avg("c_acctbal", "_avg_bal")
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("_avg_bal"))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("numcust"), dec_sum("c_acctbal", "totacctbal"))
     )
