@@ -1,0 +1,406 @@
+"""Deduplication operator family over the ``documents`` table.
+
+Training-data-pipeline dedup, Spark-first, each variant registered with
+a full DuckDB oracle (cross-engine hash parity via
+:mod:`bc_proj3_spark.functions.hashing`):
+
+- exact dedup on a content fingerprint (hash-groupBy — one shuffle);
+- near-dup via exact n-gram Jaccard on an inverted shingle index
+  (never all-pairs: the self-join is on the shingle key);
+- MinHash + banded LSH candidate generation with candidate-only
+  verification (the 100 TB path: Jaccard is computed ONLY for pairs
+  that share a band bucket);
+- SimHash bit-vote signatures (constant-size sketch per doc).
+
+The reference's closest analogue is its sha2 surrogate-key dedup-insert
+(silver_nyt_archive.py:102-120 — row identity); these operators extend
+that to *content* identity, the thing an LLM-corpus pipeline dedups on.
+
+Scale notes (100 TB posture):
+- every operator is explode → shuffle-on-key → agg; no driver-side
+  loops, no cross joins, no Python workers.
+- exact Jaccard (d3) is the *verifier*; its inverted-index join is
+  fine while shingle document-frequency is bounded, but the hot-shingle
+  worst case is quadratic — at corpus scale you run d4 (LSH) so the
+  pairwise work is bucket-local, then verify candidates only.
+- MinHash signatures are fixed-width (K ints/doc): the groupBy that
+  builds them is a single map-side-combinable aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bc_proj3_spark.functions import text as T
+from bc_proj3_spark.functions.hashing import hash32, sql_hash32
+from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.registry import register
+
+# MinHash/LSH geometry: K = NUM_BANDS * ROWS_PER_BAND signatures.
+NUM_HASHES = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = 4
+JACCARD_THRESHOLD = 0.2
+
+_WS = r"\s+"
+
+
+# ---------------------------------------------------------------------------
+# shared shingle builders (word 3-grams, Spark + DuckDB twins)
+# ---------------------------------------------------------------------------
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.trim(col), _WS)
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a text column (empty array when < n words).
+
+    The n>=size guard matters: Spark's ``sequence(1, 0)`` counts *down*
+    (step defaults to -1 when start > stop), which would fabricate
+    indices — so short docs short-circuit to an empty array.
+    """
+    w = _words(col)
+    size = F.size(w)
+    idx = F.when(size >= n, F.sequence(F.lit(1), size - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        ),
+    )
+
+
+#: DuckDB CTE prefix producing `sh(doc_id, s)` = distinct doc/shingle pairs.
+_SQL_SHINGLES = """
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+def _shingle_pairs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(sh, sizes): exploded distinct shingles and per-doc shingle counts."""
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return sh, sizes
+
+
+def _verified_jaccard(cand: DataFrame, sh: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs only.
+
+    Intersections are computed by joining candidates back to the shingle
+    index — cost is proportional to candidate volume, not corpus², which
+    is what makes the LSH path scale.
+    """
+    ca = cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id")).select(
+        "doc_a", "doc_b", F.col("sa.s").alias("s_a")
+    )
+    inter = (
+        ca.join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("s_a") == F.col("sb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("za.n") + F.col("zb.n") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# d1 — exact dedup groups (content-identity fingerprint)
+# ---------------------------------------------------------------------------
+
+_D1_ORACLE = f"""
+SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
+FROM (SELECT doc_id, {T.sql_fingerprint('text')} AS fp FROM documents) f
+GROUP BY fp
+HAVING COUNT(*) > 1
+"""
+
+
+@register("d1_exact_dedup_groups", _D1_ORACLE)
+def d1_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-content groups: hash-groupBy on the sorted-token-set
+    fingerprint (functions/text.py), keep groups with >1 member. One
+    shuffle on the 128-bit key; partial aggregation map-side. This is
+    content-level dedup, vs the reference's row-level sha2 dedup-insert
+    (silver_nyt_archive.py:106-119)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# d2 — dedup survivors (keep best-quality member per group)
+# ---------------------------------------------------------------------------
+
+_D2_ORACLE = f"""
+SELECT doc_id, fp FROM (
+  SELECT doc_id, fp,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn
+  FROM (SELECT doc_id, n_chars, {T.sql_fingerprint('text')} AS fp FROM documents) f
+) t
+WHERE rn = 1
+"""
+
+
+@register("d2_dedup_survivors", _D2_ORACLE)
+def d2_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup operator proper: one surviving doc per content
+    fingerprint, keeping the longest (then lowest-id) member — a rank
+    window over the fingerprint partition, the scalable form of
+    "keep-first" dedup."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "n_chars", T.fingerprint(F.col("text")).alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d3 — exact n-gram Jaccard near-dup pairs (inverted index join)
+# ---------------------------------------------------------------------------
+
+_D3_ORACLE = f"""
+WITH {_SQL_SHINGLES},
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) AS jaccard
+FROM common
+JOIN sizes za ON doc_a = za.doc_id
+JOIN sizes zb ON doc_b = zb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("d3_jaccard_pairs", _D3_ORACLE)
+def d3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact word-3-gram Jaccard >= 0.2.
+
+    Pair generation is an inverted-index self-join on the shingle key
+    (shuffle on `s`), never a doc×doc cross join. Hot shingles are the
+    quadratic worst case — at corpus scale run d4 (MinHash LSH) and use
+    this only as the verifier on candidates."""
+    docs = table(spark, sf_dir, "documents")
+    sh, sizes = _shingle_pairs(docs)
+    common = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("za.n") + F.col("zb.n") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# d4 — MinHash + banded LSH near-dup (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+
+def _sql_band_key(b: int) -> str:
+    cols = " || ',' || ".join(
+        f"h{b * ROWS_PER_BAND + j}::VARCHAR" for j in range(ROWS_PER_BAND)
+    )
+    return f"md5({cols})"
+
+
+_D4_ORACLE = f"""
+WITH {_SQL_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         {', '.join(f"MIN({sql_hash32('s', i)}) AS h{i}" for i in range(NUM_HASHES))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, {_sql_band_key(b)} AS key FROM sig" for b in range(NUM_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_common
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) AS jaccard
+FROM inter
+JOIN sizes za ON doc_a = za.doc_id
+JOIN sizes zb ON doc_b = zb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("d4_minhash_lsh_pairs", _D4_ORACLE)
+def d4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (K=16) + banded LSH (4 bands × 4 rows) near-dup pairs,
+    verified with exact Jaccard computed ONLY on candidates.
+
+    The scale path: signatures are a fixed-width aggregate per doc
+    (single map-side-combinable groupBy over the shingle index); pair
+    generation is a self-join on (band, band-key) so work is bucket-
+    local; verification joins candidates back to the index instead of
+    re-materializing a corpus-wide pair matrix. Recall vs d3 is governed
+    by the band geometry (1-(1-s^4)^4); the oracle replays the identical
+    deterministic hash family, so the comparison is exact, not
+    probabilistic."""
+    docs = table(spark, sf_dir, "documents")
+    sh, sizes = _shingle_pairs(docs)
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(hash32(F.col("s"), i)).alias(f"h{i}") for i in range(NUM_HASHES)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * ROWS_PER_BAND + j}").cast("string")
+                        for j in range(ROWS_PER_BAND)
+                    ],
+                )
+            ).alias("key"),
+        )
+        for b in range(NUM_BANDS)
+    ]
+    bl = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+    cand = (
+        bl.alias("x")
+        .join(
+            bl.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verified_jaccard(cand, sh, sizes)
+
+
+# ---------------------------------------------------------------------------
+# d5 — SimHash signatures (32-bit bit-vote sketch)
+# ---------------------------------------------------------------------------
+
+_D5_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+),
+hashed AS (SELECT doc_id, {sql_hash32('t')} AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+         {', '.join(f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(32))}
+  FROM hashed GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id,
+         ({' + '.join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32))})::BIGINT AS simhash
+  FROM votes
+)
+SELECT doc_id, simhash,
+       CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_bucket
+FROM sigs
+"""
+
+
+@register("d5_simhash_signatures", _D5_ORACLE)
+def d5_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (bit-vote over hashed distinct words)
+    plus the size of each signature bucket. Constant-size sketch: the
+    signature aggregation is one groupBy with 32 integer sums, all
+    map-side combinable; near-dup docs land in small hamming balls
+    (bucket counts surface exact-simhash collisions directly)."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("t")
+    )
+    h = hash32(F.col("t"))
+    votes = tok.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(32)
+        ]
+    )
+    simhash = None
+    for i in range(32):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    sigs = votes.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    return sigs.withColumn(
+        "n_bucket", F.count(F.lit(1)).over(Window.partitionBy("simhash"))
+    )
