@@ -1,0 +1,443 @@
+"""Similarity search over the ``embeddings`` table (64-dim unit vectors).
+
+Four registered queries, each value-verified against a DuckDB oracle:
+
+- s1: brute-force cosine top-k — the exact baseline every ANN variant
+  is judged against;
+- s2: approximate top-k via multi-table random-hyperplane LSH (8 tables
+  × 4 bits) — candidates share at least one bucket with the query;
+- s3: embedding-cosine near-duplicate *pairs* via LSH bucket self-join
+  + candidate-only verification (the embedding twin of
+  operators/dedup.py d4);
+- s4: IVF-style search — partition the corpus by label, probe only the
+  nprobe nearest centroids per query.
+
+Cross-engine determinism: all vector math is element-cast to double and
+folded **sequentially** (Spark ``aggregate``/``zip_with``; DuckDB
+``list_reduce``/``list_transform``), so both engines execute the same
+IEEE operation sequence and produce bit-identical cosines — rankings
+can't diverge on ties. Hyperplane signs are pre-computed constants from
+the same md5 family as functions/hashing.py, baked as literals into
+both plans.
+
+Scale notes (100 TB / billion-vector posture):
+- s1 broadcasts the (tiny) query set and scans the corpus once: the
+  right brute-force plan, O(corpus) per query batch, no shuffle of the
+  corpus itself. Its cost ceiling is why s2/s3/s4 exist.
+- s2/s3 shuffle on (table, bucket) — pairwise work is bucket-local;
+  recall is tuned by table count (1-(1-p^bits)^tables), not by
+  widening any single join.
+- s4 prunes whole partitions: with label-partitioned parquet the
+  probed-label filter becomes partition pruning at the scan
+  (the IVF promise: touch nprobe/nlist of the data).
+- The testdata's vectors are near-uniform (max pairwise cosine ≈ 0.51,
+  labels barely geometric), so approximate recall here is data-poor;
+  the oracle replays the identical hash/probe decisions, so the
+  verification is exact regardless.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.registry import register
+
+DIM = 64  # embeddings.parquet vector width (TESTDATA.md)
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+LSH_TABLES = 8
+LSH_BITS = 4
+NEARDUP_THRESHOLD = 0.45
+N_PROBE = 2
+
+
+# ---------------------------------------------------------------------------
+# vector math — Spark + DuckDB twins (sequential fold ⇒ identical IEEE)
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a})[i] * ({b})[i]), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt({_sql_dot(a, a)})"
+
+
+def _hyperplane_sign(t: int, b: int, i: int) -> float:
+    """Deterministic ±1 hyperplane weight — same md5-low-bit family as
+    functions/hashing.py, evaluated once in Python and baked into both
+    plans as literals (the hash inputs are constants, not data)."""
+    h = int(hashlib.md5(f"{t}:{b}:{i}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h & 1 else -1.0
+
+
+def _weights(t: int, b: int) -> list[float]:
+    return [_hyperplane_sign(t, b, i) for i in range(DIM)]
+
+
+def _bucket_col(v: Column, t: int) -> Column:
+    """LSH_BITS-bit bucket id of vector ``v`` under table ``t``."""
+    bits = []
+    for b in range(LSH_BITS):
+        w = F.array(*[F.lit(x) for x in _weights(t, b)])
+        proj = _dot(v, w)
+        bits.append(F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    return reduce(lambda x, y: x + y, bits)
+
+
+def _sql_bucket(v: str, t: int) -> str:
+    bits = []
+    for b in range(LSH_BITS):
+        w = "[" + ", ".join(str(x) for x in _weights(t, b)) + "]::DOUBLE[]"
+        proj = (
+            f"list_reduce(list_transform(generate_series(1, len({v})), "
+            f"i -> {v}[i] * ({w})[i]), (acc, x) -> acc + x)"
+        )
+        bits.append(f"CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+#: DuckDB CTE: corpus with double vectors + norms, and the query subset.
+_SQL_BASE = f"""
+e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         {_sql_norm('embedding::DOUBLE[]')} AS nrm
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+  WHERE vec_id < {N_QUERIES}
+)
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id", "label", v.alias("v"), _norm(v).alias("nrm")
+    )
+
+
+def _queries(corpus: DataFrame) -> DataFrame:
+    return corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+
+
+def _top_k(scored: DataFrame, k: int = TOP_K) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s1 — brute-force cosine top-k (the exact baseline)
+# ---------------------------------------------------------------------------
+
+_S1_ORACLE = f"""
+WITH {_SQL_BASE},
+scored AS (
+  SELECT query_id, e.vec_id,
+         {_sql_dot('qv', 'v')} / (qn * nrm) AS cosine
+  FROM q, e
+  WHERE e.vec_id <> query_id
+)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) t WHERE rn <= {TOP_K}
+"""
+
+
+@register("s1_knn_bruteforce", _S1_ORACLE)
+def s1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 per query vector: broadcast the query set
+    across one full corpus scan, rank per query. The corpus is never
+    shuffled for scoring — only the (queries × k)-sized ranked rows
+    move. This is the recall=1.0 baseline for s2/s4."""
+    corpus = _corpus(spark, sf_dir)
+    q = _queries(corpus)
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    return _top_k(scored)
+
+
+# ---------------------------------------------------------------------------
+# s2 — ANN via multi-table random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _sql_bucket_union(src: str, id_expr: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT {id_expr}, {t} AS t, {_sql_bucket('v', t)} AS bkt FROM {src}"
+        for t in range(LSH_TABLES)
+    )
+
+
+_S2_ORACLE = f"""
+WITH {_SQL_BASE},
+cb AS ({_sql_bucket_union('e', 'vec_id')}),
+qb AS (SELECT vec_id AS query_id, t, bkt FROM cb WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id
+  FROM qb JOIN cb ON qb.t = cb.t AND qb.bkt = cb.bkt
+  WHERE cb.vec_id <> qb.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         {_sql_dot('q.qv', 'e.v')} / (q.qn * e.nrm) AS cosine
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN e ON e.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) t WHERE rn <= {TOP_K}
+"""
+
+
+def _bucketed(corpus: DataFrame) -> DataFrame:
+    """(vec_id, t, bkt) — one row per vector per hash table."""
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"), _bucket_col(F.col("v"), t).alias("bkt")
+                )
+                for t in range(LSH_TABLES)
+            ]
+        )
+    ).alias("tb")
+    return corpus.select("vec_id", tb).select("vec_id", "tb.t", "tb.bkt")
+
+
+@register("s2_ann_lsh", _S2_ORACLE)
+def s2_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-10 via random-hyperplane LSH: 8 tables ×
+    4 sign-bits; a corpus vector is a candidate if it shares any
+    table's bucket with the query. Candidate generation is an equi-join
+    on (table, bucket) — bucket-local work — and exact cosine is
+    computed for candidates only. Recall is the multi-table OR:
+    1-(1-p^4)^8 for per-bit agreement p."""
+    corpus = _corpus(spark, sf_dir)
+    q = _queries(corpus)
+    cb = _bucketed(corpus)
+    qb = cb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "t", "bkt"
+    )
+    cand = (
+        qb.join(cb, ["t", "bkt"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(corpus.select("vec_id", "v", "nrm"), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    return _top_k(scored)
+
+
+# ---------------------------------------------------------------------------
+# s3 — embedding-cosine near-duplicate pairs (LSH self-join + verify)
+# ---------------------------------------------------------------------------
+
+_S3_ORACLE = f"""
+WITH {_SQL_BASE},
+cb AS ({_sql_bucket_union('e', 'vec_id')}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM cb x JOIN cb y ON x.t = y.t AND x.bkt = y.bkt AND x.vec_id < y.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         {_sql_dot('ea.v', 'eb.v')} / (ea.nrm * eb.nrm) AS cosine
+  FROM cand
+  JOIN e ea ON ea.vec_id = vec_a
+  JOIN e eb ON eb.vec_id = vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}
+"""
+
+
+@register("s3_cosine_neardup_pairs", _S3_ORACLE)
+def s3_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.45) across the whole
+    corpus — the embedding twin of dedup's MinHash path: LSH bucket
+    self-join generates candidates (no vector×vector cross join),
+    cosine is verified for candidates only. Recall scales with table
+    count; exhaustiveness is never bought with a cartesian product."""
+    corpus = _corpus(spark, sf_dir)
+    cb = _bucketed(corpus)
+    cand = (
+        cb.alias("x")
+        .join(
+            cb.alias("y"),
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = corpus.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    eb = corpus.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# s4 — IVF-style probe: per-label centroids, search nprobe partitions
+# ---------------------------------------------------------------------------
+
+_S4_ORACLE = f"""
+WITH {_SQL_BASE},
+cent AS (
+  SELECT label, list(cx ORDER BY i) AS c FROM (
+    SELECT label, i, AVG(v[i]) AS cx
+    FROM e, (SELECT unnest(generate_series(1, {DIM})) AS i) dims
+    GROUP BY label, i
+  ) percoord
+  GROUP BY label
+),
+centn AS (SELECT label, c, {_sql_norm('c')} AS cn FROM cent),
+probe AS (
+  SELECT query_id, label FROM (
+    SELECT q.query_id, centn.label,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_sql_dot('q.qv', 'centn.c')} / (q.qn * centn.cn) DESC,
+                      centn.label) AS rn
+    FROM q, centn
+  ) r WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, e.vec_id,
+         {_sql_dot('q.qv', 'e.v')} / (q.qn * e.nrm) AS cosine
+  FROM probe p
+  JOIN q ON q.query_id = p.query_id
+  JOIN e ON e.label = p.label
+  WHERE e.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) t WHERE rn <= {TOP_K}
+"""
+
+
+@register("s4_ivf_probe", _S4_ORACLE)
+def s4_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-shaped ANN: labels play the role of coarse-quantizer cells.
+    Per-label centroids (posexplode → per-coordinate avg → rebuild),
+    each query probes its nprobe=2 nearest centroids, and exact cosine
+    runs only inside the probed partitions. With label-partitioned
+    storage the probed-label filter becomes scan-level partition
+    pruning — the plan touches nprobe/nlist of the corpus."""
+    corpus = _corpus(spark, sf_dir)
+    q = _queries(corpus)
+    cent = (
+        corpus.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cx"))), lambda s: s.cx
+            ).alias("c")
+        )
+    )
+    centn = cent.select("label", "c", _norm(F.col("c")).alias("cn"))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("csim"), F.asc("label")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(centn))
+        .select(
+            "query_id",
+            "label",
+            (_dot(F.col("qv"), F.col("c")) / (F.col("qn") * F.col("cn"))).alias(
+                "csim"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "label")
+    )
+    scored = (
+        probe.join(q, "query_id")
+        .join(corpus, "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    return _top_k(scored)
