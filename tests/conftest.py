@@ -60,10 +60,15 @@ def _norm(v):
 
 
 def rows_key(columns, rows):
-    """Sorted multiset of normalized row tuples, columns sorted by name."""
+    """Sorted multiset of normalized row tuples, columns sorted by name.
+
+    Sorting is by repr: a total order that tolerates None and mixed
+    types inside a row (None < float comparisons would TypeError);
+    equality still compares the actual normalized tuples.
+    """
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     return sorted(
-        tuple(_norm(row[i]) for i in order) for row in rows
+        (tuple(_norm(row[i]) for i in order) for row in rows), key=repr
     ), [columns[i] for i in order]
 
 
