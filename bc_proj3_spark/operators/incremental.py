@@ -1,0 +1,134 @@
+"""Incremental-load machinery: watermarks, merge upsert, dedup insert.
+
+The semantic core of the reference's silver layer
+(SURVEY.md §2.1 S8-S10, §3.3):
+
+- **watermark cursor**: a one-row table holding the high-water mark;
+  read-filter-update contract of silver_arxiv.py:43-50,194-199.
+- **merge upsert**: ``MERGE INTO tgt USING src ON tgt.id = src.id WHEN
+  MATCHED AND src.version > tgt.version THEN UPDATE SET * WHEN NOT
+  MATCHED THEN INSERT *`` (silver_arxiv.py:130-152) re-expressed as a
+  pure-Spark join rewrite (no Delta dependency): one equi-join on the
+  key classifies target rows into kept/updated, one anti-join finds
+  inserts, and the new target is their union.
+- **dedup insert**: append only keys absent from the target — the
+  NOT-IN pattern of silver_nyt_archive.py:102-120 as a left_anti join
+  (null-safe where NOT IN is not; keys are sha2 so both agree,
+  SURVEY.md §7.4.1).
+
+Scale notes: the merge rewrite shuffles both sides on the key once —
+the same physical shape Delta's MERGE lowers to. Unlike Delta it
+rewrites the whole table (no file-level pruning); the catalog's
+partition_by seam is where run_date partitioning bounds the rewrite.
+Metrics (inserted/updated) are computed from the same join results the
+rewrite already materializes — the engine-side stand-in for
+DESCRIBE HISTORY's operationMetrics (silver_arxiv.py:175-184, S15).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bc_proj3_spark.catalog import Catalog
+
+EPOCH_WATERMARK = "1970-01-01"
+
+
+class PreconditionError(Exception):
+    """Silver table and its watermark must exist together or not at all
+    (silver_arxiv.py:43-49)."""
+
+
+@dataclass
+class MergeResult:
+    df: DataFrame
+    inserted: int
+    updated: int
+
+
+# ---------------------------------------------------------------------------
+# watermark table contract
+# ---------------------------------------------------------------------------
+
+
+def watermark_name(table: str) -> str:
+    return f"watermark_{table}"
+
+
+def resolve_watermark(catalog: Catalog, table: str) -> str | None:
+    """Initial-load cursor resolution (silver_arxiv.py:38-50): neither
+    table nor watermark → epoch; both → stored value; mixed → error.
+    Returns None when the target doesn't exist yet (first load)."""
+    has_table = catalog.exists("silver", table)
+    has_wm = catalog.exists("silver", watermark_name(table))
+    if not has_table and not has_wm:
+        return None
+    if has_table and has_wm:
+        row = catalog.read("silver", watermark_name(table)).collect()[0]
+        return row["watermark_date"]
+    raise PreconditionError(
+        f"silver.{table}: table and watermark must both exist or neither "
+        f"(table={has_table}, watermark={has_wm})"
+    )
+
+
+def write_watermark(catalog: Catalog, table: str, value: str) -> None:
+    """CREATE OR REPLACE the one-row watermark table and verify the
+    write-back (silver_arxiv.py:194-209)."""
+    df = catalog.spark.createDataFrame([(str(value),)], ["watermark_date"])
+    catalog.overwrite("silver", watermark_name(table), df)
+    stored = catalog.read("silver", watermark_name(table)).collect()[0][
+        "watermark_date"
+    ]
+    assert stored == str(value), f"watermark write-back failed for {table}"
+
+
+# ---------------------------------------------------------------------------
+# merge / dedup-insert rewrites
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(
+    tgt: DataFrame,
+    src: DataFrame,
+    key: str,
+    update_when: Column,
+) -> MergeResult:
+    """Pure-Spark MERGE: update matched rows satisfying ``update_when``
+    (a predicate over ``tgt.<c>``/``src.<c>`` aliases), insert unmatched
+    src rows, keep everything else. Column set of the result is tgt's.
+
+    src must be unique on ``key`` (true in the reference: one batch row
+    per article id after the latest-file pick)."""
+    cols = tgt.columns
+    t, s = tgt.alias("tgt"), src.alias("src")
+    joined = t.join(s, F.col(f"tgt.{key}") == F.col(f"src.{key}"), "inner")
+
+    updated = joined.filter(update_when).select(
+        *[F.col(f"src.{c}").alias(c) for c in cols]
+    )
+    updated_keys = updated.select(F.col(key))
+    kept = tgt.join(updated_keys, on=key, how="left_anti")
+    inserts = src.join(tgt.select(key), on=key, how="left_anti").select(
+        *[F.col(c) for c in cols]
+    )
+
+    n_updated = updated.count()
+    n_inserted = inserts.count()
+    # re-assert tgt's column order: the USING-style anti join above
+    # promotes the key column to the front of `kept`
+    out = (
+        kept.unionByName(updated).unionByName(inserts).select(*[F.col(c) for c in cols])
+    )
+    return MergeResult(df=out, inserted=n_inserted, updated=n_updated)
+
+
+def dedup_insert(tgt: DataFrame, src: DataFrame, key: str) -> MergeResult:
+    """INSERT-only-new via anti join on the surrogate key."""
+    fresh = src.join(tgt.select(key), on=key, how="left_anti").select(
+        *[F.col(c) for c in tgt.columns]
+    )
+    return MergeResult(df=fresh, inserted=fresh.count(), updated=0)

@@ -1,0 +1,180 @@
+"""Gold stages: per-source words tables, combined view, relevance scoring.
+
+Mirrors gold_integrated_data_preNLP.py (three projections to
+(source, source_sk, words, publish_dt), CTAS each, union-all view) and
+gold_article_scoring.py (clean → tokenize → stopword-remove → lemmatize
+→ distinct → term-weight score → filter > 0), rebuilt JVM-native:
+
+- clean_text replays the reference chain exactly (lower, strip leading
+  'rt ', URLs → '', non-alphanumerics → ''; gold_article_scoring.py:36-41);
+- tokenization is split-on-whitespace (what ml.feature.Tokenizer does,
+  :49-51) and stopword removal uses StopWordsRemover's default English
+  list (:54-65) applied as a native array filter — same semantics, no
+  ML-transform per-row overhead;
+- lemmatization (:69-88, an NLTK WordNet UDF in the reference) is a
+  native rule-based suffix normalizer by default ('ies'→'y', strip
+  final 's' except 'ss'), with NLTK's WordNetLemmatizer used via a
+  pandas UDF when the library is importable — documented deviation:
+  this container has no NLTK, tests pin the native path. Both paths
+  apply the reference's len > 2 filter;
+- the 31-term weight dictionary is the reference's scoring config
+  (:104-136; weights sourced from public clean-energy glossaries) and
+  the score is a native F.aggregate over a map literal — the rewrite of
+  score_udf recommended in SURVEY.md §2.10 U3 (which also fixes its
+  untyped-StringType return).
+
+Scale: everything here is scan-side column work (explode-free!) —
+scoring stays inside whole-stage codegen; only the CTAS writes move
+data. The combined view is a unionByName, not a materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bc_proj3_spark.catalog import Catalog
+
+# Reference scoring config (gold_article_scoring.py:104-136), weights from
+# the public glossaries cited there.
+CLEAN_TECH_TERMS: dict[str, int] = {
+    "climate": 20, "change": 4, "oxide": 1, "battery": 1, "electricity": 3,
+    "abatement": 1, "emission": 1, "kyoto": 8, "ipcc": 20, "lithium": 15,
+    "ion": 8, "photovoltaic": 25, "renewable": 8, "energy": 10, "solar": 8,
+    "carbon": 5, "innovation": 20, "technology": 30, "clean": 9, "green": 14,
+    "kilowatt": 4, "megawatt": 4, "polysilicon": 30, "biofuel": 40,
+    "efficiency": 12, "fuel": 8, "tax": 4, "air": 2, "quality": 7,
+    "bio": 8, "biogas": 12,
+}
+
+
+def clean_text(c: Column) -> Column:
+    """The reference chain verbatim (gold_article_scoring.py:36-41)."""
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"^rt ", "")
+    c = F.regexp_replace(c, r"(https?://)\S+", "")
+    return F.regexp_replace(c, r"[^a-zA-Z0-9\s]", "")
+
+
+def _stopwords() -> list[str]:
+    """StopWordsRemover's default English list (gold_article_scoring.py:54-58)."""
+    from pyspark.ml.feature import StopWordsRemover
+
+    return StopWordsRemover.loadDefaultStopWords("english")
+
+
+def _native_lemma(tok: Column) -> Column:
+    """Rule-based suffix normalizer: 'ies'→'y'; strip one final 's'
+    unless the word ends in 'ss'. A deterministic, JVM-side stand-in
+    for WordNet's noun pluralization handling."""
+    return F.regexp_replace(
+        F.regexp_replace(tok, r"ies$", "y"), r"(?<!s)s$", ""
+    )
+
+
+def lemmatize(tokens: Column) -> Column:
+    """Lemmatize + keep tokens longer than 2 chars
+    (gold_article_scoring.py:69-88). Uses NLTK's WordNetLemmatizer via a
+    pandas UDF when available; otherwise the native rule above."""
+    try:  # pragma: no cover - NLTK not present in the test container
+        import nltk  # noqa: F401
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import ArrayType, StringType
+
+        @pandas_udf(ArrayType(StringType()))
+        def _lemma_udf(col: "pd.Series") -> "pd.Series":
+            from nltk.stem import WordNetLemmatizer
+
+            wnl = WordNetLemmatizer()
+            return col.map(
+                lambda toks: [
+                    w for w in (wnl.lemmatize(t) for t in (toks or [])) if len(w) > 2
+                ]
+            )
+
+        return _lemma_udf(tokens)
+    except ImportError:
+        lemmed = F.transform(tokens, _native_lemma)
+        return F.filter(lemmed, lambda t: F.length(t) > 2)
+
+
+def score_tokens(unique_tokens: Column) -> Column:
+    """Native rewrite of score_udf: fold the term-weight map over the
+    distinct token array (gold_article_scoring.py:92-144 → F.aggregate
+    + map literal; returns int, unlike the UDF's implicit string)."""
+    pairs: list[Column] = []
+    for term, weight in CLEAN_TECH_TERMS.items():
+        pairs += [F.lit(term), F.lit(weight)]
+    weights = F.create_map(*pairs)
+    return F.aggregate(
+        unique_tokens,
+        F.lit(0),
+        lambda acc, t: acc + F.coalesce(F.try_element_at(weights, t), F.lit(0)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
+
+_WORD_SOURCES = {
+    # source tag -> (silver table, sk column, text columns, date column)
+    "nyt": ("nytarchive", "nyt_sk", ("abstract", "lead_paragraph", "snippet"), "publish_dt"),
+    "ggl": ("googlescholar", "ggl_sk", ("snippet", "title"), "publish_dt"),
+    "arx": ("arxiv", "arx_sk", ("summary", "title"), "updated_dt"),
+}
+
+
+def gold_words(spark: SparkSession, catalog: Catalog, fresh: bool = False) -> dict:
+    """Three <src>_words tables (gold_integrated_data_preNLP.py:48-138)."""
+    counts = {}
+    for src, (table, sk, text_cols, date_col) in _WORD_SOURCES.items():
+        if fresh:
+            catalog.drop("gold", f"{table}_words")
+        silver = catalog.read("silver", table)
+        words = silver.select(
+            F.lit(src).alias("source"),
+            F.col(sk).alias("source_sk"),
+            F.lower(F.concat_ws(" ", *text_cols)).alias("words"),
+            F.col(date_col).alias("publish_dt"),
+        )
+        counts[src] = catalog.overwrite("gold", f"{table}_words", words)
+    return counts
+
+
+def combined_pre_nlp(spark: SparkSession, catalog: Catalog) -> DataFrame:
+    """vw_combined_pre_nlp: UNION ALL of the three words tables
+    (gold_integrated_data_preNLP.py:156-166) — a view, not a copy."""
+    parts = [
+        catalog.read("gold", f"{table}_words")
+        for table, _, _, _ in _WORD_SOURCES.values()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def gold_scoring(spark: SparkSession, catalog: Catalog) -> int:
+    """scored_articles (gold_article_scoring.py:149-175): the NLP-lite
+    scoring chain over the combined view, keeping article_score > 0."""
+    df = combined_pre_nlp(spark, catalog)
+    tokens = F.split(clean_text(F.col("words")), r"\s+")
+    stop = F.array(*[F.lit(s) for s in _stopwords()])
+    no_stop = F.filter(tokens, lambda t: ~F.array_contains(stop, t))
+    scored = (
+        df.withColumn("vector_unique", F.array_distinct(lemmatize(no_stop)))
+        .withColumn("article_raw_score", score_tokens(F.col("vector_unique")))
+        .withColumn("unique_words", F.size("vector_unique"))
+        .withColumn(
+            "article_score",
+            F.lit(1.0) * F.col("article_raw_score") / F.col("unique_words"),
+        )
+        .filter(F.col("article_score") > 0)
+        .select(
+            "source", "source_sk", "publish_dt", "words",
+            "article_raw_score", "unique_words", "article_score",
+        )
+    )
+    return catalog.overwrite("gold", "scored_articles", scored)

@@ -1,0 +1,99 @@
+"""Pipeline runner: thread run_date through bronze → silver → gold.
+
+The library form of the reference's control plane (SURVEY.md §2.12):
+the Airflow DAG's fan-in (cleantech.py:76-79) becomes a staged
+sequence; the templated run date (D3) is an explicit parameter; the
+no-files notebook exit (D4) becomes a SKIPPED stage result; precondition
+violations (D5) raise; is_fresh_load (D6) is the ``fresh`` flag.
+
+Skip semantics match the reference's behavior: a bronze stage with no
+landing file for the run date leaves the *previous* bronze batch in
+place, and silver still runs over it — harmless because every silver
+strategy is idempotent (merge / keyed dedup / strict-> watermark), which
+is the pipeline's core re-runnability contract (README.md:28,
+SURVEY.md §7.4.7) and is pinned by tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from bc_proj3_spark.catalog import Catalog
+from bc_proj3_spark.io import landing
+from bc_proj3_spark.pipeline import bronze as bz
+from bc_proj3_spark.pipeline import gold as gd
+from bc_proj3_spark.pipeline import silver as sv
+
+SKIPPED = "SKIPPED"
+LOADED = "LOADED"
+
+
+@dataclass
+class StageResult:
+    name: str
+    status: str
+    rows: int = 0
+    metrics: dict = field(default_factory=dict)
+
+
+_BRONZE = (
+    # stage name, landing subdir, date separator, bronze fn
+    ("bronze_arxiv", "arxiv", "-", bz.bronze_arxiv),
+    ("bronze_nyt", "nytarchive", "_", bz.bronze_nyt),
+    ("bronze_scholar", "googlescholar", "_", bz.bronze_scholar),
+)
+
+_SILVER = (
+    ("silver_arxiv", "arxiv", sv.silver_arxiv),
+    ("silver_nyt", "nytarchive", sv.silver_nyt),
+    ("silver_scholar", "googlescholar", sv.silver_scholar),
+)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    catalog: Catalog,
+    landing_dir: str,
+    run_date: str,
+    fresh: bool = False,
+) -> dict[str, StageResult]:
+    """One daily run. Returns per-stage results keyed by stage name."""
+    results: dict[str, StageResult] = {}
+
+    import os
+
+    for name, subdir, sep, fn in _BRONZE:
+        try:
+            batch = landing.select_batch_file(
+                run_date, os.path.join(landing_dir, subdir), sep
+            )
+        except landing.NoFilesForRunDate:
+            results[name] = StageResult(name, SKIPPED)
+            continue
+        rows = fn(spark, catalog, batch, run_date)
+        results[name] = StageResult(name, LOADED, rows=rows)
+
+    for name, table, fn in _SILVER:
+        if not catalog.exists("bronze", table):
+            results[name] = StageResult(name, SKIPPED)
+            continue
+        metrics = fn(spark, catalog, fresh=fresh)
+        results[name] = StageResult(
+            name, LOADED, rows=metrics.pop("rows"), metrics=metrics
+        )
+
+    silver_ready = all(catalog.exists("silver", t) for _, t, _ in _SILVER)
+    if silver_ready:
+        counts = gd.gold_words(spark, catalog, fresh=fresh)
+        results["gold_words"] = StageResult(
+            "gold_words", LOADED, rows=sum(counts.values()), metrics=counts
+        )
+        scored = gd.gold_scoring(spark, catalog)
+        results["gold_scoring"] = StageResult("gold_scoring", LOADED, rows=scored)
+    else:
+        results["gold_words"] = StageResult("gold_words", SKIPPED)
+        results["gold_scoring"] = StageResult("gold_scoring", SKIPPED)
+
+    return results

@@ -1,0 +1,144 @@
+"""End-to-end medallion pipeline tests on synthetic landing fixtures.
+
+Pins the reference's semantic contracts (SURVEY.md §3.3, §7.4):
+schemas of the derived layers (FIXTURES.md §4), idempotency under
+re-run, incremental merge/dedup behavior across run dates, watermark
+advancement, fresh-load reset, precondition guards, and the no-files
+skip path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bc_proj3_spark.catalog import Catalog
+from bc_proj3_spark.io import sources
+from bc_proj3_spark.operators.incremental import PreconditionError, resolve_watermark
+from bc_proj3_spark.pipeline import run_pipeline
+from bc_proj3_spark.pipeline.silver import silver_arxiv
+
+RUN1, RUN2 = "20230401", "20230402"
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    catalog = Catalog(spark, str(tmp_path / "warehouse"))
+    sources.fetch_all(RUN1, landing, epoch=1000)
+    sources.fetch_all(RUN2, landing, epoch=2000)
+    return landing, catalog
+
+
+def _nondet_free(df):
+    """Rows minus the load_ts audit column (non-deterministic)."""
+    cols = [c for c in df.columns if c != "load_ts"]
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+def test_full_run_shapes_and_scoring(spark, env):
+    landing, catalog = env
+    results = run_pipeline(spark, catalog, landing, RUN1)
+    assert all(r.status == "LOADED" for r in results.values()), results
+
+    arx = catalog.read("silver", "arxiv")
+    assert arx.columns == [
+        "arx_sk", "id", "version", "link", "summary", "title",
+        "updated_dt", "source_file_name", "run_date", "load_ts",
+    ]
+    assert arx.count() == 6
+    # surrogate keys are 64-hex sha2-256 and unique
+    assert arx.filter(~F.col("arx_sk").rlike("^[0-9a-f]{64}$")).count() == 0
+    assert arx.select("arx_sk").distinct().count() == arx.count()
+
+    ggl = catalog.read("silver", "googlescholar")
+    # 'N days ago' snippets derive publish_dt = run_date - N; others fall
+    # back to run_date (silver_google_scholar.py:141)
+    derived = {r["publish_dt"].isoformat() for r in ggl.collect()}
+    assert "2023-04-01" in derived  # fallback rows
+    assert "2023-03-31" in derived  # "1 days ago" row
+
+    scored = catalog.read("gold", "scored_articles")
+    assert scored.columns == [
+        "source", "source_sk", "publish_dt", "words",
+        "article_raw_score", "unique_words", "article_score",
+    ]
+    # fixtures are saturated with clean-tech terms: all three sources score
+    assert {r["source"] for r in scored.collect()} == {"nyt", "ggl", "arx"}
+    assert scored.filter(F.col("article_score") <= 0).count() == 0
+
+
+def test_idempotent_rerun(spark, env):
+    landing, catalog = env
+    run_pipeline(spark, catalog, landing, RUN1)
+    snap = {
+        t: _nondet_free(catalog.read("silver", t))
+        for t in ("arxiv", "nytarchive", "googlescholar")
+    }
+    results = run_pipeline(spark, catalog, landing, RUN1)  # re-run same date
+    for t in snap:
+        assert _nondet_free(catalog.read("silver", t)) == snap[t], t
+    # merge/dedup did nothing on the identical batch; scholar's strict->
+    # watermark also inserts nothing on re-run
+    assert results["silver_nyt"].metrics["inserted"] == 0
+    assert results["silver_scholar"].metrics["inserted"] == 0
+
+
+def test_incremental_second_day(spark, env):
+    landing, catalog = env
+    run_pipeline(spark, catalog, landing, RUN1)
+    wm1 = resolve_watermark(catalog, "arxiv")
+    r2 = run_pipeline(spark, catalog, landing, RUN2)
+
+    arx = catalog.read("silver", "arxiv")
+    # day-2 batch: ids 2306..2311 overlap day-1's 2303..2308 per
+    # sources.arxiv_transport; overlapping ids keep ONE row (merged)
+    assert arx.select("id").distinct().count() == arx.count()
+    assert r2["silver_arxiv"].metrics["inserted"] > 0
+    assert r2["silver_arxiv"].metrics["updated"] > 0  # version bumps applied
+
+    # nyt appended without duplicating day-1 keys
+    nyt = catalog.read("silver", "nytarchive")
+    assert nyt.count() == 10
+    assert nyt.select("nyt_sk").distinct().count() == 10
+
+    wm2 = resolve_watermark(catalog, "arxiv")
+    assert wm2 > wm1  # watermark advanced
+
+
+def test_fresh_load_resets(spark, env):
+    landing, catalog = env
+    run_pipeline(spark, catalog, landing, RUN1)
+    run_pipeline(spark, catalog, landing, RUN2)
+    assert catalog.read("silver", "nytarchive").count() == 10
+    run_pipeline(spark, catalog, landing, RUN2, fresh=True)
+    # fresh drops history; only the day-2 batch remains
+    assert catalog.read("silver", "nytarchive").count() == 5
+
+
+def test_precondition_guard(spark, env):
+    landing, catalog = env
+    run_pipeline(spark, catalog, landing, RUN1)
+    catalog.drop("silver", "watermark_arxiv")  # table without watermark
+    with pytest.raises(PreconditionError):
+        silver_arxiv(spark, catalog)
+
+
+def test_no_files_skips_bronze_but_silver_reruns(spark, env):
+    landing, catalog = env
+    run_pipeline(spark, catalog, landing, RUN1)
+    results = run_pipeline(spark, catalog, landing, "20230403")  # no files
+    assert results["bronze_arxiv"].status == "SKIPPED"
+    assert results["silver_arxiv"].status == "LOADED"  # old bronze, idempotent
+    assert catalog.read("silver", "arxiv").count() == 6  # unchanged
+
+
+def test_landing_latest_pick():
+    from bc_proj3_spark.io.landing import get_latest_file
+
+    files = [
+        "/x/2023-04-01_1000_arxiv.jsonl",
+        "/x/2023-04-01_999_arxiv.jsonl",
+    ]
+    # exact reference semantics: max over STRING keys → '999' > '1000'
+    assert get_latest_file(files).endswith("_999_arxiv.jsonl")
