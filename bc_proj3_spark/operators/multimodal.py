@@ -1,0 +1,225 @@
+"""Multimodal (binary) column operators: decode / feature-extract / frame-sample.
+
+Model: media is an opaque ``binary`` payload column plus a typed
+metadata struct — the standard lakehouse layout for image/audio/video
+alongside relational columns. The decode step is STUBBED (this
+container has no image/audio libraries — see :func:`decode_image`,
+which raises NotImplementedError) behind a deterministic fake: payloads
+are synthesized from md5 bytes of the documents table, so the
+*Spark-side plumbing is real* — binary Arrow columns flow through
+``mapInPandas``, features are computed from the actual bytes with
+numpy, fan-out (frame sampling) yields multiple rows per input — while
+the DuckDB oracle recomputes the same features from the md5 hex
+strings, giving full value verification of the batch plumbing.
+
+Scale notes (100 TB posture):
+- media features are computed in ``mapInPandas`` over Arrow batches —
+  the only sanctioned Python path (vectorized transfer, no per-row
+  pickling); everything before/after it is JVM column work.
+- the decode stage is embarrassingly parallel: no shuffle anywhere in
+  m2/m3 — partition count follows the scan, so 1000 executors stream
+  1000 partitions of payloads independently.
+- metadata (m1) never touches Python: pure column expressions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.registry import register
+
+PAYLOAD_BLOCKS = 4  # payload = 4 chained md5 digests = 64 bytes
+FRAME_BYTES = 4  # m3: a "frame" is a 4-byte block
+FRAME_STRIDE = 2  # sample every 2nd frame
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — NOT IMPLEMENTED in this container (no
+    PIL/cv2/ffmpeg). The pipeline's decode stage calls the
+    deterministic byte-level fake instead; swap this in when the
+    codec libraries exist."""
+    raise NotImplementedError(
+        "image/audio decoding requires codec libraries not present here; "
+        "the deterministic md5-byte fake stands in for tests"
+    )
+
+
+# ---------------------------------------------------------------------------
+# media table synthesis (deterministic; mirrored in every oracle)
+# ---------------------------------------------------------------------------
+
+
+def _hex_expr():
+    """64 hex-byte string: chained md5 digests of the document text."""
+    parts = [F.md5(F.col("text"))]
+    for k in range(1, PAYLOAD_BLOCKS):
+        parts.append(F.md5(F.concat(F.col("text"), F.lit(f"x{k}"))))
+    return F.concat(*parts)
+
+
+def _sql_hex() -> str:
+    parts = ["md5(text)"] + [
+        f"md5(text || 'x{k}')" for k in range(1, PAYLOAD_BLOCKS)
+    ]
+    return " || ".join(parts)
+
+
+_MEDIA_TYPE = "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, media_type, payload binary, meta struct).
+
+    The engine's canonical multimodal layout: opaque bytes + typed
+    metadata. Payload bytes are unhex'd md5 chains — deterministic and
+    reproducible in SQL, standing in for real encoded media."""
+    docs = table(spark, sf_dir, "documents")
+    media_type = (
+        F.when((F.col("doc_id") % 3).cast("int") == 0, F.lit("image"))
+        .when((F.col("doc_id") % 3).cast("int") == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    meta = F.struct(
+        (F.lit(64) + (F.col("doc_id") % 5).cast("int") * 32).alias("width"),
+        (F.lit(48) + (F.col("doc_id") % 3).cast("int") * 16).alias("height"),
+        (F.col("n_chars")).alias("src_bytes"),
+    )
+    return docs.select(
+        "doc_id",
+        media_type.alias("media_type"),
+        F.unhex(_hex_expr()).alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m1 — metadata projection (no Python, no shuffle)
+# ---------------------------------------------------------------------------
+
+_M1_ORACLE = f"""
+SELECT
+  doc_id,
+  {_MEDIA_TYPE} AS media_type,
+  CAST(octet_length(unhex({_sql_hex()})) AS INTEGER) AS n_bytes,
+  CAST(64 + (doc_id % 5) * 32 AS INTEGER) AS width,
+  CAST(48 + (doc_id % 3) * 16 AS INTEGER) AS height
+FROM documents
+"""
+
+
+@register("m1_media_metadata", _M1_ORACLE)
+def m1_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata projection over the binary media table: media
+    type, payload byte length, declared dimensions. Struct access +
+    octet length stay entirely in codegen."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").cast("int").alias("n_bytes"),
+        F.col("meta.width").cast("int").alias("width"),
+        F.col("meta.height").cast("int").alias("height"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m2 — decode + feature extract via mapInPandas (Arrow batches)
+# ---------------------------------------------------------------------------
+
+_SQL_BYTES = (
+    f"list_transform(generate_series(1, {16 * PAYLOAD_BLOCKS}), "
+    f"i -> (('0x' || substr({_sql_hex()}, (i-1)*2 + 1, 2))::BIGINT))"
+)
+
+_M2_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(len(b) AS INTEGER) AS n_bytes,
+  CAST(list_reduce(b, (acc, x) -> acc + x) AS DOUBLE) / len(b) AS byte_mean,
+  CAST(list_aggregate(b, 'min') AS INTEGER) AS byte_min,
+  CAST(list_aggregate(b, 'max') AS INTEGER) AS byte_max
+FROM (SELECT doc_id, {_SQL_BYTES} AS b FROM documents) t
+"""
+
+
+def _decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-batch 'decode': numpy over the raw payload bytes. The shape
+    of a real decoder (bytes in → features out, batch at a time)."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+            rows.append(
+                (
+                    int(doc_id),
+                    int(arr.size),
+                    float(int(arr.sum(dtype=np.int64)) / arr.size),
+                    int(arr.min()),
+                    int(arr.max()),
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_bytes", "byte_mean", "byte_min", "byte_max"]
+        )
+
+
+@register("m2_decode_features", _M2_ORACLE)
+def m2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads through ``mapInPandas``:
+    Arrow-batched bytes → numpy stats (the stand-in for embed/classify).
+    No shuffle — the Python stage rides the scan partitioning. The
+    oracle recomputes identical features from the hex representation,
+    so the binary round-trip (unhex → Arrow → numpy) is value-checked."""
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+    return m.mapInPandas(
+        _decode_features,
+        schema="doc_id long, n_bytes int, byte_mean double, byte_min int, byte_max int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# m3 — frame sampling (fan-out mapInPandas over video payloads)
+# ---------------------------------------------------------------------------
+
+_M3_ORACLE = f"""
+SELECT doc_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       substr(hexstr, fi * {FRAME_BYTES * 2} + 1, {FRAME_BYTES * 2}) AS frame_hex
+FROM (SELECT doc_id, {_sql_hex()} AS hexstr FROM documents WHERE doc_id % 3 = 2) v,
+     (SELECT unnest(generate_series(0, {16 * PAYLOAD_BLOCKS // FRAME_BYTES - 1}, {FRAME_STRIDE})) AS fi) frames
+"""
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: list[tuple] = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            n_frames = len(raw) // FRAME_BYTES
+            for fi in range(0, n_frames, FRAME_STRIDE):
+                frame = raw[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                out.append((int(doc_id), fi, frame.hex()))
+        yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_hex"])
+
+
+@register("m3_frame_sample", _M3_ORACLE)
+def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling from video payloads: a fan-out
+    ``mapInPandas`` (one input row → 8 frame rows) — the decode-
+    timestamps-then-sample shape of video preprocessing. Filter on
+    media_type runs BEFORE the Python stage so non-video bytes never
+    cross the Arrow boundary."""
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "video").select(
+        "doc_id", "payload"
+    )
+    return m.mapInPandas(
+        _sample_frames, schema="doc_id long, frame_idx int, frame_hex string"
+    )
