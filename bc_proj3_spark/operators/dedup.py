@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from bc_proj3_spark.functions import text as T
 from bc_proj3_spark.functions.hashing import hash32, sql_hash32
-from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.plans.tables import fanout, table
 from bc_proj3_spark.registry import register
 
 # MinHash/LSH geometry: K = NUM_BANDS * ROWS_PER_BAND signatures.
@@ -75,25 +75,65 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-#: DuckDB CTE prefix producing `sh(doc_id, s)` = distinct doc/shingle pairs.
+#: DuckDB CTE prefix producing the hashed shingle index
+#: `sh(doc_id, k, a, b)` plus per-doc counts `sizes`.
+#:
+#: One md5 per distinct (doc, shingle); its hex is parsed into
+#: - k: 60-bit join key (15 hex chars — fits BIGINT in both engines;
+#:   smaller+faster shuffle key than the raw 3-word shingle string, and
+#:   collisions at 2^60 are negligible),
+#: - a, b: two independent 32-bit words that seed the MinHash family
+#:   h_i = (a + (i+1)*(2b+1)) mod 2^32 — one md5 yields all K hash
+#:   functions arithmetically (Carter-Wegman style) instead of K md5
+#:   calls per row.
 _SQL_SHINGLES = """
 toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
 ),
-sh AS (
+shs AS (
   SELECT DISTINCT doc_id,
     unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
   FROM toks
 ),
+hs AS (SELECT doc_id, md5(s) AS h FROM shs),
+sh AS (
+  SELECT doc_id,
+         ('0x' || substr(h, 1, 15))::BIGINT AS k,
+         ('0x' || substr(h, 1, 8))::BIGINT AS a,
+         ('0x' || substr(h, 9, 8))::BIGINT AS b
+  FROM hs
+),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
 """
 
+_MOD32 = 1 << 32
+
+
+def _sql_minhash(i: int) -> str:
+    return f"MIN((a + {i + 1} * (2 * b + 1)) % {_MOD32}) AS h{i}"
+
+
+def _minhash_col(i: int) -> Column:
+    return F.min(
+        (F.col("a") + F.lit(i + 1) * (F.lit(2) * F.col("b") + F.lit(1))) % F.lit(_MOD32)
+    ).alias(f"h{i}")
+
 
 def _shingle_pairs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(sh, sizes): exploded distinct shingles and per-doc shingle counts."""
-    sh = docs.select(
+    """(sh, sizes): hashed distinct-shingle index and per-doc counts.
+
+    sh carries (doc_id, k, a, b) — see _SQL_SHINGLES for the layout
+    rationale. All downstream joins use the compact integer key k."""
+    shs = fanout(docs).select(
         "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("s")
+    )
+    h = F.md5(F.col("s"))
+    sh = shs.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint").alias("k"),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("a"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("b"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     return sh, sizes
@@ -107,12 +147,12 @@ def _verified_jaccard(cand: DataFrame, sh: DataFrame, sizes: DataFrame) -> DataF
     is what makes the LSH path scale.
     """
     ca = cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id")).select(
-        "doc_a", "doc_b", F.col("sa.s").alias("s_a")
+        "doc_a", "doc_b", F.col("sa.k").alias("k_a")
     )
     inter = (
         ca.join(
             sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("s_a") == F.col("sb.s")),
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("k_a") == F.col("sb.k")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -151,7 +191,7 @@ def d1_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the 128-bit key; partial aggregation map-side. This is
     content-level dedup, vs the reference's row-level sha2 dedup-insert
     (silver_nyt_archive.py:106-119)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fanout(table(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
         .groupBy("fp")
@@ -185,7 +225,7 @@ def d2_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keep-first" dedup."""
     from pyspark.sql.window import Window
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fanout(table(spark, sf_dir, "documents"))
     w = Window.partitionBy("fp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (
         docs.select("doc_id", "n_chars", T.fingerprint(F.col("text")).alias("fp"))
@@ -203,7 +243,7 @@ _D3_ORACLE = f"""
 WITH {_SQL_SHINGLES},
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.k = b.k AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -217,19 +257,20 @@ WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= {JACCARD_THRESHOLD}
 
 @register("d3_jaccard_pairs", _D3_ORACLE)
 def d3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by exact word-3-gram Jaccard >= 0.2.
+    """Near-duplicate pairs by word-3-gram Jaccard >= 0.2 (computed over
+    the 60-bit hashed shingle space — collision odds at 2^60 are nil).
 
-    Pair generation is an inverted-index self-join on the shingle key
-    (shuffle on `s`), never a doc×doc cross join. Hot shingles are the
-    quadratic worst case — at corpus scale run d4 (MinHash LSH) and use
-    this only as the verifier on candidates."""
+    Pair generation is an inverted-index self-join on the compact
+    integer shingle key (shuffle on `k`), never a doc×doc cross join.
+    Hot shingles are the quadratic worst case — at corpus scale run d4
+    (MinHash LSH) and use this only as the verifier on candidates."""
     docs = table(spark, sf_dir, "documents")
     sh, sizes = _shingle_pairs(docs)
     common = (
         sh.alias("a")
         .join(
             sh.alias("b"),
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -267,7 +308,7 @@ _D4_ORACLE = f"""
 WITH {_SQL_SHINGLES},
 sig AS (
   SELECT doc_id,
-         {', '.join(f"MIN({sql_hash32('s', i)}) AS h{i}" for i in range(NUM_HASHES))}
+         {', '.join(_sql_minhash(i) for i in range(NUM_HASHES))}
   FROM sh GROUP BY doc_id
 ),
 bands AS (
@@ -282,7 +323,7 @@ inter AS (
   SELECT doc_a, doc_b, COUNT(*) AS n_common
   FROM cand
   JOIN sh sa ON sa.doc_id = doc_a
-  JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.k = sa.k
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -303,14 +344,17 @@ def d4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (single map-side-combinable groupBy over the shingle index); pair
     generation is a self-join on (band, band-key) so work is bucket-
     local; verification joins candidates back to the index instead of
-    re-materializing a corpus-wide pair matrix. Recall vs d3 is governed
-    by the band geometry (1-(1-s^4)^4); the oracle replays the identical
+    re-materializing a corpus-wide pair matrix. The K hash functions
+    derive arithmetically from ONE md5 per shingle
+    (h_i = (a + (i+1)(2b+1)) mod 2^32, see _SQL_SHINGLES) — one hash
+    computation per row, not K. Recall vs d3 is governed by the band
+    geometry (1-(1-s^4)^4); the oracle replays the identical
     deterministic hash family, so the comparison is exact, not
     probabilistic."""
     docs = table(spark, sf_dir, "documents")
     sh, sizes = _shingle_pairs(docs)
     sig = sh.groupBy("doc_id").agg(
-        *[F.min(hash32(F.col("s"), i)).alias(f"h{i}") for i in range(NUM_HASHES)]
+        *[_minhash_col(i) for i in range(NUM_HASHES)]
     )
     band_structs = [
         F.struct(
@@ -382,7 +426,7 @@ def d5_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bucket counts surface exact-simhash collisions directly)."""
     from pyspark.sql.window import Window
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fanout(table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("t")
     )

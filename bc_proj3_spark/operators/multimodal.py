@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.plans.tables import fanout, table
 from bc_proj3_spark.registry import register
 
 PAYLOAD_BLOCKS = 4  # payload = 4 chained md5 digests = 64 bytes
@@ -79,7 +79,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     The engine's canonical multimodal layout: opaque bytes + typed
     metadata. Payload bytes are unhex'd md5 chains — deterministic and
     reproducible in SQL, standing in for real encoded media."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fanout(table(spark, sf_dir, "documents"))
     media_type = (
         F.when((F.col("doc_id") % 3).cast("int") == 0, F.lit("image"))
         .when((F.col("doc_id") % 3).cast("int") == 1, F.lit("audio"))

@@ -45,7 +45,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.plans.tables import fanout, table
 from bc_proj3_spark.registry import register
 
 DIM = 64  # embeddings.parquet vector width (TESTDATA.md)
@@ -134,7 +134,7 @@ q AS (
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = fanout(table(spark, sf_dir, "embeddings"))
     v = F.col("embedding").cast("array<double>")
     return emb.select(
         "vec_id", "label", v.alias("v"), _norm(v).alias("nrm")

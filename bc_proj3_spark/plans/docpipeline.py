@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bc_proj3_spark.functions import text as T
-from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.plans.tables import fanout, table
 from bc_proj3_spark.registry import register
 
 # weighted relevance dictionary (structure of gold_article_scoring.py:104-136)

@@ -57,3 +57,22 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def fanout(df: DataFrame) -> DataFrame:
+    """Repartition a narrow scan before per-row-heavy work (regex
+    tokenization, shingle explode, hash families, vector math, Python
+    batches).
+
+    Small single-file tables (documents/embeddings at test SFs) arrive
+    as ONE scan partition — a single row group — so everything built on
+    them runs single-threaded however many cores exist. One cheap
+    round-robin shuffle of the slim input rows buys full parallelism
+    for the expensive downstream expressions. No-op when the scan is
+    already at least as parallel as the session's shuffle width (the
+    100 TB case: thousands of splits — this never fires there).
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
