@@ -60,6 +60,7 @@ _REGISTERING_MODULES = (
     "bc_proj3_spark.operators.dedup",
     "bc_proj3_spark.operators.similarity",
     "bc_proj3_spark.operators.multimodal",
+    "bc_proj3_spark.streaming.incremental",
 )
 
 

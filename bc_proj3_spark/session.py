@@ -38,6 +38,11 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every Python<->JVM columnar boundary
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # streaming aggregations can't use AQE coalescing, so an unset
+    # vanilla session would run them at the 200-partition default;
+    # size the shuffle to the local core budget explicitly. (Batch
+    # queries are unaffected in practice — AQE coalesces either way.)
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
 }
 
 
