@@ -175,3 +175,164 @@ def t4_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup (operators/dedup.py)."""
     docs = table(spark, sf_dir, "documents")
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# t5 — token counting: whitespace vs BPE-ish regex segmentation
+# ---------------------------------------------------------------------------
+
+#: GPT-2-flavored pre-tokenizer shape: letter runs, digit runs, or a
+#: single non-alphanumeric — the standard first split before BPE merges.
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+_T5_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '{BPE_RE}')) AS INTEGER) AS n_bpe_tokens,
+  CAST(length(text) AS DOUBLE) / len(regexp_extract_all(lower(text), '{BPE_RE}'))
+    AS chars_per_token
+FROM documents
+"""
+
+
+@register("t5_token_count", _T5_ORACLE)
+def t5_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways a data pipeline needs it: whitespace
+    words (logging/quality heuristics) and a BPE-ish regex segmentation
+    (the cost estimate for LLM training tokens). chars-per-token is the
+    compression-ratio feature used for corpus mix decisions. Pure scan
+    expressions — codegen, no shuffle."""
+    docs = fanout(table(spark, sf_dir, "documents"))
+    n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), F.lit(0))
+    )
+    return docs.select(
+        "doc_id",
+        n_ws.cast("int").alias("n_ws_tokens"),
+        n_bpe.cast("int").alias("n_bpe_tokens"),
+        (F.length("text").cast("double") / n_bpe).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t6 — language-ID by character-trigram profiles
+# ---------------------------------------------------------------------------
+
+#: Tiny per-language trigram profiles (real deployments learn these from
+#: labeled corpora; the operator shape — profile match-count + argmax —
+#: is identical).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", " th", "ing", "and", " an", "ion"),
+    "de": ("der", "sch", "ein", "ich", "und", "gen"),
+    "fr": ("les", "ent", "de ", " de", "que", "ons"),
+}
+
+
+def _occurrences(col, needle: str):
+    """Occurrence count via length difference — identical arithmetic in
+    both engines, no regex escaping concerns."""
+    return (
+        F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def _sql_occurrences(expr: str, needle: str) -> str:
+    quoted = needle.replace("'", "''")
+    return (
+        f"(length({expr}) - length(replace({expr}, '{quoted}', ''))) / {len(needle)}"
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    return " + ".join(
+        _sql_occurrences("lower(text)", tg) for tg in LANG_PROFILES[lang]
+    )
+
+
+_T6_ORACLE = f"""
+WITH scores AS (
+  SELECT doc_id,
+         {', '.join(f"CAST({_sql_lang_score(lang)} AS BIGINT) AS score_{lang}" for lang in LANG_PROFILES)}
+  FROM documents
+)
+SELECT doc_id, score_en, score_de, score_fr,
+       CASE
+         WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+         WHEN score_de >= score_fr THEN 'de'
+         ELSE 'fr'
+       END AS lang_pred
+FROM scores
+"""
+
+
+@register("t6_ngram_language_id", _T6_ORACLE)
+def t6_ngram_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram-profile language ID (the n-gram upgrade of
+    t1's vowel heuristic): per-language profile occurrence counts,
+    argmax with a fixed tie order. Profile matching is pure string
+    arithmetic (length-of-replace), vectorizable and shuffle-free."""
+    docs = fanout(table(spark, sf_dir, "documents"))
+    lower = F.lower(F.col("text"))
+    scores = {
+        lang: sum(
+            (_occurrences(lower, tg) for tg in tgs), F.lit(0)
+        ).cast("bigint")
+        for lang, tgs in LANG_PROFILES.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]), "en"
+        )
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["fr"].alias("score_fr"),
+        pred.alias("lang_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t7 — rolling-hash document fingerprint (Rabin–Karp fold)
+# ---------------------------------------------------------------------------
+
+_ROLL_B = 131
+_ROLL_M = 1_000_000_007
+
+_T7_ORACLE = f"""
+SELECT
+  doc_id,
+  list_reduce(
+    list_transform(string_split(lower(text), ''), c -> CAST(ascii(c) AS BIGINT)),
+    (acc, x) -> (acc * {_ROLL_B} + x) % {_ROLL_M}
+  ) AS roll_hash,
+  CAST(length(text) AS INTEGER) AS n_chars_fp
+FROM documents
+"""
+
+
+@register("t7_rolling_fingerprint", _T7_ORACLE)
+def t7_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-SENSITIVE content fingerprint: a Rabin–Karp polynomial
+    rolling hash folded left-to-right over the character stream —
+    complements t4's order-insensitive token-set fingerprint (re-ordered
+    paragraphs get equal t4 but different t7). The same sequential fold
+    runs in both engines (aggregate vs list_reduce: init 0 is absorbed
+    by acc*B+x), so values are bit-identical."""
+    docs = fanout(table(spark, sf_dir, "documents"))
+    chars = F.transform(F.split(F.lower(F.col("text")), ""), lambda c: F.ascii(c))
+    roll = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * _ROLL_B + x) % _ROLL_M,
+    )
+    return docs.select(
+        "doc_id",
+        roll.alias("roll_hash"),
+        F.length("text").cast("int").alias("n_chars_fp"),
+    )
