@@ -588,3 +588,165 @@ def u1_account_ledger_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("side", "n_name")
         .agg(F.count(F.lit(1)).alias("n_accounts"), dec_sum("acctbal", "total_bal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q13 — customer order-count distribution (LEFT OUTER JOIN + double agg)
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@register("q13_customer_distribution", _Q13_ORACLE)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed k non-urgent orders, for each k — the
+    LEFT OUTER JOIN shape (customers with zero orders survive with
+    c_count=0) followed by a second aggregation. Both aggs are
+    map-side-combinable; the outer join shuffles once on custkey."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# q17 — small-quantity-order revenue (correlated scalar subquery per part)
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = f"""
+SELECT {sql_dec_sum("l_extendedprice", "total_price")},
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+                  / COUNT(l_quantity))
+    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey
+  )
+"""
+
+
+@register("q17_small_quantity_revenue", _Q17_ORACLE)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from below-half-average-quantity lines of one brand.
+
+    The correlated scalar subquery (per-part avg quantity) decorrelates
+    into a groupBy-on-partkey aggregate joined back to the fact — the
+    plan Catalyst produces for the SQL form, written explicitly. The
+    per-part avg is computed over ALL lineitems (not just the brand's)
+    exactly as the correlated subquery demands; the brand filter prunes
+    the probe side before the join."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy("l_partkey").agg(
+        (dec_avg("l_quantity", "_avg_qty")).alias("_avg_qty")
+    )
+    brand_lines = li.join(part, li.l_partkey == part.p_partkey)
+    return (
+        brand_lines.join(per_part.withColumnRenamed("l_partkey", "_pk"),
+                         F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("_avg_qty"))
+        .agg(
+            dec_sum("l_extendedprice", "total_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — disjunctive predicate revenue (OR-of-ANDs pushdown)
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = f"""
+SELECT {sql_dec_sum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE
+  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+     AND l_quantity >= 1 AND l_quantity <= 11)
+  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+     AND l_quantity >= 10 AND l_quantity <= 20)
+  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+     AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@register("q19_disjunctive_revenue", _Q19_ORACLE)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs across both join sides. Catalyst factors the
+    single-table conjuncts out of the disjunction (p_brand IN (...),
+    l_quantity range) and pushes them below the join; the residual OR
+    evaluates post-join. The explain test pins the pushed filters."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return j.filter(cond).agg(dec_sum(revenue, "revenue"))
+
+
+# ---------------------------------------------------------------------------
+# r1 — ROLLUP subtotals (grouping sets family)
+# ---------------------------------------------------------------------------
+
+_R1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+  {sql_dec_sum("l_extendedprice", "sum_price")},
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("r1_rollup_subtotals", _R1_ORACLE)
+def r1_rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): detail rows, per-flag
+    subtotals, and the grand total in one pass — Spark plans grouping
+    sets as a single expand + aggregate, not three scans. grouping_id
+    disambiguates genuine NULL keys from subtotal rows."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            dec_sum("l_extendedprice", "sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_price", "n_rows")
+    )

@@ -1,0 +1,72 @@
+"""Physical-plan quality gates.
+
+Correctness says the answers match; these tests pin the *plans* — the
+properties that decide whether a query survives a 100× scale-up:
+filters reaching the parquet scan, column pruning, fixed-size-dimension
+broadcasts, and the absence of cartesian products anywhere in the
+registry.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bc_proj3_spark import registry
+
+SF = "/root/testdata/sf0.01"
+SPECS = registry.all_queries()
+
+#: queries that intentionally contain a broadcast nested-loop join:
+#: a 1-row scalar aggregate (q22) or a tiny broadcast query set (s1)
+#: crossed against a big side — the correct physical shape for those.
+_BNLJ_OK = {"q22_global_sales_opportunity", "s1_knn_bruteforce", "s4_ivf_probe"}
+
+#: streaming query — builds a streaming plan; skipped in plan checks.
+_NON_BATCH = {"st1_stream_window_counts"}
+
+
+def _physical(spark, name: str) -> str:
+    df = SPECS[name].builder(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_and_columns_pruned(spark):
+    plan = _physical(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # at least the shipdate range must reach the scan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    # projection needs only 4 columns; ReadSchema must not include others
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_returnflag" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_q5_fixed_dims_broadcast(spark):
+    plan = _physical(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan  # nation/region hints honored
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_factored_to_scan(spark):
+    plan = _physical(spark, "q19_disjunctive_revenue")
+    pushed = plan.split("PushedFilters")[1][:600]
+    # Catalyst factors p_brand IN (...) / l_quantity bounds out of the OR
+    assert "p_brand" in pushed or "l_quantity" in pushed
+
+
+def test_d4_lsh_is_hash_join_not_cartesian(spark):
+    plan = _physical(spark, "d4_minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(SPECS) - _NON_BATCH), ids=str
+)
+def test_no_cartesian_products_anywhere(spark, name):
+    plan = _physical(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+    if name not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} falls back to broadcast nested-loop"
+        )
