@@ -22,7 +22,9 @@ for partition pruning.
 
 from __future__ import annotations
 
+import json
 import shutil
+import time
 import uuid
 from pathlib import Path
 
@@ -86,7 +88,41 @@ class Catalog:
         df.write.mode("append").parquet(str(self.path(layer, name)))
 
     def drop(self, layer: str, name: str) -> None:
-        """DROP TABLE IF EXISTS."""
+        """DROP TABLE IF EXISTS (history is dropped with the table)."""
         p = self.path(layer, name)
         if p.exists():
             shutil.rmtree(p)
+        hist = self._history_path(layer, name)
+        if hist.exists():
+            hist.unlink()
+
+    # -- operation history (DESCRIBE HISTORY parity, SURVEY.md §2.1 S15) --
+
+    def _history_path(self, layer: str, name: str) -> Path:
+        return self.warehouse / layer / "_history" / f"{name}.jsonl"
+
+    def log_operation(self, layer: str, name: str, operation: str, **metrics) -> None:
+        """Record an operation + its metrics — the engine-side stand-in
+        for Delta's DESCRIBE HISTORY / operationMetrics, which the
+        reference queries after every merge (silver_arxiv.py:175-184).
+        Driver-side metadata write: one JSON line per operation."""
+        p = self._history_path(layer, name)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        entry = {
+            "version": sum(1 for _ in p.open()) if p.exists() else 0,
+            "operation": operation,
+            "timestamp": time.time(),
+            "operationMetrics": {k: int(v) for k, v in metrics.items()},
+        }
+        with p.open("a", encoding="utf-8") as fh:
+            fh.write(json.dumps(entry) + "\n")
+
+    def history(self, layer: str, name: str) -> list[dict]:
+        """Operations newest-first (`DESCRIBE HISTORY ... ORDER BY
+        version DESC` shape)."""
+        p = self._history_path(layer, name)
+        if not p.exists():
+            return []
+        with p.open(encoding="utf-8") as fh:
+            entries = [json.loads(line) for line in fh]
+        return sorted(entries, key=lambda e: -e["version"])

@@ -89,6 +89,7 @@ def silver_arxiv(
     if watermark is None:
         catalog.overwrite("silver", table, keyed)
         inserted, updated = keyed.count(), 0
+        catalog.log_operation("silver", table, "CREATE", numTargetRowsInserted=inserted)
     else:
         src = keyed.filter(F.col("updated_dt") >= F.lit(watermark))
         tgt = catalog.read("silver", table)
@@ -97,6 +98,10 @@ def silver_arxiv(
         )
         catalog.overwrite("silver", table, res.df)
         inserted, updated = res.inserted, res.updated
+        catalog.log_operation(
+            "silver", table, "MERGE",
+            numTargetRowsInserted=inserted, numTargetRowsUpdated=updated,
+        )
 
     post = proj.count()
     assert pre == post, f"silver.{table}: rows lost in transformation ({pre}->{post})"
@@ -134,11 +139,13 @@ def silver_nyt(spark: SparkSession, catalog: Catalog, fresh: bool = False) -> di
     if not catalog.exists("silver", table):
         catalog.overwrite("silver", table, keyed)
         inserted = keyed.count()
+        catalog.log_operation("silver", table, "CREATE", numTargetRowsInserted=inserted)
     else:
         tgt = catalog.read("silver", table)
         res = inc.dedup_insert(tgt, keyed, key="nyt_sk")
         catalog.append("silver", table, res.df)
         inserted = res.inserted
+        catalog.log_operation("silver", table, "INSERT", numTargetRowsInserted=inserted)
 
     post = proj.count()
     assert pre == post, f"silver.{table}: rows lost in transformation ({pre}->{post})"
@@ -183,12 +190,14 @@ def silver_scholar(
     if watermark is None:
         catalog.overwrite("silver", table, keyed)
         inserted = keyed.count()
+        catalog.log_operation("silver", table, "CREATE", numTargetRowsInserted=inserted)
     else:
         # strict > : same-day rows at the watermark are dropped — the
         # reference's documented semantics (silver_google_scholar.py:162)
         fresh_rows = keyed.filter(F.col("publish_dt") > F.lit(watermark))
         catalog.append("silver", table, fresh_rows)
         inserted = fresh_rows.count()
+        catalog.log_operation("silver", table, "INSERT", numTargetRowsInserted=inserted)
 
     post = proj.count()
     assert pre == post, f"silver.{table}: rows lost in transformation ({pre}->{post})"

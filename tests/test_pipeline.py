@@ -142,3 +142,23 @@ def test_landing_latest_pick():
     ]
     # exact reference semantics: max over STRING keys → '999' > '1000'
     assert get_latest_file(files).endswith("_999_arxiv.jsonl")
+
+
+def test_operation_history_records_merge_metrics(spark, env):
+    """DESCRIBE HISTORY parity (SURVEY §2.1 S15): after the day-2 merge,
+    the latest history entry carries the same inserted/updated metrics
+    the reference reads from operationMetrics (silver_arxiv.py:175-184)."""
+    landing, catalog = env
+    run_pipeline(spark, catalog, landing, RUN1)
+    r2 = run_pipeline(spark, catalog, landing, RUN2)
+
+    hist = catalog.history("silver", "arxiv")
+    assert [h["operation"] for h in hist][-1] == "CREATE"  # oldest last
+    latest = hist[0]
+    assert latest["operation"] == "MERGE"
+    m = latest["operationMetrics"]
+    assert m["numTargetRowsInserted"] == r2["silver_arxiv"].metrics["inserted"]
+    assert m["numTargetRowsUpdated"] == r2["silver_arxiv"].metrics["updated"]
+    # fresh reset drops history with the table
+    run_pipeline(spark, catalog, landing, RUN2, fresh=True)
+    assert [h["operation"] for h in catalog.history("silver", "arxiv")] == ["CREATE"]
