@@ -49,7 +49,8 @@ class Catalog:
 
     def exists(self, layer: str, name: str) -> bool:
         p = self.path(layer, name)
-        return p.is_dir() and any(f.suffix == ".parquet" for f in p.iterdir())
+        # rglob: partitioned tables nest files under key=value dirs
+        return p.is_dir() and any(p.rglob("*.parquet"))
 
     def list_tables(self, layer: str) -> list[str]:
         base = self.warehouse / layer
@@ -60,14 +61,29 @@ class Catalog:
     # -- read / write -----------------------------------------------------
 
     def read(self, layer: str, name: str) -> DataFrame:
+        """Read a table, restoring the logical column order.
+
+        Hive-style partitioned parquet surfaces partition columns LAST
+        on read; the catalog re-selects the order the table was written
+        with (recorded at overwrite time) so partition layout stays a
+        physical detail, invisible to schema contracts.
+        """
         if not self.exists(layer, name):
             raise FileNotFoundError(f"table {layer}.{name} does not exist")
-        return self.spark.read.parquet(str(self.path(layer, name)))
+        df = self.spark.read.parquet(str(self.path(layer, name)))
+        cols = self._read_cols(layer, name)
+        if cols and set(cols) == set(df.columns) and cols != df.columns:
+            df = df.select(*cols)
+        return df
 
     def overwrite(
         self, layer: str, name: str, df: DataFrame, partition_by: list[str] | None = None
     ) -> int:
-        """CREATE OR REPLACE TABLE AS SELECT. Returns rows written."""
+        """CREATE OR REPLACE TABLE AS SELECT. Returns rows written.
+
+        ``partition_by`` lays the table out hive-style so downstream
+        filters on those columns become scan-level partition pruning
+        (the partition-pruning seam SURVEY.md §4 calls for)."""
         target = self.path(layer, name)
         # NOTE: no '.'/'_' prefix — Spark's file index silently ignores
         # hidden/metadata paths, which would break the row-count read-back.
@@ -80,21 +96,49 @@ class Catalog:
         if target.exists():
             shutil.rmtree(target)
         tmp.rename(target)
+        self._write_meta(layer, name, df.columns, partition_by)
         return rows
 
     def append(self, layer: str, name: str, df: DataFrame) -> None:
-        """INSERT INTO. The caller is responsible for dedup semantics
-        (anti-join first, as in silver_nyt_archive.py:102-120)."""
-        df.write.mode("append").parquet(str(self.path(layer, name)))
+        """INSERT INTO, honoring the table's recorded partition layout.
+        The caller is responsible for dedup semantics (anti-join first,
+        as in silver_nyt_archive.py:102-120)."""
+        meta = self._read_meta(layer, name) or {}
+        writer = df.write.mode("append")
+        if meta.get("partition_by"):
+            writer = writer.partitionBy(*meta["partition_by"])
+        writer.parquet(str(self.path(layer, name)))
 
     def drop(self, layer: str, name: str) -> None:
-        """DROP TABLE IF EXISTS (history is dropped with the table)."""
+        """DROP TABLE IF EXISTS (history + metadata dropped with it)."""
         p = self.path(layer, name)
         if p.exists():
             shutil.rmtree(p)
-        hist = self._history_path(layer, name)
-        if hist.exists():
-            hist.unlink()
+        for meta in (self._history_path(layer, name), self._meta_path(layer, name)):
+            if meta.exists():
+                meta.unlink()
+
+    # -- table metadata (logical column order + partition spec) -----------
+
+    def _meta_path(self, layer: str, name: str) -> Path:
+        return self.warehouse / layer / "_meta" / f"{name}.json"
+
+    def _write_meta(
+        self, layer: str, name: str, cols: list[str], partition_by: list[str] | None
+    ) -> None:
+        p = self._meta_path(layer, name)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(
+            json.dumps({"columns": list(cols), "partition_by": partition_by or []})
+        )
+
+    def _read_meta(self, layer: str, name: str) -> dict | None:
+        p = self._meta_path(layer, name)
+        return json.loads(p.read_text()) if p.exists() else None
+
+    def _read_cols(self, layer: str, name: str) -> list[str] | None:
+        meta = self._read_meta(layer, name)
+        return meta["columns"] if meta else None
 
     # -- operation history (DESCRIBE HISTORY parity, SURVEY.md §2.1 S15) --
 

@@ -177,4 +177,4 @@ def gold_scoring(spark: SparkSession, catalog: Catalog) -> int:
             "article_raw_score", "unique_words", "article_score",
         )
     )
-    return catalog.overwrite("gold", "scored_articles", scored)
+    return catalog.overwrite("gold", "scored_articles", scored, partition_by=["source"])

@@ -87,7 +87,7 @@ def silver_arxiv(
     )
 
     if watermark is None:
-        catalog.overwrite("silver", table, keyed)
+        catalog.overwrite("silver", table, keyed, partition_by=["run_date"])
         inserted, updated = keyed.count(), 0
         catalog.log_operation("silver", table, "CREATE", numTargetRowsInserted=inserted)
     else:
@@ -96,7 +96,7 @@ def silver_arxiv(
         res = inc.merge_upsert(
             tgt, src, key="id", update_when=F.col("src.version") > F.col("tgt.version")
         )
-        catalog.overwrite("silver", table, res.df)
+        catalog.overwrite("silver", table, res.df, partition_by=["run_date"])
         inserted, updated = res.inserted, res.updated
         catalog.log_operation(
             "silver", table, "MERGE",
@@ -137,7 +137,7 @@ def silver_nyt(spark: SparkSession, catalog: Catalog, fresh: bool = False) -> di
     keyed = proj.select(_sk(F.col("id"), F.col("publish_dt")).alias("nyt_sk"), "*")
 
     if not catalog.exists("silver", table):
-        catalog.overwrite("silver", table, keyed)
+        catalog.overwrite("silver", table, keyed, partition_by=["run_date"])
         inserted = keyed.count()
         catalog.log_operation("silver", table, "CREATE", numTargetRowsInserted=inserted)
     else:
@@ -188,7 +188,7 @@ def silver_scholar(
     )
 
     if watermark is None:
-        catalog.overwrite("silver", table, keyed)
+        catalog.overwrite("silver", table, keyed, partition_by=["run_date"])
         inserted = keyed.count()
         catalog.log_operation("silver", table, "CREATE", numTargetRowsInserted=inserted)
     else:

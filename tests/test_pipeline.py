@@ -162,3 +162,20 @@ def test_operation_history_records_merge_metrics(spark, env):
     # fresh reset drops history with the table
     run_pipeline(spark, catalog, landing, RUN2, fresh=True)
     assert [h["operation"] for h in catalog.history("silver", "arxiv")] == ["CREATE"]
+
+
+def test_silver_partition_pruning(spark, env):
+    """Silver tables are laid out by run_date: a run_date filter becomes
+    scan-level partition pruning (PartitionFilters), and the catalog
+    restores the logical column order despite the hive layout."""
+    landing, catalog = env
+    run_pipeline(spark, catalog, landing, RUN1)
+    run_pipeline(spark, catalog, landing, RUN2)
+
+    arx = catalog.read("silver", "arxiv")
+    assert arx.columns[0] == "arx_sk" and "run_date" in arx.columns
+
+    pruned = arx.filter(F.col("run_date") == "2023-04-02")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "run_date" in plan.split("PartitionFilters")[1][:200]
