@@ -159,3 +159,119 @@ def e3_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "signup_ts",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e4 — per-user value trend via applyInPandas (grouped-map custom operator)
+# ---------------------------------------------------------------------------
+
+_E4_ORACLE = """
+SELECT
+  user_id,
+  COUNT(*) AS n_events,
+  ROUND(regr_slope(value, epoch(ts)), 6) AS slope6
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) >= 2
+"""
+
+
+def _slope_batch(pdf):
+    """Closed-form OLS slope on centered x — numerically identical shape
+    to the covariance/variance form regr_slope uses (naive ΣxΣy on raw
+    epoch seconds would cancel catastrophically at x ≈ 1.7e9)."""
+    import pandas as pd
+
+    x = pdf["x"]
+    y = pdf["value"]
+    dx = x - x.mean()
+    slope = (dx * (y - y.mean())).sum() / (dx * dx).sum()
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_events": [len(pdf)],
+            "slope6": [round(float(slope), 6)],
+        }
+    )
+
+
+@register("e4_user_value_trend", _E4_ORACLE)
+def e4_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of event values over time, computed by a
+    grouped-map ``applyInPandas`` — the engine's custom-operator path
+    for per-group algorithms Spark lacks built-ins for. One shuffle on
+    user_id, Arrow batches per group, numpy/pandas math inside. The
+    oracle cross-checks with DuckDB's regr_slope, so the UDF's math is
+    value-verified (rounded to 6 dp — the two formulations agree to
+    ~1e-13 relative; the round pins the comparison).
+
+    Chosen deliberately over a pandas-free rewrite: Spark 4 *does* have
+    F.regr_slope — the point here is exercising the grouped-map Arrow
+    path against an independent implementation of the same statistic."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.select(
+        "user_id",
+        (F.unix_micros("ts").cast("double") / F.lit(1e6)).alias("x"),
+        "value",
+    )
+    out = g.groupBy("user_id").applyInPandas(
+        _slope_batch, schema="user_id long, n_events long, slope6 double"
+    )
+    return out.filter(F.col("n_events") >= 2)
+
+
+# ---------------------------------------------------------------------------
+# e5 — day-over-day retention (distinct activity + next-day self join)
+# ---------------------------------------------------------------------------
+
+_E5_ORACLE = """
+WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+SELECT
+  CAST(a.d AS DATE) AS day,
+  COUNT(*) AS n_active,
+  SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_retained,
+  CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS retention_rate
+FROM ud a
+LEFT JOIN ud b ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
+GROUP BY a.d
+"""
+
+
+@register("e5_daily_retention", _E5_ORACLE)
+def e5_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: of the users active on day d, how many
+    return on d+1. distinct (user, day) first — the self-join then runs
+    on the MUCH smaller activity table (users x days, not raw events),
+    shuffling once on user_id. The left join keeps churned-everyone
+    days visible with rate 0."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    nxt = ud.select(
+        F.col("user_id").alias("n_user"),
+        (F.col("d") - F.expr("INTERVAL 1 DAY")).alias("n_prev"),
+    )
+    joined = ud.join(
+        nxt,
+        (F.col("user_id") == F.col("n_user")) & (F.col("d") == F.col("n_prev")),
+        "left_outer",
+    )
+    return (
+        joined.groupBy(F.col("d").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                F.when(F.col("n_user").isNotNull(), 1).otherwise(0)
+            ).alias("n_retained"),
+        )
+        .select(
+            "day",
+            "n_active",
+            "n_retained",
+            (F.col("n_retained").cast("double") / F.col("n_active")).alias(
+                "retention_rate"
+            ),
+        )
+    )
