@@ -176,3 +176,79 @@ def stream_silver_arxiv(
     )
     query.awaitTermination()
     return n_batches
+
+
+# ---------------------------------------------------------------------------
+# st2 — custom stateful operator: applyInPandasWithState running totals
+# ---------------------------------------------------------------------------
+
+_ST2_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS total_value6
+FROM events
+GROUP BY user_id
+"""
+
+
+def _running_totals(key, pdf_iter, state):
+    """Per-user running (count, sum) kept in GroupState across
+    micro-batches; emits the updated totals whenever the group sees
+    rows. The canonical applyInPandasWithState shape for custom
+    aggregations Spark's built-ins can't express."""
+    import pandas as pd
+
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value6": [round(total, 6)],
+        }
+    )
+
+
+@register("st2_stateful_user_totals", _ST2_ORACLE)
+def st2_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running totals via
+    ``applyInPandasWithState`` (arbitrary state, Arrow-batched groups),
+    drained with AvailableNow into a memory sink. After the backlog
+    drains, the emitted state equals the batch GROUP BY — which is
+    exactly what the oracle checks, holding the stateful path to the
+    same value bar as everything else. At scale the state store is
+    per-key partitioned (shuffle on user_id) and checkpointed; a live
+    stream would add a state TTL/timeout for eviction."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    out = src.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        outputStructType="user_id long, n_events long, total_value6 double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"st2_sink_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="st2-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)

@@ -21,8 +21,9 @@ SPECS = registry.all_queries()
 #: crossed against a big side — the correct physical shape for those.
 _BNLJ_OK = {"q22_global_sales_opportunity", "s1_knn_bruteforce", "s4_ivf_probe"}
 
-#: streaming query — builds a streaming plan; skipped in plan checks.
-_NON_BATCH = {"st1_stream_window_counts"}
+#: streaming queries — their builders execute a full streaming job;
+#: skipped in (batch) plan checks.
+_NON_BATCH = {"st1_stream_window_counts", "st2_stateful_user_totals"}
 
 
 def _physical(spark, name: str) -> str:
