@@ -1,0 +1,156 @@
+"""Aggregate-function family: pivot, percentiles, ordered collections,
+multi-distinct.
+
+The reference's aggregate surface stops at count/max (SURVEY.md §2.4);
+an engine replacing it needs the full aggregate toolbox. Each query
+here exercises one family with a DuckDB oracle:
+
+- pivot (crosstab) — Spark ``groupBy().pivot()``, oracle via CASE sums;
+- exact interpolated percentiles — ``percentile()`` vs DuckDB's
+  ``quantile_cont`` (both linear interpolation on the sorted set);
+- ordered collection aggregates — ``sort_array(collect_list())`` /
+  sorted ``concat_ws`` vs DuckDB ``list(... ORDER BY)`` /
+  ``string_agg(... ORDER BY)``;
+- several COUNT(DISTINCT) in one aggregation (expand-based plan).
+
+Scale notes: pivot with an explicit value list compiles to one
+aggregation with N conditional columns (no second pass to discover
+values — always pass the list at scale); percentile is an exact
+sort-based aggregate, the scale path swaps in approx_percentile
+(t-digest sketch) — kept exact here because the oracle compares values;
+multi-distinct plans via Expand (one shuffle carrying a distinct-set
+tag column) rather than N separate scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bc_proj3_spark.functions.numeric import dec_sum, sql_dec_sum
+from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.registry import register
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")  # TESTDATA events
+
+
+# ---------------------------------------------------------------------------
+# a1 — pivot / crosstab: users × event types
+# ---------------------------------------------------------------------------
+
+_A1_ORACLE = f"""
+SELECT
+  user_id,
+  {', '.join(f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS n_{t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("a1_pivot_event_matrix", _A1_ORACLE)
+def a1_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity matrix via groupBy().pivot() with an explicit
+    value list — one aggregation pass, no value-discovery job. The
+    null-fill keeps parity with the oracle's COALESCE."""
+    ev = table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES]
+    )
+
+
+# ---------------------------------------------------------------------------
+# a2 — exact interpolated percentiles per event type
+# ---------------------------------------------------------------------------
+
+_A2_ORACLE = """
+SELECT
+  event_type,
+  quantile_cont(value, 0.5) AS p50,
+  quantile_cont(value, 0.9) AS p90,
+  MIN(value) AS v_min,
+  MAX(value) AS v_max
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("a2_value_percentiles", _A2_ORACLE)
+def a2_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). Exact percentile sorts within each
+    group; at corpus scale swap in approx_percentile's t-digest — the
+    exact form is kept here precisely so the oracle can value-match."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a3 — ordered collection aggregates (array_agg / string_agg)
+# ---------------------------------------------------------------------------
+
+_A3_ORACLE = """
+SELECT
+  s_nationkey,
+  list(s_name ORDER BY s_name) AS suppliers,
+  string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv,
+  COUNT(*) AS n_suppliers
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
+@register("a3_ordered_collections", _A3_ORACLE)
+def a3_ordered_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates with a DETERMINISTIC order: collect_list
+    gives arbitrary arrival order (partition race), so the engine's
+    contract is sort-after-collect — the only way an array/string agg
+    can be value-compared across engines (or across two of its own
+    runs)."""
+    supp = table(spark, sf_dir, "supplier")
+    collected = F.sort_array(F.collect_list("s_name"))
+    return supp.groupBy("s_nationkey").agg(
+        collected.alias("suppliers"),
+        F.array_join(collected, ",").alias("supplier_csv"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a4 — several COUNT(DISTINCT) in one aggregation
+# ---------------------------------------------------------------------------
+
+_A4_ORACLE = f"""
+SELECT
+  o_orderpriority,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+  COUNT(*) AS n_orders,
+  {sql_dec_sum("o_totalprice", "total_price")}
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("a4_multi_distinct", _A4_ORACLE)
+def a4_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two COUNT(DISTINCT) plus plain aggregates in one groupBy: Spark
+    plans this with a single Expand (distinct-set tag) — one shuffle,
+    not one scan per distinct column."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )

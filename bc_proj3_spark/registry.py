@@ -56,6 +56,7 @@ _REGISTERING_MODULES = (
     "bc_proj3_spark.plans.events",
     "bc_proj3_spark.plans.docpipeline",
     "bc_proj3_spark.plans.silverops",
+    "bc_proj3_spark.plans.aggfuncs",
     "bc_proj3_spark.operators.textstats",
     "bc_proj3_spark.operators.dedup",
     "bc_proj3_spark.operators.similarity",

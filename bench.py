@@ -33,6 +33,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = registry.all_queries()
+
+    # JVM/codegen/scan warmup so the alphabetically-first query doesn't
+    # absorb several seconds of one-time session cost.
+    try:
+        _run_once(spark, specs["q1_pricing_summary"].builder, sf_dir)
+    except Exception:  # pragma: no cover - warmup is best-effort
+        pass
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in sorted(specs):
