@@ -275,3 +275,37 @@ def e5_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e6 — JSON property extraction (semi-structured column handling)
+# ---------------------------------------------------------------------------
+
+_E6_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n_with_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("e6_json_props", _E6_ORACLE)
+def e6_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured handling: parse the JSON ``props`` string with a
+    declared schema (``from_json`` — schema-on-read like the bronze
+    layer's JSON scans, SURVEY.md §1.3) and aggregate the extracted
+    field. from_json with an explicit schema beats get_json_object per
+    field: one parse, typed struct, codegen-friendly."""
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json("props", "k BIGINT")
+    ).filter(F.col("p.k").isNotNull())
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_with_k"),
+        F.sum("p.k").alias("sum_k"),
+        F.max("p.k").alias("max_k"),
+    )

@@ -57,6 +57,7 @@ _REGISTERING_MODULES = (
     "bc_proj3_spark.plans.docpipeline",
     "bc_proj3_spark.plans.silverops",
     "bc_proj3_spark.plans.aggfuncs",
+    "bc_proj3_spark.plans.sqlapi",
     "bc_proj3_spark.operators.textstats",
     "bc_proj3_spark.operators.dedup",
     "bc_proj3_spark.operators.similarity",
