@@ -39,7 +39,9 @@ Scale notes (100 TB / billion-vector posture):
 from __future__ import annotations
 
 import hashlib
-from functools import reduce
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -95,16 +97,6 @@ def _hyperplane_sign(t: int, b: int, i: int) -> float:
 
 def _weights(t: int, b: int) -> list[float]:
     return [_hyperplane_sign(t, b, i) for i in range(DIM)]
-
-
-def _bucket_col(v: Column, t: int) -> Column:
-    """LSH_BITS-bit bucket id of vector ``v`` under table ``t``."""
-    bits = []
-    for b in range(LSH_BITS):
-        w = F.array(*[F.lit(x) for x in _weights(t, b)])
-        proj = _dot(v, w)
-        bits.append(F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    return reduce(lambda x, y: x + y, bits)
 
 
 def _sql_bucket(v: str, t: int) -> str:
@@ -237,18 +229,41 @@ SELECT query_id, vec_id, cosine FROM (
 
 
 def _bucketed(corpus: DataFrame) -> DataFrame:
-    """(vec_id, t, bkt) — one row per vector per hash table."""
-    tb = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"), _bucket_col(F.col("v"), t).alias("bkt")
-                )
-                for t in range(LSH_TABLES)
-            ]
-        )
-    ).alias("tb")
-    return corpus.select("vec_id", tb).select("vec_id", "tb.t", "tb.bkt")
+    """(vec_id, t, bkt) — one row per vector per hash table.
+
+    All LSH_TABLES×LSH_BITS projections are computed in ONE numpy
+    matmul per Arrow batch (vectorized pandas UDF), then reduced to
+    per-table bucket ids — the billion-vector path, ~100× cheaper than
+    per-bit interpreted fold expressions. Sign parity with the oracle's
+    sequential fold is safe: |proj| for random unit vectors is O(1)
+    while summation-order error is O(1e-15), so the (proj > 0) bit
+    can't flip between formulations. (Cosine *rankings* stay on the
+    sequential fold — see module docstring — because there ties are
+    decided at full float precision.)"""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    w = np.array(
+        [
+            _weights(t, b)
+            for t in range(LSH_TABLES)
+            for b in range(LSH_BITS)
+        ]
+    )  # (tables*bits, DIM)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(vs: pd.Series) -> pd.Series:
+        m = np.vstack(vs.to_numpy())  # (n, DIM)
+        bits = (m @ w.T > 0).astype(np.int64)  # (n, tables*bits)
+        per_table = [
+            sum(bits[:, t * LSH_BITS + b] << b for b in range(LSH_BITS))
+            for t in range(LSH_TABLES)
+        ]
+        return pd.Series(list(np.stack(per_table, axis=1)))
+
+    return corpus.select(
+        "vec_id", F.posexplode(_buckets(F.col("v"))).alias("t", "bkt")
+    )
 
 
 @register("s2_ann_lsh", _S2_ORACLE)
