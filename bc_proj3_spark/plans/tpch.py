@@ -750,3 +750,69 @@ def r1_rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "gid", "sum_price", "n_rows")
     )
+
+
+# ---------------------------------------------------------------------------
+# q8 — national market share within a region, by year
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+SELECT
+  o_year,
+  CAST(SUM(CASE WHEN nation = 'NATION_1'
+       THEN CAST(volume AS DECIMAL(28,10)) ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(CAST(volume AS DECIMAL(28,10))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT
+    CAST(year(o_orderdate) AS INTEGER) AS o_year,
+    l_extendedprice * (1 - l_discount) AS volume,
+    n2.n_name AS nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@register("q8_market_share", _Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_1 suppliers' share of revenue to ASIA customers, per
+    year — a 7-way join feeding a ratio of two conditional aggregates.
+    Both numerator and denominator accumulate in exact decimal so the
+    share is deterministic; nation/region broadcast by hint (fixed
+    size), everything else left to AQE."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").alias("n1")
+    n2 = table(spark, sf_dir, "nation").alias("n2")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    volume = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    dec = "decimal(28,10)"
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+    )
+    num = F.sum(
+        F.when(F.col("nation") == "NATION_1", F.col("volume").cast(dec)).otherwise(
+            F.lit(0).cast(dec)
+        )
+    ).cast("double")
+    den = F.sum(F.col("volume").cast(dec)).cast("double")
+    return joined.groupBy("o_year").agg((num / den).alias("mkt_share"))
