@@ -816,3 +816,47 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     den = F.sum(F.col("volume").cast(dec)).cast("double")
     return joined.groupBy("o_year").agg((num / den).alias("mkt_share"))
+
+
+# ---------------------------------------------------------------------------
+# q15 — top supplier(s) by quarterly revenue (view + scalar-max join)
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {sql_dec_sum("l_extendedprice * (1 - l_discount)", "total_revenue")}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", _Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers hitting the max quarterly revenue: a derived revenue
+    relation reused twice (detail + scalar max) — Spark reuses the
+    aggregated subplan; the scalar max folds in via a broadcast 1-row
+    cross join (no driver-side collect). Exact-decimal revenue makes
+    the equality against MAX well-defined across engines."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dec_sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), "total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

@@ -19,7 +19,12 @@ SPECS = registry.all_queries()
 #: queries that intentionally contain a broadcast nested-loop join:
 #: a 1-row scalar aggregate (q22) or a tiny broadcast query set (s1)
 #: crossed against a big side — the correct physical shape for those.
-_BNLJ_OK = {"q22_global_sales_opportunity", "s1_knn_bruteforce", "s4_ivf_probe"}
+_BNLJ_OK = {
+    "q22_global_sales_opportunity",
+    "q15_top_supplier",
+    "s1_knn_bruteforce",
+    "s4_ivf_probe",
+}
 
 #: streaming queries — their builders execute a full streaming job;
 #: skipped in (batch) plan checks.
