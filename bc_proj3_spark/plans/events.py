@@ -309,3 +309,62 @@ def e6_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p.k").alias("sum_k"),
         F.max("p.k").alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e7 — ordered funnel: view → click → purchase
+# ---------------------------------------------------------------------------
+
+_E7_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT
+  (SELECT COUNT(*) FROM v) AS n_view,
+  (SELECT COUNT(*) FROM c) AS n_view_click,
+  (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+"""
+
+
+@register("e7_funnel", _E7_ORACLE)
+def e7_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose first view precedes a
+    click precedes a purchase (strict event-time order, first-touch
+    per stage). Each stage is a groupBy-min plus one equi-join back to
+    events on user_id — N stages cost N small shuffles on the same
+    key, not a window over the whole event stream. Stage counts are
+    combined via broadcast 1-row aggregates (no driver collect)."""
+    ev = table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev.withColumnRenamed("t", "_prev_t"), "user_id")
+            .filter(F.col("ts") > F.col("_prev_t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    c = first_after(v, "click")
+    p = first_after(c, "purchase")
+
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+    return nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))

@@ -24,6 +24,7 @@ _BNLJ_OK = {
     "q15_top_supplier",
     "s1_knn_bruteforce",
     "s4_ivf_probe",
+    "e7_funnel",
 }
 
 #: streaming queries — their builders execute a full streaming job;
