@@ -91,4 +91,7 @@ def fingerprint(col: Column) -> Column:
 
 
 def sql_fingerprint(expr: str) -> str:
-    return f"md5(array_to_string(list_sort({sql_distinct_tokens(expr)}), ' '))"
+    # COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+    # concat_ws over an empty array is '' — align on '' so empty/
+    # all-stopword docs fingerprint identically (md5 of empty string).
+    return f"md5(COALESCE(array_to_string(list_sort({sql_distinct_tokens(expr)}), ' '), ''))"
