@@ -860,3 +860,48 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_revenue") == F.col("_max_rev"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# u2 — INTERSECT / EXCEPT (set ops beyond the reference's UNION ALL)
+# ---------------------------------------------------------------------------
+
+_U2_ORACLE = """
+WITH building AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+recent_buyers AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+),
+both_sets AS (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM recent_buyers),
+only_building AS (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM recent_buyers)
+SELECT
+  (SELECT COUNT(*) FROM building) AS n_building,
+  (SELECT COUNT(*) FROM both_sets) AS n_building_and_recent,
+  (SELECT COUNT(*) FROM only_building) AS n_building_not_recent
+"""
+
+
+@register("u2_set_operations", _U2_ORACLE)
+def u2_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT (distinct set semantics) — the set-op family
+    the reference never needed (SURVEY §2.7) but a relational engine
+    must expose. Catalyst plans both as aggregated semi/anti joins;
+    the three counts combine via broadcast 1-row aggregates."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    recent = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    n_b = building.agg(F.count(F.lit(1)).alias("n_building"))
+    n_i = building.intersect(recent).agg(
+        F.count(F.lit(1)).alias("n_building_and_recent")
+    )
+    n_e = building.exceptAll(recent).distinct().agg(
+        F.count(F.lit(1)).alias("n_building_not_recent")
+    )
+    return n_b.crossJoin(F.broadcast(n_i)).crossJoin(F.broadcast(n_e))

@@ -25,6 +25,7 @@ _BNLJ_OK = {
     "s1_knn_bruteforce",
     "s4_ivf_probe",
     "e7_funnel",
+    "u2_set_operations",
 }
 
 #: streaming queries — their builders execute a full streaming job;
