@@ -97,3 +97,39 @@ def run_pipeline(
         results["gold_scoring"] = StageResult("gold_scoring", SKIPPED)
 
     return results
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI: ``python -m bc_proj3_spark.pipeline.runner --run-date 20230401
+    [--fresh] [--landing DIR] [--warehouse DIR]`` — the engine's
+    replacement for the reference's Airflow-triggered Databricks job
+    (cleantech.py:66-73): one process, explicit run_date, exit code 0
+    iff no stage errored (SKIPPED is a normal outcome)."""
+    import argparse
+
+    from bc_proj3_spark.catalog import Catalog
+    from bc_proj3_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="Run the medallion pipeline once")
+    ap.add_argument("--run-date", required=True, help="YYYYMMDD")
+    ap.add_argument("--landing", default="./landing")
+    ap.add_argument("--warehouse", default="./warehouse")
+    ap.add_argument("--fresh", action="store_true", help="reset silver/gold first")
+    ap.add_argument("--fetch", action="store_true",
+                    help="also land synthetic batches first (offline sources)")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name=f"pipeline-{args.run_date}")
+    catalog = Catalog(spark, args.warehouse)
+    if args.fetch:
+        from bc_proj3_spark.io import sources
+
+        sources.fetch_all(args.run_date, args.landing, epoch=int(args.run_date))
+    results = run_pipeline(spark, catalog, args.landing, args.run_date, fresh=args.fresh)
+    for r in results.values():
+        print(f"{r.name:16s} {r.status:8s} rows={r.rows} {r.metrics or ''}")
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover - thin CLI shim
+    raise SystemExit(main())
