@@ -905,3 +905,91 @@ def u2_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_building_not_recent")
     )
     return n_b.crossJoin(F.broadcast(n_i)).crossJoin(F.broadcast(n_e))
+
+
+# ---------------------------------------------------------------------------
+# q12 — shipping-delay distribution by priority class (conditional counts)
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT
+  delay_bucket,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS high_line_count,
+  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS low_line_count
+FROM (
+  SELECT
+    o_orderpriority,
+    CASE
+      WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30 THEN 'fast'
+      WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90 THEN 'normal'
+      ELSE 'late'
+    END AS delay_bucket
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= o_orderdate
+) t
+GROUP BY delay_bucket
+"""
+
+
+@register("q12_shipping_delay", _Q12_ORACLE)
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12's shape on the available columns (no shipmode in the
+    testdata): bucket order→ship latency, split line counts by
+    priority class with conditional sums. Integer day-diff keeps the
+    bucketing engine-exact."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    bucket = (
+        F.when(delay <= 30, "fast").when(delay <= 90, "normal").otherwise("late")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(bucket.alias("delay_bucket"), high.alias("_high"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(F.col("_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~F.col("_high"), 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — supplier diversity per part attribute (count-distinct + NOT LIKE)
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT
+  p_brand, p_size,
+  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_type NOT LIKE 'PROMO%'
+  AND s_comment_ok
+GROUP BY p_brand, p_size
+"""
+
+
+@register("q16_supplier_diversity", _Q16_ORACLE.replace("s_comment_ok", "s_name NOT LIKE '%0%'"))
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16's shape via the lineitem bridge (no partsupp in the
+    testdata): distinct suppliers per (brand, size) for non-promo
+    parts, excluding a supplier name pattern — NOT LIKE pushdown on
+    both dimensions, then a count-distinct aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(~F.col("p_type").like("PROMO%"))
+    supp = table(spark, sf_dir, "supplier").filter(~F.col("s_name").like("%0%"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
