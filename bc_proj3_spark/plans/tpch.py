@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bc_proj3_spark.functions.numeric import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
+from bc_proj3_spark.functions.numeric import (
+    DECIMAL_T,
+    dec_avg,
+    dec_sum,
+    sql_dec_avg,
+    sql_dec_sum,
+)
 from bc_proj3_spark.plans.tables import table
 from bc_proj3_spark.registry import register
 
@@ -992,4 +998,260 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2 — min-cost supplier (TPC-H Q2 shape: correlated MAX subquery per part)
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM (
+  SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+         MAX(s_acctbal) OVER (PARTITION BY p_partkey) AS _max_bal
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE p_size = 15 AND r_name = 'AFRICA'
+) t
+WHERE s_acctbal = _max_bal
+ORDER BY s_acctbal DESC, p_partkey, s_name
+LIMIT 20
+"""
+
+
+@register("q2_min_cost_supplier", _Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-balance supplier per part within one region (TPC-H Q2 shape).
+
+    The original's correlated scalar subquery (best supplier among those
+    supplying that part in the region) decorrelates into a per-partkey
+    window MAX over the candidate set — one shuffle on partkey instead
+    of a re-executed subquery per row. The testdata has no partsupp, so
+    the part↔supplier bridge is the DISTINCT (l_partkey, l_suppkey)
+    projection of lineitem — deduplicated BEFORE the dimension joins so
+    the window input carries one row per relationship, not per line.
+    region/nation are fixed-cardinality at every scale factor →
+    explicit broadcast."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    cand = (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .join(supp, pairs.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .distinct()
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_max_bal", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_max_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — important part value (scalar-subquery threshold over a grouped agg)
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = f"""
+WITH grouped AS (
+  SELECT l_partkey, {sql_dec_sum("l_extendedprice * (1 - l_discount)", "part_value")}
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM grouped
+WHERE part_value > (
+  SELECT CAST(SUM(CAST(part_value AS DECIMAL(28,10))) AS DOUBLE) * 0.001
+  FROM grouped
+)
+"""
+
+
+@register("q11_important_part_value", _Q11_ORACLE)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose one-nation revenue exceeds 0.1% of that nation's total
+    (TPC-H Q11 shape). The HAVING-against-scalar-subquery decorrelates
+    into: one grouped aggregate, one 1-row global re-aggregate of it,
+    and a broadcast cross join — the grouped relation is computed once
+    and reused for both sides (no second fact scan for the threshold).
+    nation is broadcast; the only fact shuffle is the partkey agg."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    grouped = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(dec_sum(revenue, "part_value"))
+    )
+    threshold = grouped.agg(
+        (F.sum(F.col("part_value").cast(DECIMAL_T)).cast("double") * F.lit(0.001)).alias(
+            "_threshold"
+        )
+    )
+    return (
+        grouped.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("_threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — dominant-share shippers (nested semi-join: Q20 shape)
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = f"""
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, {sql_dec_sum("l_quantity", "qty")}
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'SMALL'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey, CAST(SUM(CAST(qty AS DECIMAL(28,10))) AS DOUBLE) AS total_qty
+  FROM shipped GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM shipped JOIN tot USING (l_partkey)
+    WHERE qty > 0.2 * total_qty
+  )
+"""
+
+
+@register("q20_dominant_share_shippers", _Q20_ORACLE)
+def q20_dominant_share_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-nation suppliers holding >20% of any SMALL part's 1996 volume
+    (TPC-H Q20 shape: supplier semi-joined to a correlated quantity
+    threshold). The nested subquery decorrelates into a two-level
+    aggregate — per (part, supplier) quantities, then a window total
+    per part reusing the SAME shuffle partitioning (partkey), so the
+    share filter adds no extra exchange. The qualifying supplier-key
+    set is then a left-semi probe into supplier; nation is broadcast."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dec_sum("l_quantity", "qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn(
+            "total_qty", F.sum(F.col("qty").cast(DECIMAL_T)).over(w).cast("double")
+        )
+        .filter(F.col("qty") > F.lit(0.2) * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — suppliers who solely spoiled multi-supplier orders (Q21 shape)
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n_name = 'NATION_3'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+@register("q21_sole_spoiler_suppliers", _Q21_ORACLE)
+def q21_sole_spoiler_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who alone returned goods on finished multi-supplier
+    orders (TPC-H Q21 shape; the testdata lacks commit/receipt dates, so
+    l_returnflag='R' is the documented "kept the order waiting" proxy).
+
+    EXISTS → left-semi and NOT EXISTS → left-anti against the same
+    lineitem relation, both keyed on orderkey with the <> suppkey
+    residual — three orderkey-partitioned joins AQE can stack on one
+    exchange lineage, never a per-row subquery. nation broadcasts;
+    the final agg is a low-cardinality s_name count."""
+    li = table(spark, sf_dir, "lineitem")
+    orders_f = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    waiting = (
+        l1.join(orders_f, F.col("l1.l_orderkey") == orders_f.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
     )
