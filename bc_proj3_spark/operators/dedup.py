@@ -139,27 +139,43 @@ def _shingle_pairs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return sh, sizes
 
 
-def _verified_jaccard(cand: DataFrame, sh: DataFrame, sizes: DataFrame) -> DataFrame:
+def _verified_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate (doc_a, doc_b) pairs only.
 
-    Intersections are computed by joining candidates back to the shingle
-    index — cost is proportional to candidate volume, not corpus², which
-    is what makes the LSH path scale.
+    The pair list is materialized eagerly (persist + count — the same
+    barrier MLlib's LSH uses) and the shingle index is first semi-joined
+    down to candidate docs, so every probe join runs over data
+    proportional to CANDIDATE volume, not corpus size — which is what
+    makes the LSH path scale. Eager materialization also stops AQE's
+    concurrent broadcast-exchange jobs from racing to recompute the
+    un-cached candidate subtree once per branch.
     """
-    ca = cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id")).select(
-        "doc_a", "doc_b", F.col("sa.k").alias("k_a")
+    from pyspark import StorageLevel
+
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    docs_in = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    shc = sh.join(F.broadcast(docs_in), "doc_id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    shc.count()
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ca = F.broadcast(cand).join(
+        shc.alias("sa"), F.col("doc_a") == F.col("sa.doc_id")
+    ).select("doc_a", "doc_b", F.col("sa.k").alias("k_a"))
     inter = (
         ca.join(
-            sh.alias("sb"),
+            shc.alias("sb"),
             (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("k_a") == F.col("sb.k")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
-        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        inter.join(F.broadcast(sizes.alias("za")), F.col("doc_a") == F.col("za.doc_id"))
+        .join(F.broadcast(sizes.alias("zb")), F.col("doc_b") == F.col("zb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
@@ -263,9 +279,16 @@ def d3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair generation is an inverted-index self-join on the compact
     integer shingle key (shuffle on `k`), never a doc×doc cross join.
     Hot shingles are the quadratic worst case — at corpus scale run d4
-    (MinHash LSH) and use this only as the verifier on candidates."""
+    (MinHash LSH) and use this only as the verifier on candidates.
+
+    The shingle index feeds both self-join sides plus the size lookup;
+    persist + count it so the explode→hash subtree runs once (see d4)."""
+    from pyspark import StorageLevel
+
     docs = table(spark, sf_dir, "documents")
     sh, sizes = _shingle_pairs(docs)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     common = (
         sh.alias("a")
         .join(
@@ -350,9 +373,21 @@ def d4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation per row, not K. Recall vs d3 is governed by the band
     geometry (1-(1-s^4)^4); the oracle replays the identical
     deterministic hash family, so the comparison is exact, not
-    probabilistic."""
+    probabilistic.
+
+    The shingle index and band table are persisted AND materialized
+    eagerly (persist + count): each feeds multiple downstream branches
+    (sig + verification probes; both sides of the bucket self-join), and
+    without the barrier AQE's concurrent broadcast-exchange jobs race to
+    recompute the whole explode→hash subtree once per branch — measured
+    >10× slower at sf0.1. Spark's cache manager dedupes identical plans,
+    so repeated builder calls reuse one entry."""
+    from pyspark import StorageLevel
+
     docs = table(spark, sf_dir, "documents")
-    sh, sizes = _shingle_pairs(docs)
+    sh, _sizes = _shingle_pairs(docs)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     sig = sh.groupBy("doc_id").agg(
         *[_minhash_col(i) for i in range(NUM_HASHES)]
     )
@@ -373,7 +408,8 @@ def d4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     bl = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", "bk.band", "bk.key")
+    ).select("doc_id", "bk.band", "bk.key").persist(StorageLevel.MEMORY_AND_DISK)
+    bl.count()
     cand = (
         bl.alias("x")
         .join(
@@ -387,7 +423,7 @@ def d4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return _verified_jaccard(cand, sh, sizes)
+    return _verified_jaccard(cand, sh)
 
 
 # ---------------------------------------------------------------------------

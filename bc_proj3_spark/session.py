@@ -91,7 +91,7 @@ def get_spark(
         # NOTE: spark.driver.memory only takes effect on a cold JVM start
         # (spark-submit / first getOrCreate in-process); it is a no-op on
         # an already-running JVM. Prefer SPARK_DRIVER_MEMORY in the env.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in _RUNTIME_CONF.items():

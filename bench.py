@@ -22,7 +22,12 @@ def _run_once(spark, builder, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = builder(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0
+    # Builders may persist reused sub-relations (e.g. the LSH shingle
+    # index); drop them so each query is measured from cold data and
+    # cached blocks never accumulate across the 60+-query sweep.
+    spark.catalog.clearCache()
+    return elapsed
 
 
 def main() -> None:

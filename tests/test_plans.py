@@ -21,6 +21,7 @@ SPECS = registry.all_queries()
 #: crossed against a big side — the correct physical shape for those.
 _BNLJ_OK = {
     "q22_global_sales_opportunity",
+    "q11_important_part_value",
     "q15_top_supplier",
     "s1_knn_bruteforce",
     "s4_ivf_probe",
