@@ -388,6 +388,16 @@ def d4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh, _sizes = _shingle_pairs(docs)
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sh.count()
+    return _verified_jaccard(_lsh_candidate_pairs(sh), sh)
+
+
+def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
+    """Banded-LSH candidate (doc_a, doc_b) pairs from a (persisted)
+    shingle index: MinHash signatures → per-band bucket keys → bucket
+    self-join. The band table is persisted + counted so both self-join
+    sides read one materialization (see d4's docstring)."""
+    from pyspark import StorageLevel
+
     sig = sh.groupBy("doc_id").agg(
         *[_minhash_col(i) for i in range(NUM_HASHES)]
     )
@@ -410,7 +420,7 @@ def d4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", "bk.band", "bk.key").persist(StorageLevel.MEMORY_AND_DISK)
     bl.count()
-    cand = (
+    return (
         bl.alias("x")
         .join(
             bl.alias("y"),
@@ -423,7 +433,6 @@ def d4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return _verified_jaccard(cand, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -484,3 +493,93 @@ def d5_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.withColumn(
         "n_bucket", F.count(F.lit(1)).over(Window.partitionBy("simhash"))
     )
+
+
+# ---------------------------------------------------------------------------
+# d6 — end-to-end corpus dedup (exact survivors, then LSH near-dup prune)
+# ---------------------------------------------------------------------------
+
+_D6_ORACLE = f"""
+WITH fps AS (
+  SELECT doc_id, n_chars, {T.sql_fingerprint('text')} AS fp FROM documents
+),
+surv AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn
+    FROM fps
+  ) t WHERE rn = 1
+),
+documents_s AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)
+),
+{_SQL_SHINGLES.replace("FROM documents", "FROM documents_s")},
+sig AS (
+  SELECT doc_id,
+         {', '.join(_sql_minhash(i) for i in range(NUM_HASHES))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, {_sql_band_key(b)} AS key FROM sig" for b in range(NUM_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_common
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.k = sa.k
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM inter
+  JOIN sizes za ON doc_a = za.doc_id
+  JOIN sizes zb ON doc_b = zb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= {JACCARD_THRESHOLD}
+)
+SELECT s.doc_id
+FROM surv s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+@register("d6_dedup_corpus", _D6_ORACLE)
+def d6_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline's dedup stage end-to-end: which docs
+    survive into the corpus.
+
+    Stage 1 (exact): one survivor per content fingerprint — longest,
+    then lowest doc_id (d2's rank window).
+    Stage 2 (near): banded MinHash-LSH over the survivors only, exact
+    Jaccard verification on candidates, then greedy pruning: every
+    verified pair (a < b) drops b. Greedy-by-id is the standard
+    corpus-dedup policy (one pass, deterministic, no iterative
+    connected-components); for chains a~b~c it keeps only a — the
+    conservative direction for training data. The final step is a
+    left-anti join of the survivor set against the drop list, so the
+    whole operator is shuffles on doc-sized keys; nothing is ever
+    corpus × corpus."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
+    surv = (
+        fanout(docs)
+        .select("doc_id", "n_chars", "text", T.fingerprint(F.col("text")).alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    surv.count()
+    sh, _sizes = _shingle_pairs(surv)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
+    pairs = _verified_jaccard(_lsh_candidate_pairs(sh), sh)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return surv.select("doc_id").join(dropped, "doc_id", "left_anti")
