@@ -583,3 +583,72 @@ def d6_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _verified_jaccard(_lsh_candidate_pairs(sh), sh)
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return surv.select("doc_id").join(dropped, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# d7 — decontamination: train docs overlapping an eval set's 8-grams
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4  # real pipelines use 8-13; 4 keeps the synthetic corpus non-vacuous
+
+_D7_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+sh8 AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, greatest(len(w) - {_DECON_N - 1}, 0)),
+           i -> {' || '.join(f"w[i+{j}]" if j else "w[i]" for j in range(_DECON_N)).replace('||', "|| ' ' ||")})) AS s
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS k FROM sh8
+),
+ev AS (SELECT doc_id, k FROM hashed WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id, k FROM hashed WHERE doc_id % 50 <> 0)
+SELECT tr.doc_id,
+       COUNT(DISTINCT tr.k) AS n_shingles,
+       COUNT(DISTINCT ev.doc_id) AS n_eval_docs
+FROM tr JOIN ev ON tr.k = ev.k
+GROUP BY tr.doc_id
+"""
+
+
+@register("d7_decontaminate", _D7_ORACLE)
+def d7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any exact
+    word-n-gram (n=4 here; 8-13 in production — the synthetic corpus
+    shares almost no 8-grams, which would make the check vacuous) with a
+    held-out eval set (every 50th doc_id — a deterministic stand-in for
+    the real benchmark corpus).
+
+    The shape is an inverted-index join on the hashed shingle key — the
+    eval side is tiny relative to the corpus, so its index is broadcast
+    and the training corpus is scanned exactly once, no shuffle of the
+    big side. At 100 TB this is the plan you want: contamination checks
+    are eval-index lookups, never corpus self-joins. Longer n-grams
+    keep the index selective; keys are the same 60-bit md5 prefix
+    used by the dedup family (functions/hashing.py parity)."""
+    docs = table(spark, sf_dir, "documents")
+    sh8 = fanout(docs).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(F.col("text"), n=_DECON_N))
+        ).alias("s"),
+    )
+    hashed = sh8.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("k"),
+    )
+    ev = hashed.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "k"
+    )
+    tr = hashed.filter(F.col("doc_id") % 50 != 0)
+    return (
+        tr.join(F.broadcast(ev), "k")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("k").alias("n_shingles"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+    )
