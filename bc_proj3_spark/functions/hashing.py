@@ -31,3 +31,18 @@ def hash32(col: Column, seed: int = 0) -> Column:
 def sql_hash32(expr: str, seed: int = 0) -> str:
     """DuckDB twin of :func:`hash32` (same bytes, same value)."""
     return f"(('0x' || substr(md5('{seed}:' || {expr}), 1, 8))::BIGINT)"
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash (first 15 md5 hex chars) of a string.
+
+    Used as the compact integer join key for shingle/n-gram indexes:
+    15 hex chars always fit a signed BIGINT in both engines, the
+    shuffle key is 8 bytes instead of a multi-word string, and
+    collisions at 2^60 are negligible for dedup purposes."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def sql_hash60(expr: str) -> str:
+    """DuckDB twin of :func:`hash60` (same bytes, same value)."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"

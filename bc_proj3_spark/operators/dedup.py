@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bc_proj3_spark.functions import text as T
-from bc_proj3_spark.functions.hashing import hash32, sql_hash32
+from bc_proj3_spark.functions.hashing import hash32, hash60, sql_hash32, sql_hash60
 from bc_proj3_spark.plans.tables import fanout, table
 from bc_proj3_spark.registry import register
 
@@ -81,14 +81,19 @@ def shingles(col: Column, n: int = 3) -> Column:
 #: One md5 per distinct (doc, shingle); its hex is parsed into
 #: - k: 60-bit join key (15 hex chars — fits BIGINT in both engines;
 #:   smaller+faster shuffle key than the raw 3-word shingle string, and
-#:   collisions at 2^60 are negligible),
+#:   collisions at 2^60 are negligible; functions/hashing.py hash60 is
+#:   the Spark twin of this slice),
 #: - a, b: two independent 32-bit words that seed the MinHash family
 #:   h_i = (a + (i+1)*(2b+1)) mod 2^32 — one md5 yields all K hash
 #:   functions arithmetically (Carter-Wegman style) instead of K md5
 #:   calls per row.
-_SQL_SHINGLES = """
+#:
+#: The source relation is a {src} placeholder (see :func:`_sql_shingles`)
+#: so survivor-scoped variants (d6) substitute explicitly instead of
+#: string-replacing the shared CTE after the fact.
+_SQL_SHINGLES_TMPL = """
 toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM {src}
 ),
 shs AS (
   SELECT DISTINCT doc_id,
@@ -106,6 +111,12 @@ sh AS (
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
 """
+
+
+def _sql_shingles(src: str = "documents") -> str:
+    """The hashed-shingle CTE block over a named source relation."""
+    return _SQL_SHINGLES_TMPL.format(src=src)
+
 
 _MOD32 = 1 << 32
 
@@ -149,6 +160,18 @@ def _verified_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
     makes the LSH path scale. Eager materialization also stops AQE's
     concurrent broadcast-exchange jobs from racing to recompute the
     un-cached candidate subtree once per branch.
+
+    Candidate-pair volume is data-dependent and unbounded (a hot band
+    bucket yields quadratic pairs), so the candidate/size joins carry NO
+    broadcast hint: they shuffle on doc keys, and AQE still converts to
+    broadcast at runtime whenever the materialized side is actually
+    small. Only ``docs_in`` — the distinct doc-id list, bounded by
+    2 × candidates and a single bigint column — is broadcast, to drive
+    the semi-join pruning of the shingle index.
+
+    The returned pair list is persisted + materialized here so the
+    intermediates (cand, pruned index) can be unpersisted before
+    returning; callers get a small cached result and owe no cleanup.
     """
     from pyspark import StorageLevel
 
@@ -162,7 +185,7 @@ def _verified_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
     )
     shc.count()
     sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ca = F.broadcast(cand).join(
+    ca = cand.join(
         shc.alias("sa"), F.col("doc_a") == F.col("sa.doc_id")
     ).select("doc_a", "doc_b", F.col("sa.k").alias("k_a"))
     inter = (
@@ -173,9 +196,9 @@ def _verified_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
-        inter.join(F.broadcast(sizes.alias("za")), F.col("doc_a") == F.col("za.doc_id"))
-        .join(F.broadcast(sizes.alias("zb")), F.col("doc_b") == F.col("zb.doc_id"))
+    out = (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
@@ -185,7 +208,12 @@ def _verified_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    out.count()
+    cand.unpersist()
+    shc.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -256,7 +284,7 @@ def d2_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _D3_ORACLE = f"""
-WITH {_SQL_SHINGLES},
+WITH {_sql_shingles()},
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM sh a JOIN sh b ON a.k = b.k AND a.doc_id < b.doc_id
@@ -282,7 +310,9 @@ def d3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (MinHash LSH) and use this only as the verifier on candidates.
 
     The shingle index feeds both self-join sides plus the size lookup;
-    persist + count it so the explode→hash subtree runs once (see d4)."""
+    persist + count it so the explode→hash subtree runs once (see d4).
+    The final pair list is persisted + materialized so the index can be
+    unpersisted before returning (no caller-side cache cleanup owed)."""
     from pyspark import StorageLevel
 
     docs = table(spark, sf_dir, "documents")
@@ -300,7 +330,7 @@ def d3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
+    out = (
         common.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
         .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
         .select(
@@ -312,7 +342,11 @@ def d3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    out.count()
+    sh.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -328,7 +362,7 @@ def _sql_band_key(b: int) -> str:
 
 
 _D4_ORACLE = f"""
-WITH {_SQL_SHINGLES},
+WITH {_sql_shingles()},
 sig AS (
   SELECT doc_id,
          {', '.join(_sql_minhash(i) for i in range(NUM_HASHES))}
@@ -381,14 +415,18 @@ def d4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     without the barrier AQE's concurrent broadcast-exchange jobs race to
     recompute the whole explode→hash subtree once per branch — measured
     >10× slower at sf0.1. Spark's cache manager dedupes identical plans,
-    so repeated builder calls reuse one entry."""
+    so repeated builder calls reuse one entry. Intermediates are
+    unpersisted once the (small, persisted) verified pair list is
+    materialized."""
     from pyspark import StorageLevel
 
     docs = table(spark, sf_dir, "documents")
     sh, _sizes = _shingle_pairs(docs)
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sh.count()
-    return _verified_jaccard(_lsh_candidate_pairs(sh), sh)
+    out = _verified_jaccard(_lsh_candidate_pairs(sh), sh)
+    sh.unpersist()
+    return out
 
 
 def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
@@ -420,7 +458,7 @@ def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", "bk.band", "bk.key").persist(StorageLevel.MEMORY_AND_DISK)
     bl.count()
-    return (
+    cand = (
         bl.alias("x")
         .join(
             bl.alias("y"),
@@ -432,7 +470,11 @@ def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cand.count()
+    bl.unpersist()
+    return cand
 
 
 # ---------------------------------------------------------------------------
@@ -513,7 +555,7 @@ surv AS (
 documents_s AS (
   SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)
 ),
-{_SQL_SHINGLES.replace("FROM documents", "FROM documents_s")},
+{_sql_shingles("documents_s")},
 sig AS (
   SELECT doc_id,
          {', '.join(_sql_minhash(i) for i in range(NUM_HASHES))}
@@ -581,8 +623,16 @@ def d6_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sh.count()
     pairs = _verified_jaccard(_lsh_candidate_pairs(sh), sh)
+    sh.unpersist()
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    return surv.select("doc_id").join(dropped, "doc_id", "left_anti")
+    out = (
+        surv.select("doc_id")
+        .join(dropped, "doc_id", "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out.count()
+    surv.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -602,7 +652,7 @@ sh8 AS (
   FROM toks
 ),
 hashed AS (
-  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS k FROM sh8
+  SELECT doc_id, {sql_hash60('s')} AS k FROM sh8
 ),
 ev AS (SELECT doc_id, k FROM hashed WHERE doc_id % 50 = 0),
 tr AS (SELECT doc_id, k FROM hashed WHERE doc_id % 50 <> 0)
@@ -623,12 +673,19 @@ def d7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the real benchmark corpus).
 
     The shape is an inverted-index join on the hashed shingle key — the
-    eval side is tiny relative to the corpus, so its index is broadcast
-    and the training corpus is scanned exactly once, no shuffle of the
-    big side. At 100 TB this is the plan you want: contamination checks
-    are eval-index lookups, never corpus self-joins. Longer n-grams
-    keep the index selective; keys are the same 60-bit md5 prefix
-    used by the dedup family (functions/hashing.py parity)."""
+    eval side is tiny relative to the corpus, so its index is persisted
+    (one materialization) and broadcast, and the training side then
+    streams through a single scan with no shuffle of the big side. (In
+    this synthetic setup eval docs are carved out of the same table by
+    doc_id, so building the eval index itself costs one additional
+    corpus scan; in production the eval benchmark is its own small
+    table and that scan disappears.) At 100 TB this is the plan you
+    want: contamination checks are eval-index lookups, never corpus
+    self-joins. Longer n-grams keep the index selective; keys come from
+    the shared 60-bit md5-prefix family (functions/hashing.py
+    :func:`hash60` / :func:`sql_hash60`)."""
+    from pyspark import StorageLevel
+
     docs = table(spark, sf_dir, "documents")
     sh8 = fanout(docs).select(
         "doc_id",
@@ -636,13 +693,13 @@ def d7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(shingles(F.col("text"), n=_DECON_N))
         ).alias("s"),
     )
-    hashed = sh8.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("k"),
+    hashed = sh8.select("doc_id", hash60(F.col("s")).alias("k"))
+    ev = (
+        hashed.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"), "k")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ev = hashed.filter(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("eval_doc_id"), "k"
-    )
+    ev.count()
     tr = hashed.filter(F.col("doc_id") % 50 != 0)
     return (
         tr.join(F.broadcast(ev), "k")

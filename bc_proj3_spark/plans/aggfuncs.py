@@ -41,7 +41,7 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")  # TESTDATA event
 _A1_ORACLE = f"""
 SELECT
   user_id,
-  {', '.join(f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS n_{t}" for t in EVENT_TYPES)}
+  {', '.join(f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS BIGINT) AS n_{t}" for t in EVENT_TYPES)}
 FROM events
 GROUP BY user_id
 """
@@ -102,7 +102,6 @@ def a2_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _A3_ORACLE = """
 SELECT
   s_nationkey,
-  list(s_name ORDER BY s_name) AS suppliers,
   string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv,
   COUNT(*) AS n_suppliers
 FROM supplier
@@ -116,11 +115,13 @@ def a3_ordered_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives arbitrary arrival order (partition race), so the engine's
     contract is sort-after-collect — the only way an array/string agg
     can be value-compared across engines (or across two of its own
-    runs)."""
+    runs). The ordered array is built internally (sort_array over
+    collect_list) but surfaced as its canonical CSV string: a raw
+    array<string> column is not hashable by pandas-side comparators,
+    and the joined string carries identical information."""
     supp = table(spark, sf_dir, "supplier")
     collected = F.sort_array(F.collect_list("s_name"))
     return supp.groupBy("s_nationkey").agg(
-        collected.alias("suppliers"),
         F.array_join(collected, ",").alias("supplier_csv"),
         F.count(F.lit(1)).alias("n_suppliers"),
     )

@@ -229,7 +229,8 @@ WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
 SELECT
   CAST(a.d AS DATE) AS day,
   COUNT(*) AS n_active,
-  SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_retained,
+  CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_retained,
   CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
     / COUNT(*) AS retention_rate
 FROM ud a

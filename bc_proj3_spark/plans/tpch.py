@@ -920,10 +920,10 @@ def u2_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q12_ORACLE = """
 SELECT
   delay_bucket,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS high_line_count,
-  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS low_line_count
 FROM (
   SELECT
     o_orderpriority,
@@ -984,7 +984,7 @@ GROUP BY p_brand, p_size
 """
 
 
-@register("q16_supplier_diversity", _Q16_ORACLE.replace("s_comment_ok", "s_name NOT LIKE '%0%'"))
+@register("q16_supplier_diversity", _Q16_ORACLE.replace("s_comment_ok", "s_name NOT LIKE '%5'"))
 def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16's shape via the lineitem bridge (no partsupp in the
     testdata): distinct suppliers per (brand, size) for non-promo
@@ -992,7 +992,7 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     both dimensions, then a count-distinct aggregation."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(~F.col("p_type").like("PROMO%"))
-    supp = table(spark, sf_dir, "supplier").filter(~F.col("s_name").like("%0%"))
+    supp = table(spark, sf_dir, "supplier").filter(~F.col("s_name").like("%5"))
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
