@@ -47,6 +47,14 @@ class MergeResult:
     df: DataFrame
     inserted: int
     updated: int
+    #: frames persisted by the merge so metrics + write share one
+    #: computation; callers unpersist via :meth:`cleanup` after the
+    #: result is written.
+    caches: tuple[DataFrame, ...] = ()
+
+    def cleanup(self) -> None:
+        for c in self.caches:
+            c.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -102,19 +110,27 @@ def merge_upsert(
     src rows, keep everything else. Column set of the result is tgt's.
 
     src must be unique on ``key`` (true in the reference: one batch row
-    per article id after the latest-file pick)."""
+    per article id after the latest-file pick).
+
+    The batch-sized branches (updated, inserts) are persisted and
+    materialized by the metric counts, so the final write reads them
+    from cache instead of re-running the merge joins — metrics and
+    rewrite share one computation. Callers unpersist via
+    ``MergeResult.cleanup()`` once the result is written."""
+    from pyspark import StorageLevel
+
     cols = tgt.columns
     t, s = tgt.alias("tgt"), src.alias("src")
     joined = t.join(s, F.col(f"tgt.{key}") == F.col(f"src.{key}"), "inner")
 
     updated = joined.filter(update_when).select(
         *[F.col(f"src.{c}").alias(c) for c in cols]
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     updated_keys = updated.select(F.col(key))
     kept = tgt.join(updated_keys, on=key, how="left_anti")
     inserts = src.join(tgt.select(key), on=key, how="left_anti").select(
         *[F.col(c) for c in cols]
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     n_updated = updated.count()
     n_inserted = inserts.count()
@@ -123,12 +139,18 @@ def merge_upsert(
     out = (
         kept.unionByName(updated).unionByName(inserts).select(*[F.col(c) for c in cols])
     )
-    return MergeResult(df=out, inserted=n_inserted, updated=n_updated)
+    return MergeResult(
+        df=out, inserted=n_inserted, updated=n_updated, caches=(updated, inserts)
+    )
 
 
 def dedup_insert(tgt: DataFrame, src: DataFrame, key: str) -> MergeResult:
-    """INSERT-only-new via anti join on the surrogate key."""
+    """INSERT-only-new via anti join on the surrogate key. The fresh
+    batch is persisted so the insert count and the append read one
+    materialization; callers unpersist via ``cleanup()``."""
+    from pyspark import StorageLevel
+
     fresh = src.join(tgt.select(key), on=key, how="left_anti").select(
         *[F.col(c) for c in tgt.columns]
-    )
-    return MergeResult(df=fresh, inserted=fresh.count(), updated=0)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return MergeResult(df=fresh, inserted=fresh.count(), updated=0, caches=(fresh,))

@@ -30,6 +30,8 @@ data. The combined view is a unionByName, not a materialization.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -76,22 +78,28 @@ def lemmatize(tokens: Column) -> Column:
     """Lemmatize + keep tokens longer than 2 chars
     (gold_article_scoring.py:69-88). Uses NLTK's WordNetLemmatizer via a
     pandas UDF when available; otherwise the native rule above."""
-    try:  # pragma: no cover - NLTK not present in the test container
+    try:
         import nltk  # noqa: F401
-        import pandas as pd
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import ArrayType, StringType
 
+        # Explicit Series type hints (via the module-level pandas import,
+        # so get_type_hints can resolve them under future-annotations)
+        # drive pyspark's scalar-pandas eval-type inference.
         @pandas_udf(ArrayType(StringType()))
-        def _lemma_udf(col: "pd.Series") -> "pd.Series":
+        def _lemma_udf(col: pd.Series) -> pd.Series:
             from nltk.stem import WordNetLemmatizer
 
             wnl = WordNetLemmatizer()
-            return col.map(
-                lambda toks: [
-                    w for w in (wnl.lemmatize(t) for t in (toks or [])) if len(w) > 2
-                ]
-            )
+
+            def _lem(toks):
+                # Arrow hands array cells over as numpy arrays — no `or []`
+                # truthiness; None is the only empty sentinel to guard.
+                if toks is None:
+                    return []
+                return [w for w in (wnl.lemmatize(t) for t in toks) if len(w) > 2]
+
+            return col.map(_lem)
 
         return _lemma_udf(tokens)
     except ImportError:

@@ -97,6 +97,7 @@ def silver_arxiv(
             tgt, src, key="id", update_when=F.col("src.version") > F.col("tgt.version")
         )
         catalog.overwrite("silver", table, res.df, partition_by=["run_date"])
+        res.cleanup()
         inserted, updated = res.inserted, res.updated
         catalog.log_operation(
             "silver", table, "MERGE",
@@ -144,6 +145,7 @@ def silver_nyt(spark: SparkSession, catalog: Catalog, fresh: bool = False) -> di
         tgt = catalog.read("silver", table)
         res = inc.dedup_insert(tgt, keyed, key="nyt_sk")
         catalog.append("silver", table, res.df)
+        res.cleanup()
         inserted = res.inserted
         catalog.log_operation("silver", table, "INSERT", numTargetRowsInserted=inserted)
 

@@ -169,7 +169,7 @@ _E4_ORACLE = """
 SELECT
   user_id,
   COUNT(*) AS n_events,
-  ROUND(regr_slope(value, epoch(ts)), 6) AS slope6
+  ROUND(regr_slope(value, epoch(ts)), 6) + 0.0 AS slope6
 FROM events
 GROUP BY user_id
 HAVING COUNT(*) >= 2
@@ -190,24 +190,53 @@ def _slope_batch(pdf):
         {
             "user_id": [int(pdf["user_id"].iloc[0])],
             "n_events": [len(pdf)],
-            "slope6": [round(float(slope), 6)],
+            "slope6": [round(float(slope), 6) + 0.0],
         }
     )
 
 
 @register("e4_user_value_trend", _E4_ORACLE)
 def e4_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user linear trend of event values over time, computed by a
-    grouped-map ``applyInPandas`` — the engine's custom-operator path
-    for per-group algorithms Spark lacks built-ins for. One shuffle on
-    user_id, Arrow batches per group, numpy/pandas math inside. The
-    oracle cross-checks with DuckDB's regr_slope, so the UDF's math is
-    value-verified (rounded to 6 dp — the two formulations agree to
-    ~1e-13 relative; the round pins the comparison).
+    """Per-user linear trend of event values over time via the built-in
+    ``regr_slope`` aggregate — pure whole-stage-codegen, one shuffle on
+    user_id, no Python workers. Spark's implementation accumulates
+    centered co-moments, so epoch-second x values (~1.7e9) don't
+    cancel catastrophically; rounded to 6 dp to pin the cross-engine
+    comparison against DuckDB's regr_slope.
 
-    Chosen deliberately over a pandas-free rewrite: Spark 4 *does* have
-    F.regr_slope — the point here is exercising the grouped-map Arrow
-    path against an independent implementation of the same statistic."""
+    The same statistic computed through the grouped-map Arrow path is
+    registered separately as ``e4b_trend_arrow`` — kept as the engine's
+    custom-operator demo, value-verified against the same oracle."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.select(
+        "user_id",
+        (F.unix_micros("ts").cast("double") / F.lit(1e6)).alias("x"),
+        "value",
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # + 0.0 canonicalizes IEEE -0.0 (a tiny negative slope that
+            # rounds to zero) to +0.0 — both engines and the Arrow twin
+            # apply the same normalization so value-hashes agree
+            (F.round(F.regr_slope("value", "x"), 6) + F.lit(0.0)).alias("slope6"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )
+
+
+@register("e4b_trend_arrow", _E4_ORACLE)
+def e4b_trend_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e4's statistic through grouped-map ``applyInPandas`` — the
+    engine's custom-operator path for per-group algorithms Spark lacks
+    built-ins for. One shuffle on user_id, Arrow batches per group,
+    numpy/pandas math inside. The oracle cross-checks with DuckDB's
+    regr_slope, so the UDF's math is value-verified (rounded to 6 dp —
+    the two formulations agree to ~1e-13 relative; the round pins the
+    comparison). Kept alongside the codegen e4 deliberately: it proves
+    the Arrow plumbing against an independent implementation; the
+    built-in is the production path."""
     ev = table(spark, sf_dir, "events")
     g = ev.select(
         "user_id",

@@ -85,7 +85,7 @@ _PRIORITY = (
     "s4_ivf_probe",
     "m1_media_metadata", "m2_decode_features", "m3_frame_sample",
     "st1_stream_window_counts", "st2_stateful_user_totals",
-    "t7_rolling_fingerprint",
+    "t7_rolling_fingerprint", "e4b_trend_arrow",
     # tier 2 — red/vacuous in round 2, fixed this round
     "q12_shipping_delay", "e5_daily_retention", "a1_pivot_event_matrix",
     "a3_ordered_collections", "q16_supplier_diversity",

@@ -46,26 +46,28 @@ def main() -> None:
     except Exception:  # pragma: no cover - warmup is best-effort
         pass
 
+    # The host VM's CPU time is contended and noisy (observed 5-10x
+    # swings on identical queries). Min-of-N applied UNIFORMLY to every
+    # query (not just the slowest tail — a one-sided re-roll would bias
+    # the total downward and break round-over-round comparability);
+    # per-query run counts are recorded in the output.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
+    runs: dict[str, int] = {}
     for name in sorted(specs):
-        try:
-            timings[name] = round(_run_once(spark, specs[name].builder, sf_dir), 3)
-        except Exception as exc:  # keep benching the rest
-            failures[name] = repr(exc)[:200]
-            print(f"bench: {name} FAILED: {exc!r}", file=sys.stderr)
-
-    # The host VM's CPU time is contended and noisy (observed 5-10x
-    # swings on identical queries); re-run the slowest handful and keep
-    # the min so one scheduling hiccup doesn't dominate the round's
-    # recorded number.
-    for name in sorted(timings, key=timings.get, reverse=True)[:8]:
-        try:
-            timings[name] = min(
-                timings[name], round(_run_once(spark, specs[name].builder, sf_dir), 3)
-            )
-        except Exception:  # pragma: no cover - first run already counted
-            pass
+        best = None
+        for _ in range(n_runs):
+            try:
+                t = round(_run_once(spark, specs[name].builder, sf_dir), 3)
+            except Exception as exc:  # keep benching the rest
+                failures[name] = repr(exc)[:200]
+                print(f"bench: {name} FAILED: {exc!r}", file=sys.stderr)
+                break
+            best = t if best is None else min(best, t)
+            runs[name] = runs.get(name, 0) + 1
+        if best is not None:
+            timings[name] = best
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -73,6 +75,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs_per_query": n_runs,
+        "estimator": "min_of_n_uniform",
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     if failures:
