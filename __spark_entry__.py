@@ -38,6 +38,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(builder: Callable[[SparkSession, str], DataFrame]):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             apply_runtime_conf(spark)
+            # Some builders return small persisted results (e.g. the
+            # dedup pair lists — persisted so their eager-materialization
+            # barrier survives the return). The driver collects each
+            # query before building the next, so dropping ALL cache here
+            # bounds the leak to one query's worth across a 68-query run.
+            spark.catalog.clearCache()
             return builder(spark, sf_dir)
 
         return run

@@ -96,8 +96,10 @@ def silver_arxiv(
         res = inc.merge_upsert(
             tgt, src, key="id", update_when=F.col("src.version") > F.col("tgt.version")
         )
-        catalog.overwrite("silver", table, res.df, partition_by=["run_date"])
-        res.cleanup()
+        try:
+            catalog.overwrite("silver", table, res.df, partition_by=["run_date"])
+        finally:
+            res.cleanup()  # release merge branches even on write failure
         inserted, updated = res.inserted, res.updated
         catalog.log_operation(
             "silver", table, "MERGE",
@@ -144,8 +146,10 @@ def silver_nyt(spark: SparkSession, catalog: Catalog, fresh: bool = False) -> di
     else:
         tgt = catalog.read("silver", table)
         res = inc.dedup_insert(tgt, keyed, key="nyt_sk")
-        catalog.append("silver", table, res.df)
-        res.cleanup()
+        try:
+            catalog.append("silver", table, res.df)
+        finally:
+            res.cleanup()
         inserted = res.inserted
         catalog.log_operation("silver", table, "INSERT", numTargetRowsInserted=inserted)
 

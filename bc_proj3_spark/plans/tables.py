@@ -68,11 +68,26 @@ def fanout(df: DataFrame) -> DataFrame:
     as ONE scan partition — a single row group — so everything built on
     them runs single-threaded however many cores exist. One cheap
     round-robin shuffle of the slim input rows buys full parallelism
-    for the expensive downstream expressions. No-op when the scan is
-    already at least as parallel as the session's shuffle width (the
-    100 TB case: thousands of splits — this never fires there).
+    for the expensive downstream expressions.
+
+    Parallelism is probed from plan METADATA only (``inputFiles`` — the
+    file listing Catalyst already holds), never ``df.rdd`` (which would
+    force a full plan→RDD conversion per builder call). No-op when:
+
+    - the frame is already persisted (its partitioning is materialized;
+      a repartition would re-shuffle the cached blocks), or
+    - the plan reads at least as many files as the session's shuffle
+      width — the 100 TB case: thousands of splits, this never fires.
+
+    File COUNT under-estimates split count for large splittable files
+    (one 1 GB file → many scan partitions), so this can repartition
+    when it didn't strictly need to — the round-robin shuffle of the
+    slim input is then redundant but cheap, and only mid-size inputs
+    ever hit it.
     """
+    if df.is_cached:
+        return df
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() >= n:
+    if len(df.inputFiles()) >= n:
         return df
     return df.repartition(n)

@@ -971,28 +971,33 @@ def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q16 — supplier diversity per part attribute (count-distinct + NOT LIKE)
 # ---------------------------------------------------------------------------
 
-_Q16_ORACLE = """
+# ANSI LIKE predicates shared verbatim by the oracle SQL and (via
+# F.expr) the Spark plan — ONE source of truth, no string-splicing.
+_Q16_PART_PRED = "p_type NOT LIKE 'PROMO%'"
+_Q16_SUPPLIER_PRED = "s_name NOT LIKE '%5'"
+
+_Q16_ORACLE = f"""
 SELECT
   p_brand, p_size,
   COUNT(DISTINCT l_suppkey) AS supplier_cnt
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
-WHERE p_type NOT LIKE 'PROMO%'
-  AND s_comment_ok
+WHERE {_Q16_PART_PRED}
+  AND {_Q16_SUPPLIER_PRED}
 GROUP BY p_brand, p_size
 """
 
 
-@register("q16_supplier_diversity", _Q16_ORACLE.replace("s_comment_ok", "s_name NOT LIKE '%5'"))
+@register("q16_supplier_diversity", _Q16_ORACLE)
 def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16's shape via the lineitem bridge (no partsupp in the
     testdata): distinct suppliers per (brand, size) for non-promo
     parts, excluding a supplier name pattern — NOT LIKE pushdown on
     both dimensions, then a count-distinct aggregation."""
     li = table(spark, sf_dir, "lineitem")
-    part = table(spark, sf_dir, "part").filter(~F.col("p_type").like("PROMO%"))
-    supp = table(spark, sf_dir, "supplier").filter(~F.col("s_name").like("%5"))
+    part = table(spark, sf_dir, "part").filter(F.expr(_Q16_PART_PRED))
+    supp = table(spark, sf_dir, "supplier").filter(F.expr(_Q16_SUPPLIER_PRED))
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)

@@ -66,49 +66,57 @@ _REGISTERING_MODULES = (
 )
 
 
-#: Queries whose driver-side verification evidence is LEAST established
-#: come first: external verifiers may check a bounded prefix of the
-#: registry (the round-2 correctness run covered exactly the first 50
-#: registered queries), so ordering is evidence-priority, not module
-#: grouping. Tier 1: the dedup/similarity/multimodal/streaming/t7
-#: family that had no round-2 driver row. Tier 2: rows that were red or
-#: vacuous in round 2 and are fixed this round. Tier 3: the rest.
-#: Queries already hash-verified green in round 2 sit at the tail.
-#: Anything registered but not listed here is appended after the listed
-#: prefix (before the verified tail) in registration order.
-_PRIORITY = (
-    # tier 1 — no driver correctness row yet
-    "d1_exact_dedup_groups", "d2_dedup_survivors", "d3_jaccard_pairs",
-    "d4_minhash_lsh_pairs", "d5_simhash_signatures", "d6_dedup_corpus",
-    "d7_decontaminate",
-    "s1_knn_bruteforce", "s2_ann_lsh", "s3_cosine_neardup_pairs",
-    "s4_ivf_probe",
-    "m1_media_metadata", "m2_decode_features", "m3_frame_sample",
-    "st1_stream_window_counts", "st2_stateful_user_totals",
-    "t7_rolling_fingerprint", "e4b_trend_arrow",
-    # tier 2 — red/vacuous in round 2, fixed this round
-    "q12_shipping_delay", "e5_daily_retention", "a1_pivot_event_matrix",
-    "a3_ordered_collections", "q16_supplier_diversity",
-)
-
-#: Green in round 2 (hash-verified) — safe to verify last.
-_VERIFIED_TAIL = (
-    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
-    "q11_important_part_value", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
-    "q18_large_volume_customer", "q19_disjunctive_revenue",
-    "q22_global_sales_opportunity",
-)
+#: Latest driver round whose CORRECTNESS_r{N}.json carries a green
+#: hash-verified row for each query. External verifiers check a bounded
+#: prefix of the registry (~50 queries/round), so :func:`all_queries`
+#: orders stalest-evidence-first: queries verified longest ago (or
+#: never — round 0) rotate into the next round's prefix, keeping every
+#: row at most ~2 rounds old. Update this map from CORRECTNESS_r{N}.json
+#: each round; queries absent from the map sort first (round 0).
+_VERIFIED_ROUND: dict[str, int] = {
+    # round 2 (CORRECTNESS_r02.json) — stalest, rotate into the r4 prefix
+    "q1_pricing_summary": 2, "q3_shipping_priority": 2,
+    "q4_order_priority": 2, "q5_local_supplier_volume": 2,
+    "q6_forecast_revenue": 2, "q7_volume_shipping": 2, "q8_market_share": 2,
+    "q9_product_profit": 2, "q10_returned_items": 2,
+    "q11_important_part_value": 2, "q13_customer_distribution": 2,
+    "q14_promo_revenue": 2, "q15_top_supplier": 2,
+    "q17_small_quantity_revenue": 2, "q18_large_volume_customer": 2,
+    "q19_disjunctive_revenue": 2, "q22_global_sales_opportunity": 2,
+    "t6_ngram_language_id": 2,
+    # round 3 (CORRECTNESS_r03.json)
+    "d1_exact_dedup_groups": 3, "d2_dedup_survivors": 3,
+    "d3_jaccard_pairs": 3, "d4_minhash_lsh_pairs": 3,
+    "d5_simhash_signatures": 3, "d6_dedup_corpus": 3, "d7_decontaminate": 3,
+    "s1_knn_bruteforce": 3, "s2_ann_lsh": 3, "s3_cosine_neardup_pairs": 3,
+    "s4_ivf_probe": 3,
+    "m1_media_metadata": 3, "m2_decode_features": 3, "m3_frame_sample": 3,
+    "st1_stream_window_counts": 3, "st2_stateful_user_totals": 3,
+    "t7_rolling_fingerprint": 3, "e4b_trend_arrow": 3,
+    "q12_shipping_delay": 3, "e5_daily_retention": 3,
+    "a1_pivot_event_matrix": 3, "a3_ordered_collections": 3,
+    "q16_supplier_diversity": 3,
+    "w1_top_orders_per_customer": 3, "u1_account_ledger_union": 3,
+    "r1_rollup_subtotals": 3, "u2_set_operations": 3,
+    "q2_min_cost_supplier": 3, "q20_dominant_share_shippers": 3,
+    "q21_sole_spoiler_suppliers": 3,
+    "e1_hourly_rollup": 3, "e2_sessionization": 3, "e3_asof_attribution": 3,
+    "e4_user_value_trend": 3, "e6_json_props": 3, "e7_funnel": 3,
+    "d1_surrogate_key": 3, "d2_token_stats": 3, "d3_term_scoring": 3,
+    "sv1_scholar_date_derivation": 3, "sv2_arxiv_id_parse": 3,
+    "sv3_struct_audit": 3,
+    "a2_value_percentiles": 3, "a4_multi_distinct": 3,
+    "sql1_priority_revenue": 3,
+    "t1_language_id": 3, "t2_quality_score": 3, "t3_token_histogram": 3,
+    "t4_doc_fingerprint": 3, "t5_token_count": 3,
+}
 
 
 def _ordered(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
-    head = [n for n in _PRIORITY if n in reg]
-    tail = [n for n in _VERIFIED_TAIL if n in reg]
-    placed = set(head) | set(tail)
-    mid = [n for n in reg if n not in placed]
-    return {n: reg[n] for n in (*head, *mid, *tail)}
+    """Stalest verification evidence first; registration order breaks
+    ties (stable: dicts preserve insertion order)."""
+    names = sorted(reg, key=lambda n: _VERIFIED_ROUND.get(n, 0))
+    return {n: reg[n] for n in names}
 
 
 def all_queries(strict: bool = False) -> dict[str, QuerySpec]:

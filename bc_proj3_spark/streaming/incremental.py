@@ -72,15 +72,19 @@ def st1_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     sink = f"st1_sink_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="st1-ckpt-"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with tempfile.TemporaryDirectory(prefix="st1-ckpt-") as ckpt:
+        # AvailableNow drains the whole backlog in this one call, so the
+        # checkpoint is dead state once the query terminates — scope it
+        # to the drain (a restartable deployment passes a durable dir).
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(sink).select(
         "event_type", F.col("w.start").alias("window_start"), "n_events"
     )
@@ -242,13 +246,15 @@ def st2_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = f"st2_sink_{uuid.uuid4().hex[:8]}"
-    query = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="st2-ckpt-"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with tempfile.TemporaryDirectory(prefix="st2-ckpt-") as ckpt:
+        # checkpoint scoped to the AvailableNow drain, as in st1
+        query = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(sink)

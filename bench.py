@@ -57,17 +57,23 @@ def main() -> None:
     runs: dict[str, int] = {}
     for name in sorted(specs):
         best = None
+        last_err = None
         for _ in range(n_runs):
             try:
                 t = round(_run_once(spark, specs[name].builder, sf_dir), 3)
             except Exception as exc:  # keep benching the rest
-                failures[name] = repr(exc)[:200]
+                last_err = repr(exc)[:200]
                 print(f"bench: {name} FAILED: {exc!r}", file=sys.stderr)
                 break
             best = t if best is None else min(best, t)
             runs[name] = runs.get(name, 0) + 1
         if best is not None:
             timings[name] = best
+        else:
+            # a query is a FAILURE only when no run succeeded; a partial
+            # failure (run 1 ok, run 2 threw) keeps its timing and shows
+            # up as runs[name] < runs_per_query.
+            failures[name] = last_err or "no runs attempted"
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -76,6 +82,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs_per_query": n_runs,
+        "runs": runs,
         "estimator": "min_of_n_uniform",
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
