@@ -28,9 +28,23 @@ import time
 import uuid
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 LAYERS = ("bronze", "silver", "gold")
+
+
+def _write_counted(df: DataFrame, path: str, partition_by: list[str] | None) -> int:
+    """Write ``df`` as parquet and return the rows written, counted by
+    the WRITE JOB itself via ``df.observe`` — never a second read-back
+    scan of what was just written (at 100 TB that re-scan is a full
+    extra pass over the output)."""
+    obs = Observation()
+    writer = df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return int(obs.get["rows"])
 
 
 class Catalog:
@@ -86,17 +100,70 @@ class Catalog:
         (the partition-pruning seam SURVEY.md §4 calls for)."""
         target = self.path(layer, name)
         # NOTE: no '.'/'_' prefix — Spark's file index silently ignores
-        # hidden/metadata paths, which would break the row-count read-back.
+        # hidden/metadata paths, which would break later reads of the dir.
         tmp = target.with_name(f"tmp-{name}-{uuid.uuid4().hex[:8]}")
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(str(tmp))  # materializes BEFORE the swap
-        rows = self.spark.read.parquet(str(tmp)).count()
+        rows = _write_counted(df, str(tmp), partition_by)  # materializes BEFORE the swap
         if target.exists():
             shutil.rmtree(target)
         tmp.rename(target)
         self._write_meta(layer, name, df.columns, partition_by)
+        return rows
+
+    def overwrite_partitions(
+        self, layer: str, name: str, df: DataFrame, partition_values: list
+    ) -> int:
+        """Dynamic-partition overwrite: replace ONLY the listed
+        partitions of an existing partitioned table with ``df``'s
+        contents, leaving every other partition's files untouched.
+
+        This is the file-pruning half of Delta's MERGE INTO
+        (silver_arxiv.py:130-152): the caller computes which partitions
+        a merge touches, and the rewrite cost becomes proportional to
+        the TOUCHED data, not the table — the difference between a
+        daily upsert that rewrites one day and one that rewrites 100 TB.
+
+        ``df`` must contain only rows whose partition value is in
+        ``partition_values`` (guarded below — a row outside the listed
+        set would otherwise be silently dropped by the swap). A listed
+        value with no rows in ``df`` has its partition DELETED (the
+        merge emptied it). Returns rows written.
+        """
+        meta = self._read_meta(layer, name) or {}
+        pby = meta.get("partition_by") or []
+        if len(pby) != 1:
+            raise ValueError(
+                f"{layer}.{name}: partition-scoped overwrite needs exactly one "
+                f"partition column, table has {pby!r}"
+            )
+        if any(v is None for v in partition_values):
+            raise ValueError(
+                f"{layer}.{name}: null partition value — use full overwrite"
+            )
+        target = self.path(layer, name)
+        if not target.is_dir():
+            raise FileNotFoundError(f"table {layer}.{name} does not exist")
+        if not partition_values:
+            return 0
+        pcol = pby[0]
+        wanted = {f"{pcol}={v}" for v in partition_values}
+        tmp = target.with_name(f"tmp-{name}-{uuid.uuid4().hex[:8]}")
+        try:
+            rows = _write_counted(df, str(tmp), pby)
+            written = {p.name for p in tmp.iterdir() if p.name.startswith(f"{pcol}=")}
+            if not written <= wanted:
+                raise ValueError(
+                    f"{layer}.{name}: df contains partitions outside the "
+                    f"declared touched set: {sorted(written - wanted)}"
+                )
+            for dirname in wanted:
+                old = target / dirname
+                if old.exists():
+                    shutil.rmtree(old)
+                new = tmp / dirname
+                if new.exists():
+                    new.rename(old)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         return rows
 
     def append(self, layer: str, name: str, df: DataFrame) -> None:

@@ -17,9 +17,11 @@ The semantic core of the reference's silver layer
   SURVEY.md §7.4.1).
 
 Scale notes: the merge rewrite shuffles both sides on the key once —
-the same physical shape Delta's MERGE lowers to. Unlike Delta it
-rewrites the whole table (no file-level pruning); the catalog's
-partition_by seam is where run_date partitioning bounds the rewrite.
+the same physical shape Delta's MERGE lowers to. With ``partition_col``
+it also computes the partition-scoped rewrite plan (touched partitions
++ their replacement rows), which ``Catalog.overwrite_partitions`` turns
+into Delta-style file pruning: the daily upsert rewrites only the
+run_date partitions the batch touches, not the table.
 Metrics (inserted/updated) are computed from the same join results the
 rewrite already materializes — the engine-side stand-in for
 DESCRIBE HISTORY's operationMetrics (silver_arxiv.py:175-184, S15).
@@ -51,6 +53,15 @@ class MergeResult:
     #: computation; callers unpersist via :meth:`cleanup` after the
     #: result is written.
     caches: tuple[DataFrame, ...] = ()
+    #: partition-scoped rewrite plan, populated when merge_upsert is
+    #: given ``partition_col``: the distinct partition values the merge
+    #: touches, and a replacement frame holding ONLY those partitions'
+    #: new contents (kept ∪ updated ∪ inserted rows within them). None
+    #: when partition scoping was not requested or is unsafe (a touched
+    #: partition value is null) — callers then fall back to ``df`` +
+    #: full overwrite.
+    touched_partitions: list | None = None
+    scoped_df: DataFrame | None = None
 
     def cleanup(self) -> None:
         for c in self.caches:
@@ -104,6 +115,7 @@ def merge_upsert(
     src: DataFrame,
     key: str,
     update_when: Column,
+    partition_col: str | None = None,
 ) -> MergeResult:
     """Pure-Spark MERGE: update matched rows satisfying ``update_when``
     (a predicate over ``tgt.<c>``/``src.<c>`` aliases), insert unmatched
@@ -116,31 +128,78 @@ def merge_upsert(
     materialized by the metric counts, so the final write reads them
     from cache instead of re-running the merge joins — metrics and
     rewrite share one computation. Callers unpersist via
-    ``MergeResult.cleanup()`` once the result is written."""
+    ``MergeResult.cleanup()`` once the result is written.
+
+    ``partition_col``: when the target table is laid out by this column
+    (e.g. run_date), also compute the partition-scoped rewrite plan —
+    the Delta-style file pruning the reference gets from MERGE INTO
+    (silver_arxiv.py:130-152). Touched partitions are: the OLD partition
+    of every updated target row (its stale version must be removed from
+    wherever it lives), plus the partition of every incoming updated /
+    inserted row. ``scoped_df`` is then kept-rows-within-touched ∪
+    updated ∪ inserts — everything ``Catalog.overwrite_partitions``
+    needs to rewrite only that data. The kept-rows filter is a
+    partition-pruning predicate, so the scoped plan never scans the
+    untouched table. Cost is one extra distinct-collect of a handful of
+    partition values; the merge joins themselves are unchanged.
+    """
     from pyspark import StorageLevel
 
     cols = tgt.columns
     t, s = tgt.alias("tgt"), src.alias("src")
     joined = t.join(s, F.col(f"tgt.{key}") == F.col(f"src.{key}"), "inner")
 
-    updated = joined.filter(update_when).select(
-        *[F.col(f"src.{c}").alias(c) for c in cols]
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    upd_sel = [F.col(f"src.{c}").alias(c) for c in cols]
+    if partition_col is not None:
+        # carry the target row's OLD partition alongside the new values
+        upd_sel.append(F.col(f"tgt.{partition_col}").alias("__old_part"))
+    upd = joined.filter(update_when).select(*upd_sel).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    updated = upd.select(*[F.col(c) for c in cols])
     updated_keys = updated.select(F.col(key))
     kept = tgt.join(updated_keys, on=key, how="left_anti")
     inserts = src.join(tgt.select(key), on=key, how="left_anti").select(
         *[F.col(c) for c in cols]
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    n_updated = updated.count()
+    n_updated = upd.count()
     n_inserted = inserts.count()
     # re-assert tgt's column order: the USING-style anti join above
     # promotes the key column to the front of `kept`
     out = (
         kept.unionByName(updated).unionByName(inserts).select(*[F.col(c) for c in cols])
     )
+
+    touched: list | None = None
+    scoped: DataFrame | None = None
+    if partition_col is not None:
+        parts = (
+            upd.select(F.col("__old_part").alias("p"))
+            .union(upd.select(F.col(partition_col).alias("p")))
+            .union(inserts.select(F.col(partition_col).alias("p")))
+            .distinct()
+            .collect()  # handful of partition values, read from cache
+        )
+        touched = sorted({r["p"] for r in parts}, key=str)
+        if any(v is None for v in touched):
+            touched = scoped = None  # null partition → full rewrite
+        else:
+            kept_scoped = tgt.filter(
+                F.col(partition_col).isin(touched)
+            ).join(updated_keys, on=key, how="left_anti")
+            scoped = (
+                kept_scoped.unionByName(updated)
+                .unionByName(inserts)
+                .select(*[F.col(c) for c in cols])
+            )
     return MergeResult(
-        df=out, inserted=n_inserted, updated=n_updated, caches=(updated, inserts)
+        df=out,
+        inserted=n_inserted,
+        updated=n_updated,
+        caches=(upd, inserts),
+        touched_partitions=touched,
+        scoped_df=scoped,
     )
 
 

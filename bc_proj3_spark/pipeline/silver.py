@@ -94,10 +94,19 @@ def silver_arxiv(
         src = keyed.filter(F.col("updated_dt") >= F.lit(watermark))
         tgt = catalog.read("silver", table)
         res = inc.merge_upsert(
-            tgt, src, key="id", update_when=F.col("src.version") > F.col("tgt.version")
+            tgt, src, key="id",
+            update_when=F.col("src.version") > F.col("tgt.version"),
+            partition_col="run_date",
         )
         try:
-            catalog.overwrite("silver", table, res.df, partition_by=["run_date"])
+            if res.scoped_df is not None:
+                # rewrite ONLY the run_date partitions the batch touched
+                # (Delta-style pruning; untouched partitions' files stay)
+                catalog.overwrite_partitions(
+                    "silver", table, res.scoped_df, res.touched_partitions
+                )
+            else:  # null run_date in the touched set — full rewrite
+                catalog.overwrite("silver", table, res.df, partition_by=["run_date"])
         finally:
             res.cleanup()  # release merge branches even on write failure
         inserted, updated = res.inserted, res.updated
