@@ -19,10 +19,12 @@ that to *content* identity, the thing an LLM-corpus pipeline dedups on.
 Scale notes (100 TB posture):
 - every operator is explode → shuffle-on-key → agg; no driver-side
   loops, no cross joins, no Python workers.
-- exact Jaccard (d3) is the *verifier*; its inverted-index join is
-  fine while shingle document-frequency is bounded, but the hot-shingle
-  worst case is quadratic — at corpus scale you run d4 (LSH) so the
-  pairwise work is bucket-local, then verify candidates only.
+- the shingle index is document-frequency capped (shingle_df_cap):
+  boilerplate shingles — the quadratic hot keys of any inverted-index
+  self-join — are dropped before signatures/joins, identically in the
+  Spark plan and the DuckDB oracle. With the cap, d3's self-join input
+  is bounded; at corpus scale you still run d4 (LSH) so the pairwise
+  work is bucket-local, then verify candidates only.
 - MinHash signatures are fixed-width (K ints/doc): the groupBy that
   builds them is a single map-side-combinable aggregation.
 """
@@ -42,6 +44,21 @@ NUM_HASHES = 16
 NUM_BANDS = 4
 ROWS_PER_BAND = 4
 JACCARD_THRESHOLD = 0.2
+
+# Shingle document-frequency cap: a shingle appearing in more than
+# max(n_docs // DIV, MIN) documents is boilerplate (license headers,
+# navigation chrome) — it contributes ~no Jaccard discrimination but is
+# THE quadratic blow-up in any inverted-index self-join (a shingle in m
+# docs yields m² candidate pairs). Dropping capped shingles bounds d3's
+# self-join fan-out and shrinks d4/d6's signature + verification index.
+# Applied identically in the Spark plan and the DuckDB oracle (floor
+# division in both engines) so cross-engine hashes still match.
+SHINGLE_DF_CAP_DIV = 100
+SHINGLE_DF_CAP_MIN = 20
+
+
+def shingle_df_cap(n_docs: int) -> int:
+    return max(n_docs // SHINGLE_DF_CAP_DIV, SHINGLE_DF_CAP_MIN)
 
 _WS = r"\s+"
 
@@ -90,7 +107,10 @@ def shingles(col: Column, n: int = 3) -> Column:
 #:
 #: The source relation is a {src} placeholder (see :func:`_sql_shingles`)
 #: so survivor-scoped variants (d6) substitute explicitly instead of
-#: string-replacing the shared CTE after the fact.
+#: string-replacing the shared CTE after the fact. ``sh`` is the
+#: DF-capped index (see SHINGLE_DF_CAP_DIV): shingles whose document
+#: frequency exceeds max(count({src}) // DIV, MIN) are dropped BEFORE
+#: signatures/joins/sizes, mirroring _shingle_pairs exactly.
 _SQL_SHINGLES_TMPL = """
 toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM {src}
@@ -102,12 +122,18 @@ shs AS (
   FROM toks
 ),
 hs AS (SELECT doc_id, md5(s) AS h FROM shs),
-sh AS (
+sh0 AS (
   SELECT doc_id,
          ('0x' || substr(h, 1, 15))::BIGINT AS k,
          ('0x' || substr(h, 1, 8))::BIGINT AS a,
          ('0x' || substr(h, 9, 8))::BIGINT AS b
   FROM hs
+),
+sh AS (
+  SELECT doc_id, k, a, b FROM (
+    SELECT sh0.*, COUNT(*) OVER (PARTITION BY k) AS dfreq FROM sh0
+  ) capped
+  WHERE dfreq <= (SELECT greatest(count(*) // {cap_div}, {cap_min}) FROM {src})
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
 """
@@ -115,7 +141,9 @@ sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
 
 def _sql_shingles(src: str = "documents") -> str:
     """The hashed-shingle CTE block over a named source relation."""
-    return _SQL_SHINGLES_TMPL.format(src=src)
+    return _SQL_SHINGLES_TMPL.format(
+        src=src, cap_div=SHINGLE_DF_CAP_DIV, cap_min=SHINGLE_DF_CAP_MIN
+    )
 
 
 _MOD32 = 1 << 32
@@ -131,20 +159,41 @@ def _minhash_col(i: int) -> Column:
     ).alias(f"h{i}")
 
 
-def _shingle_pairs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(sh, sizes): hashed distinct-shingle index and per-doc counts.
+def _shingle_pairs(
+    docs: DataFrame, n_docs: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(sh, sizes): hashed distinct-shingle index and per-doc counts,
+    with the document-frequency cap applied (see SHINGLE_DF_CAP_DIV).
 
     sh carries (doc_id, k, a, b) — see _SQL_SHINGLES for the layout
-    rationale. All downstream joins use the compact integer key k."""
+    rationale. All downstream joins use the compact integer key k.
+
+    The cap is a count-window over k + filter: ONE extra shuffle of the
+    slim (doc_id,k,a,b) index, single-pass (no second traversal of the
+    expensive explode→md5 subtree, unlike a hot-key anti join), and it
+    leaves the index hash-partitioned BY k — which d3's self-join on k
+    then reuses straight from cache instead of re-shuffling both sides.
+    ``n_docs`` avoids a recount when the caller already materialized the
+    doc count (d6's survivor set)."""
+    from pyspark.sql.window import Window
+
+    if n_docs is None:
+        n_docs = docs.count()  # parquet metadata count — no data scan
+    cap = shingle_df_cap(n_docs)
     shs = fanout(docs).select(
         "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("s")
     )
     h = F.md5(F.col("s"))
-    sh = shs.select(
+    sh0 = shs.select(
         "doc_id",
         F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint").alias("k"),
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("a"),
         F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("b"),
+    )
+    sh = (
+        sh0.withColumn("_dfreq", F.count(F.lit(1)).over(Window.partitionBy("k")))
+        .filter(F.col("_dfreq") <= cap)
+        .drop("_dfreq")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     return sh, sizes
@@ -306,8 +355,11 @@ def d3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pair generation is an inverted-index self-join on the compact
     integer shingle key (shuffle on `k`), never a doc×doc cross join.
-    Hot shingles are the quadratic worst case — at corpus scale run d4
-    (MinHash LSH) and use this only as the verifier on candidates.
+    The document-frequency cap (shingle_df_cap) bounds the self-join
+    fan-out: a shingle in m docs yields m² pairs, and capped boilerplate
+    shingles carry ~no Jaccard signal, so dropping them makes the join
+    input scale-safe. At corpus scale still prefer d4 (MinHash LSH) and
+    use this shape as the verifier on candidates.
 
     The shingle index feeds both self-join sides plus the size lookup;
     persist + count it so the explode→hash subtree runs once (see d4).
@@ -618,8 +670,8 @@ def d6_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    surv.count()
-    sh, _sizes = _shingle_pairs(surv)
+    n_surv = surv.count()
+    sh, _sizes = _shingle_pairs(surv, n_docs=n_surv)
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sh.count()
     pairs = _verified_jaccard(_lsh_candidate_pairs(sh), sh)
@@ -664,8 +716,24 @@ GROUP BY tr.doc_id
 """
 
 
+#: Broadcast the eval n-gram index only while it is benchmark-sized.
+#: ~24 bytes/row (two bigints + overhead) → 2M rows ≈ 50 MB, inside
+#: executor broadcast comfort; past that the plan degrades gracefully
+#: to a shuffle join (which AQE may still convert at runtime if the
+#: materialized side turns out small).
+D7_BROADCAST_MAX_ROWS = 2_000_000
+
+
 @register("d7_decontaminate", _D7_ORACLE)
 def d7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate(spark, sf_dir)
+
+
+def decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_max_rows: int = D7_BROADCAST_MAX_ROWS,
+) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any exact
     word-n-gram (n=4 here; 8-13 in production — the synthetic corpus
     shares almost no 8-grams, which would make the check vacuous) with a
@@ -673,17 +741,21 @@ def d7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the real benchmark corpus).
 
     The shape is an inverted-index join on the hashed shingle key — the
-    eval side is tiny relative to the corpus, so its index is persisted
-    (one materialization) and broadcast, and the training side then
-    streams through a single scan with no shuffle of the big side. (In
-    this synthetic setup eval docs are carved out of the same table by
-    doc_id, so building the eval index itself costs one additional
-    corpus scan; in production the eval benchmark is its own small
-    table and that scan disappears.) At 100 TB this is the plan you
-    want: contamination checks are eval-index lookups, never corpus
-    self-joins. Longer n-grams keep the index selective; keys come from
-    the shared 60-bit md5-prefix family (functions/hashing.py
-    :func:`hash60` / :func:`sql_hash60`)."""
+    eval side is usually tiny relative to the corpus, so its index is
+    persisted (one materialization) and, WHEN its materialized row count
+    is under ``broadcast_max_rows``, broadcast so the training side
+    streams through a single scan with no shuffle of the big side. The
+    eval index size is data-dependent (eval_docs × distinct n-grams), so
+    the hint is gated on the count the persist already pays for — an
+    oversized eval corpus falls back to a plain shuffle join instead of
+    blowing the broadcast limit. (In this synthetic setup eval docs are
+    carved out of the same table by doc_id, so building the eval index
+    itself costs one additional corpus scan; in production the eval
+    benchmark is its own small table and that scan disappears.) At
+    100 TB this is the plan you want: contamination checks are
+    eval-index lookups, never corpus self-joins. Longer n-grams keep the
+    index selective; keys come from the shared 60-bit md5-prefix family
+    (functions/hashing.py :func:`hash60` / :func:`sql_hash60`)."""
     from pyspark import StorageLevel
 
     docs = table(spark, sf_dir, "documents")
@@ -699,10 +771,11 @@ def d7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("eval_doc_id"), "k")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ev.count()
+    n_ev = ev.count()
+    ev_side = F.broadcast(ev) if n_ev <= broadcast_max_rows else ev
     tr = hashed.filter(F.col("doc_id") % 50 != 0)
     return (
-        tr.join(F.broadcast(ev), "k")
+        tr.join(ev_side, "k")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("k").alias("n_shingles"),

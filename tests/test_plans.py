@@ -63,6 +63,22 @@ def test_q19_disjunction_factored_to_scan(spark):
     assert "p_brand" in pushed or "l_quantity" in pushed
 
 
+def test_d7_broadcast_gated_on_eval_index_size(spark):
+    """d7's eval-index broadcast hint is applied only under the row
+    threshold; an oversized eval corpus falls back to a shuffle join
+    (same values either way). The hint is asserted on the ANALYZED plan
+    (ResolvedHint) — at test scale the optimizer may still auto-pick a
+    broadcast from size stats, which is fine; the gate's job is to stop
+    FORCING it at scale."""
+    from bc_proj3_spark.operators.dedup import decontaminate
+
+    hinted = decontaminate(spark, SF)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    gated = decontaminate(spark, SF, broadcast_max_rows=0)
+    assert "ResolvedHint" not in gated._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, hinted.collect())) == sorted(map(tuple, gated.collect()))
+
+
 def test_d4_lsh_is_hash_join_not_cartesian(spark):
     plan = _physical(spark, "d4_minhash_lsh_pairs")
     assert "CartesianProduct" not in plan
