@@ -168,14 +168,19 @@ def _shingle_pairs(
     sh carries (doc_id, k, a, b) — see _SQL_SHINGLES for the layout
     rationale. All downstream joins use the compact integer key k.
 
-    The cap is a count-window over k + filter: ONE extra shuffle of the
-    slim (doc_id,k,a,b) index, single-pass (no second traversal of the
-    expensive explode→md5 subtree, unlike a hot-key anti join), and it
-    leaves the index hash-partitioned BY k — which d3's self-join on k
-    then reuses straight from cache instead of re-shuffling both sides.
-    ``n_docs`` avoids a recount when the caller already materialized the
-    doc count (d6's survivor set)."""
-    from pyspark.sql.window import Window
+    The cap is enforced as a broadcast ANTI join against the hot-key
+    list: the hot-key aggregate shuffles only (k, count) pairs, the list
+    of keys over the cap is tiny (boilerplate is rare by definition),
+    and the filter itself is then map-side — no sort, no shuffle of the
+    index. (A count-window over k would need WindowExec's full sort of
+    the index — measured ~2× slower end-to-end at sf0.1.) The raw index
+    is persisted here so the hot-key branch and the anti-join probe
+    share ONE materialization of the expensive explode→md5 subtree; the
+    returned ``sh`` comes back ALREADY persisted + materialized (the
+    raw-index cache is dropped before returning), and the CALLER owns
+    ``sh.unpersist()``. ``n_docs`` avoids a recount when the caller
+    already materialized the doc count (d6's survivor set)."""
+    from pyspark import StorageLevel
 
     if n_docs is None:
         n_docs = docs.count()  # parquet metadata count — no data scan
@@ -189,12 +194,18 @@ def _shingle_pairs(
         F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint").alias("k"),
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("a"),
         F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("b"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hot = (
+        sh0.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") > cap)
+        .select("k")
     )
-    sh = (
-        sh0.withColumn("_dfreq", F.count(F.lit(1)).over(Window.partitionBy("k")))
-        .filter(F.col("_dfreq") <= cap)
-        .drop("_dfreq")
+    sh = sh0.join(F.broadcast(hot), "k", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    sh.count()  # materialize capped index, then drop the raw one
+    sh0.unpersist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     return sh, sizes
 
@@ -362,15 +373,14 @@ def d3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     use this shape as the verifier on candidates.
 
     The shingle index feeds both self-join sides plus the size lookup;
-    persist + count it so the explode→hash subtree runs once (see d4).
-    The final pair list is persisted + materialized so the index can be
-    unpersisted before returning (no caller-side cache cleanup owed)."""
+    _shingle_pairs returns it persisted + materialized so the
+    explode→hash subtree runs once (see d4). The final pair list is
+    persisted + materialized so the index can be unpersisted before
+    returning (no caller-side cache cleanup owed)."""
     from pyspark import StorageLevel
 
     docs = table(spark, sf_dir, "documents")
     sh, sizes = _shingle_pairs(docs)
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sh.count()
     common = (
         sh.alias("a")
         .join(
@@ -470,12 +480,8 @@ def d4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so repeated builder calls reuse one entry. Intermediates are
     unpersisted once the (small, persisted) verified pair list is
     materialized."""
-    from pyspark import StorageLevel
-
     docs = table(spark, sf_dir, "documents")
-    sh, _sizes = _shingle_pairs(docs)
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sh.count()
+    sh, _sizes = _shingle_pairs(docs)  # returned persisted + materialized
     out = _verified_jaccard(_lsh_candidate_pairs(sh), sh)
     sh.unpersist()
     return out
@@ -671,9 +677,7 @@ def d6_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_surv = surv.count()
-    sh, _sizes = _shingle_pairs(surv, n_docs=n_surv)
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sh.count()
+    sh, _sizes = _shingle_pairs(surv, n_docs=n_surv)  # persisted inside
     pairs = _verified_jaccard(_lsh_candidate_pairs(sh), sh)
     sh.unpersist()
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
