@@ -176,6 +176,70 @@ class Catalog:
             writer = writer.partitionBy(*meta["partition_by"])
         writer.parquet(str(self.path(layer, name)))
 
+    def compact(self, layer: str, name: str, min_files: int = 2) -> dict:
+        """OPTIMIZE-style small-file compaction — Delta's table
+        maintenance verb (the reference gets it from Databricks; here
+        it's the answer to what incremental appends do to a table:
+        every dedup-append lands one more small file per partition, and
+        at a daily cadence a year of runs is 365 tiny files per
+        partition, which at 100 TB turns every scan into a metadata +
+        seek storm).
+
+        Partitioned tables: each partition directory holding >=
+        ``min_files`` data files is rewritten into one file (the
+        replacement frame is repartitioned BY the partition column, so
+        each value lands in exactly one task → one output file); clean
+        partitions are not touched, reusing the overwrite_partitions
+        swap. Unpartitioned tables: the whole table is rewritten into a
+        single file when it has >= ``min_files``.
+
+        Returns {partition_dir_or_'': (files_before, files_after)} for
+        the rewritten units and logs a COMPACT history entry
+        (DESCRIBE HISTORY parity — Delta's OPTIMIZE shows up the same
+        way).
+        """
+        meta = self._read_meta(layer, name) or {}
+        pby = meta.get("partition_by") or []
+        target = self.path(layer, name)
+        if not self.exists(layer, name):
+            raise FileNotFoundError(f"table {layer}.{name} does not exist")
+
+        def _n_files(p: Path) -> int:
+            return sum(1 for f in p.glob("*.parquet"))
+
+        done: dict[str, tuple[int, int]] = {}
+        if not pby:
+            before = _n_files(target)
+            if before >= min_files:
+                df = self.read(layer, name).repartition(1)
+                self.overwrite(layer, name, df)
+                done[""] = (before, _n_files(self.path(layer, name)))
+        else:
+            pcol = pby[0]
+            dirty = {
+                p.name: _n_files(p)
+                for p in target.iterdir()
+                if p.name.startswith(f"{pcol}=") and _n_files(p) >= min_files
+            }
+            if dirty:
+                values = [d.split("=", 1)[1] for d in dirty]
+                df = (
+                    self.read(layer, name)
+                    .filter(F.col(pcol).cast("string").isin(values))
+                    .repartition(F.col(pcol))
+                )
+                self.overwrite_partitions(layer, name, df, values)
+                done = {
+                    d: (n, _n_files(target / d)) for d, n in dirty.items()
+                }
+        if done:
+            self.log_operation(
+                layer, name, "COMPACT",
+                filesBefore=sum(b for b, _ in done.values()),
+                filesAfter=sum(a for _, a in done.values()),
+            )
+        return done
+
     def drop(self, layer: str, name: str) -> None:
         """DROP TABLE IF EXISTS (history + metadata dropped with it)."""
         p = self.path(layer, name)

@@ -1,0 +1,151 @@
+"""Deterministic sampling / split operators over ``documents``.
+
+Training-data pipelines need REPRODUCIBLE membership decisions — which
+doc lands in train/val/test, which rows survive a downsample, how much
+of each source enters the corpus mix. RNG-backed sampling
+(``df.sample``) is neither stable across engines nor across re-runs
+with different partitioning, so every operator here derives membership
+from the content-addressed 60-bit md5 hash family
+(functions/hashing.py) — the same decision on any engine, any cluster
+size, any day. This extends the reference's only sampling-adjacent
+construct — deterministic key-based dedup membership
+(silver_nyt_archive.py:102-120) — to the splits an LLM corpus needs.
+
+Scale shapes (100 TB posture):
+
+- sp1/sp2 are pure map-side expressions (hash + modulo + CASE): no
+  shuffle, no state, trivially parallel, and the split column can be
+  used as a write-time partition key so downstream training readers
+  prune to their split.
+- sp3 is one rank window per source partition — a single shuffle on
+  ``source``; quotas are enforced without a global sort or a
+  driver-side pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bc_proj3_spark.functions.hashing import hash60, sql_hash60
+from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.registry import register
+
+#: split thresholds over hash-bucket % 100: [0,90) train, [90,95) val,
+#: [95,100) test — the conventional 90/5/5.
+TRAIN_PCT = 90
+VAL_PCT = 95
+
+#: sp2 keeps 1 in STRAT_MOD docs per language stratum.
+STRAT_MOD = 5
+
+#: sp3 admits the first MIX_QUOTA docs per source (by hash order).
+MIX_QUOTA = 10
+
+
+def _seeded(seed: str, *exprs) -> "F.Column":
+    """Seed-prefixed concat feeding hash60 — one seed per operator so
+    the hash families are independent (a doc's train/test fate must not
+    correlate with its sample fate)."""
+    return F.concat_ws(":", F.lit(seed), *exprs)
+
+
+def _sql_seeded(seed: str, *exprs: str) -> str:
+    return f"concat_ws(':', '{seed}', {', '.join(exprs)})"
+
+
+# ---------------------------------------------------------------------------
+# sp1 — deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+_SP1_ORACLE = f"""
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+            WHEN bucket < {VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         {sql_hash60(_sql_seeded('split', 'CAST(doc_id AS VARCHAR)'))} % 100 AS bucket
+  FROM documents
+) b
+"""
+
+
+@register("sp1_split_assign", _SP1_ORACLE)
+def sp1_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test assignment, content-addressed: bucket =
+    hash(doc_id) % 100. Adding documents never reassigns existing ones
+    (no RNG, no ordering dependence) — the property that keeps eval
+    sets stable as the corpus grows. Map-side only; zero shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = hash60(_seeded("split", F.col("doc_id").cast("string"))) % 100
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sp2 — stratified deterministic downsample (per-language Bernoulli)
+# ---------------------------------------------------------------------------
+
+_SP2_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {sql_hash60(_sql_seeded('strat', 'lang', 'CAST(doc_id AS VARCHAR)'))}
+      % {STRAT_MOD} = 0
+"""
+
+
+@register("sp2_stratified_sample", _SP2_ORACLE)
+def sp2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep a deterministic 1-in-{STRAT_MOD} of each language stratum:
+    the hash is seeded with the stratum so the kept fraction holds
+    PER LANGUAGE (independent coin per stratum), not just globally — a
+    plain filter, no shuffle, and re-runs keep exactly the same rows."""
+    docs = table(spark, sf_dir, "documents")
+    coin = hash60(_seeded("strat", F.col("lang"), F.col("doc_id").cast("string")))
+    return docs.filter(coin % STRAT_MOD == 0).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# sp3 — corpus-mix quota (first-K per source by hash order)
+# ---------------------------------------------------------------------------
+
+_SP3_ORACLE = f"""
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {sql_hash60(_sql_seeded('mix', 'CAST(doc_id AS VARCHAR)'))}, doc_id
+         ) AS rk
+  FROM documents
+) r
+WHERE rk <= {MIX_QUOTA}
+"""
+
+
+@register("sp3_corpus_mix_quota", _SP3_ORACLE)
+def sp3_corpus_mix_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit the first {MIX_QUOTA} docs per source, ordered by
+    content-addressed hash (doc_id tiebreak for a total order): a
+    deterministic per-source reservoir that caps any one source's share
+    of the training mix. One rank window per source partition — a
+    single shuffle on source; at 100 TB quotas stream per-partition
+    with no global sort."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    h = hash60(_seeded("mix", F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MIX_QUOTA)
+        .select("doc_id", "source")
+    )

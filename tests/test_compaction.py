@@ -1,0 +1,71 @@
+"""Catalog.compact — OPTIMIZE-style small-file maintenance.
+
+Incremental appends land one file per batch; compaction rewrites the
+fragmented partitions into one file each without touching clean ones,
+and records a COMPACT history entry (Delta OPTIMIZE parity).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from bc_proj3_spark.catalog import Catalog
+
+D1, D2 = datetime.date(2023, 4, 1), datetime.date(2023, 4, 2)
+
+
+def _files(catalog, layer, name, sub=""):
+    base = catalog.path(layer, name) / sub if sub else catalog.path(layer, name)
+    return sorted(str(p) for p in base.glob("*.parquet"))
+
+
+def test_partitioned_compaction_rewrites_only_fragmented(spark, tmp_path):
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    mk = lambda rows: spark.createDataFrame(rows, ["id", "run_date"])
+    catalog.overwrite("silver", "t", mk([("a", D1), ("b", D2)]),
+                      partition_by=["run_date"])
+    # three appends fragment ONLY the D2 partition
+    for i in range(3):
+        catalog.append("silver", "t", mk([(f"x{i}", D2)]))
+
+    frag = len(_files(catalog, "silver", "t", "run_date=2023-04-02"))
+    assert frag >= 4
+    clean_before = _files(catalog, "silver", "t", "run_date=2023-04-01")
+    data_before = sorted(map(tuple, catalog.read("silver", "t").collect()))
+
+    done = catalog.compact("silver", "t")
+    assert set(done) == {"run_date=2023-04-02"}
+    before, after = done["run_date=2023-04-02"]
+    assert before == frag and after == 1
+    # clean partition untouched, data identical
+    assert _files(catalog, "silver", "t", "run_date=2023-04-01") == clean_before
+    assert sorted(map(tuple, catalog.read("silver", "t").collect())) == data_before
+    # history records the operation
+    top = catalog.history("silver", "t")[0]
+    assert top["operation"] == "COMPACT"
+    assert top["operationMetrics"] == {"filesBefore": frag, "filesAfter": 1}
+
+
+def test_unpartitioned_compaction_to_single_file(spark, tmp_path):
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(100).select(F.col("id"))
+    catalog.overwrite("silver", "flat", df.repartition(8))
+    assert len(_files(catalog, "silver", "flat")) >= 2
+    data_before = sorted(r["id"] for r in catalog.read("silver", "flat").collect())
+
+    done = catalog.compact("silver", "flat")
+    assert "" in done and done[""][1] == 1
+    assert len(_files(catalog, "silver", "flat")) == 1
+    assert sorted(r["id"] for r in catalog.read("silver", "flat").collect()) == data_before
+
+
+def test_compaction_noop_below_threshold(spark, tmp_path):
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([("a", D1)], ["id", "run_date"]).coalesce(1)
+    catalog.overwrite("silver", "t", df, partition_by=["run_date"])
+    files_before = _files(catalog, "silver", "t", "run_date=2023-04-01")
+    assert catalog.compact("silver", "t") == {}
+    assert _files(catalog, "silver", "t", "run_date=2023-04-01") == files_before
+    assert all(h["operation"] != "COMPACT" for h in catalog.history("silver", "t"))
