@@ -163,7 +163,7 @@ def _shingle_pairs(
     docs: DataFrame, n_docs: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(sh, sizes): hashed distinct-shingle index and per-doc counts,
-    with the document-frequency cap applied (see SHINGLE_DF_CAP_DIV).
+    with the document-frequency cap applied (SHINGLE_DF_CAP_DIV).
 
     sh carries (doc_id, k, a, b) — see _SQL_SHINGLES for the layout
     rationale. All downstream joins use the compact integer key k.
@@ -173,11 +173,16 @@ def _shingle_pairs(
     of keys over the cap is tiny (boilerplate is rare by definition),
     and the filter itself is then map-side — no sort, no shuffle of the
     index. (A count-window over k would need WindowExec's full sort of
-    the index — measured ~2× slower end-to-end at sf0.1.) The raw index
-    is persisted here so the hot-key branch and the anti-join probe
-    share ONE materialization of the expensive explode→md5 subtree; the
-    returned ``sh`` comes back ALREADY persisted + materialized (the
-    raw-index cache is dropped before returning), and the CALLER owns
+    the index — measured ~2× slower end-to-end at sf0.1.)
+
+    Caching: the raw index is persisted so the hot-key branch and the
+    anti-join probe share ONE materialization of the expensive
+    explode→md5 subtree; the CAPPED index is then persisted +
+    materialized itself and the raw cache dropped before returning —
+    every later job (self-joins, signatures, candidate verification,
+    each a separate plan) reads the capped blocks directly instead of
+    re-deriving the anti join and re-shuffling the hot-key aggregate
+    per plan (measured slower as a lazy view). Callers own
     ``sh.unpersist()``. ``n_docs`` avoids a recount when the caller
     already materialized the doc count (d6's survivor set)."""
     from pyspark import StorageLevel

@@ -37,6 +37,7 @@ def test_hot_shingle_dropped_sizes_post_cap(spark):
     assert got == {i: 2 for i in range(n)}
     # the dropped shingle's key appears nowhere in the capped index
     assert sh.groupBy("k").count().filter(F.col("count") > 1).count() == 0
+    sh.unpersist()
 
 
 def test_under_cap_shingles_survive(spark):
@@ -46,3 +47,4 @@ def test_under_cap_shingles_survive(spark):
     _sh, sizes = _shingle_pairs(docs, n_docs=n)
     got = {r["doc_id"]: r["n"] for r in sizes.collect()}
     assert got == {i: 3 for i in range(n)}
+    _sh.unpersist()
