@@ -65,6 +65,11 @@ def test_scoped_merge_matches_full_merge_and_prunes_files(spark, tmp_path):
     assert res.inserted == 1 and res.updated == 1
     # touched: the updated row's OLD partition (D3) + the batch's (D4)
     assert res.touched_partitions == [D3, D4]
+    # the kept-rows branch scans ONLY the touched partitions — the
+    # isin() filter must surface as scan-level PartitionFilters
+    plan = res.scoped_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "run_date" in plan.split("PartitionFilters")[1][:80]
 
     expected = sorted(map(tuple, res.df.collect()))
     before_d1 = _file_state(catalog, "silver", "t", "run_date=2023-04-01")
