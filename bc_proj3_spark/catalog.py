@@ -240,6 +240,26 @@ class Catalog:
             )
         return done
 
+    def vacuum(self, layer: str, max_age_seconds: float = 24 * 3600.0) -> list[str]:
+        """Remove orphaned ``tmp-*`` write directories older than
+        ``max_age_seconds`` — Delta VACUUM's job, scoped to this
+        catalog's failure mode: overwrite/overwrite_partitions stage
+        into a tmp dir and clean up in-line, so a tmp dir can only
+        outlive its writer if the process died mid-write. The age guard
+        keeps a CONCURRENT writer's live staging dir safe (default 24 h,
+        same spirit as Delta's retention check). Returns removed paths.
+        """
+        removed: list[str] = []
+        base = self.warehouse / layer
+        if not base.is_dir():
+            return removed
+        cutoff = time.time() - max_age_seconds
+        for p in base.iterdir():
+            if p.is_dir() and p.name.startswith("tmp-") and p.stat().st_mtime < cutoff:
+                shutil.rmtree(p)
+                removed.append(str(p))
+        return removed
+
     def drop(self, layer: str, name: str) -> None:
         """DROP TABLE IF EXISTS (history + metadata dropped with it)."""
         p = self.path(layer, name)

@@ -61,6 +61,28 @@ def test_unpartitioned_compaction_to_single_file(spark, tmp_path):
     assert sorted(r["id"] for r in catalog.read("silver", "flat").collect()) == data_before
 
 
+def test_vacuum_removes_only_stale_tmp_dirs(spark, tmp_path):
+    import os
+    import time
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    catalog.overwrite(
+        "silver", "t", spark.createDataFrame([("a", D1)], ["id", "run_date"])
+    )
+    base = catalog.path("silver", "t").parent
+    stale, live = base / "tmp-t-dead1234", base / "tmp-t-live5678"
+    stale.mkdir()
+    live.mkdir()
+    old = time.time() - 48 * 3600
+    os.utime(stale, (old, old))
+
+    removed = catalog.vacuum("silver", max_age_seconds=24 * 3600)
+    assert removed == [str(stale)]
+    assert not stale.exists() and live.exists()  # concurrent writer safe
+    # the table itself is untouched
+    assert catalog.read("silver", "t").count() == 1
+
+
 def test_compaction_noop_below_threshold(spark, tmp_path):
     catalog = Catalog(spark, str(tmp_path / "wh"))
     df = spark.createDataFrame([("a", D1)], ["id", "run_date"]).coalesce(1)
