@@ -23,6 +23,7 @@ for partition pruning.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import time
 import uuid
@@ -48,9 +49,16 @@ def _write_counted(df: DataFrame, path: str, partition_by: list[str] | None) -> 
 
 
 class Catalog:
-    def __init__(self, spark: SparkSession, warehouse_dir: str):
+    def __init__(
+        self, spark: SparkSession, warehouse_dir: str, retain_versions: int = 0
+    ):
+        """``retain_versions``: number of PREVIOUS table states kept for
+        time travel (:meth:`read_version`). 0 (default) = none, the
+        original swap-and-delete behavior. Snapshots are hardlink trees
+        (O(files) metadata, zero data copy — see :meth:`_snapshot`)."""
         self.spark = spark
         self.warehouse = Path(warehouse_dir)
+        self.retain_versions = retain_versions
 
     # -- paths ------------------------------------------------------------
 
@@ -70,7 +78,14 @@ class Catalog:
         base = self.warehouse / layer
         if not base.is_dir():
             return []
-        return sorted(p.name for p in base.iterdir() if self.exists(layer, p.name))
+        return sorted(
+            p.name
+            for p in base.iterdir()
+            # '_'-prefixed dirs are catalog metadata (_meta/_history/
+            # _versions); 'tmp-' dirs are in-flight staged writes —
+            # neither is a table even when it holds parquet files.
+            if not p.name.startswith(("_", "tmp-")) and self.exists(layer, p.name)
+        )
 
     # -- read / write -----------------------------------------------------
 
@@ -103,6 +118,7 @@ class Catalog:
         # hidden/metadata paths, which would break later reads of the dir.
         tmp = target.with_name(f"tmp-{name}-{uuid.uuid4().hex[:8]}")
         rows = _write_counted(df, str(tmp), partition_by)  # materializes BEFORE the swap
+        self._snapshot(layer, name)  # time-travel retention (no-op unless enabled)
         if target.exists():
             shutil.rmtree(target)
         tmp.rename(target)
@@ -155,6 +171,8 @@ class Catalog:
                     f"{layer}.{name}: df contains partitions outside the "
                     f"declared touched set: {sorted(written - wanted)}"
                 )
+            self._snapshot(layer, name)  # hardlinks: cheap even though the
+            # snapshot covers the WHOLE table, not just touched partitions
             for dirname in wanted:
                 old = target / dirname
                 if old.exists():
@@ -171,10 +189,66 @@ class Catalog:
         The caller is responsible for dedup semantics (anti-join first,
         as in silver_nyt_archive.py:102-120)."""
         meta = self._read_meta(layer, name) or {}
+        self._snapshot(layer, name)  # pre-append state stays travelable
         writer = df.write.mode("append")
         if meta.get("partition_by"):
             writer = writer.partitionBy(*meta["partition_by"])
         writer.parquet(str(self.path(layer, name)))
+
+    # -- time travel (hardlink snapshots) ---------------------------------
+
+    def _versions_dir(self, layer: str, name: str) -> Path:
+        return self.warehouse / layer / "_versions" / name
+
+    def versions(self, layer: str, name: str) -> list[int]:
+        """Snapshot ids available for :meth:`read_version`, oldest first."""
+        base = self._versions_dir(layer, name)
+        if not base.is_dir():
+            return []
+        return sorted(int(p.name[1:]) for p in base.iterdir() if p.name[0] == "v")
+
+    def _snapshot(self, layer: str, name: str) -> int | None:
+        """Preserve the current table state as a read-only snapshot
+        before a destructive swap — the catalog's stand-in for Delta
+        time travel (``VERSION AS OF``), which the reference gets from
+        managed Delta alongside DESCRIBE HISTORY (silver_arxiv.py:175).
+
+        The snapshot is a HARDLINK tree: O(files) metadata operations,
+        zero data copied, and deleting either tree leaves the other's
+        links intact — so swap-and-delete of the live table never
+        disturbs a snapshot. (At 100 TB on object storage the same verb
+        is file-manifest retention, Delta/Iceberg's trick; hardlinks
+        are the posix-filesystem equivalent, same cost model.) Retention
+        is pruned to ``retain_versions``; returns the new snapshot id,
+        or None when versioning is off / table doesn't exist yet."""
+        if self.retain_versions <= 0 or not self.exists(layer, name):
+            return None
+        vs = self.versions(layer, name)
+        n = (vs[-1] + 1) if vs else 0
+        dst = self._versions_dir(layer, name) / f"v{n}"
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copytree(self.path(layer, name), dst, copy_function=os.link)
+        for old in self.versions(layer, name)[: -self.retain_versions]:
+            shutil.rmtree(self._versions_dir(layer, name) / f"v{old}")
+        return n
+
+    def read_version(self, layer: str, name: str, version: int = -1) -> DataFrame:
+        """Read a retained snapshot (``VERSION AS OF``): an id from
+        :meth:`versions`, or -1 for the newest snapshot (the state just
+        before the latest rewrite)."""
+        vs = self.versions(layer, name)
+        if not vs:
+            raise FileNotFoundError(f"{layer}.{name}: no retained versions")
+        v = vs[-1] if version == -1 else version
+        if v not in vs:
+            raise FileNotFoundError(
+                f"{layer}.{name}: version {version} not retained (have {vs})"
+            )
+        df = self.spark.read.parquet(str(self._versions_dir(layer, name) / f"v{v}"))
+        cols = self._read_cols(layer, name)
+        if cols and set(cols) == set(df.columns) and cols != df.columns:
+            df = df.select(*cols)
+        return df
 
     def compact(self, layer: str, name: str, min_files: int = 2) -> dict:
         """OPTIMIZE-style small-file compaction — Delta's table
@@ -268,6 +342,9 @@ class Catalog:
         for meta in (self._history_path(layer, name), self._meta_path(layer, name)):
             if meta.exists():
                 meta.unlink()
+        vdir = self._versions_dir(layer, name)
+        if vdir.exists():
+            shutil.rmtree(vdir)
 
     # -- table metadata (logical column order + partition spec) -----------
 
