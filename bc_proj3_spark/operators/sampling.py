@@ -42,6 +42,11 @@ STRAT_MOD = 5
 #: sp3 admits the first MIX_QUOTA docs per source (by hash order).
 MIX_QUOTA = 10
 
+#: sp4 packs documents into PACK_WINDOW-token context windows, sharded
+#: over PACK_BUCKETS independent packing streams.
+PACK_WINDOW = 2048
+PACK_BUCKETS = 8
+
 
 def _seeded(seed: str, *exprs) -> "F.Column":
     """Seed-prefixed concat feeding hash60 — one seed per operator so
@@ -148,4 +153,74 @@ def sp3_corpus_mix_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= MIX_QUOTA)
         .select("doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sp4 — sequence packing (greedy context-window fill)
+# ---------------------------------------------------------------------------
+
+def _sp4_oracle() -> str:
+    from bc_proj3_spark.operators.textstats import BPE_RE
+
+    h = sql_hash60(_sql_seeded("pack", "CAST(doc_id AS VARCHAR)"))
+    return f"""
+SELECT doc_id, bucket,
+       CAST(floor((cum - n_tokens) / {PACK_WINDOW}.0) AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, bucket, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                            ) AS cum
+  FROM (
+    SELECT doc_id,
+           {h} % {PACK_BUCKETS} AS bucket,
+           {h} AS h,
+           len(regexp_extract_all(lower(text), '{BPE_RE}')) AS n_tokens
+    FROM documents
+  ) t
+) c
+"""
+
+
+@register("sp4_sequence_packing", _sp4_oracle())
+def sp4_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document to a training context window: docs are
+    ordered deterministically (content-addressed hash), token lengths
+    (the BPE-ish count t5 uses for cost estimates) are cumulatively
+    summed, and a doc's pack is the window its first token lands in —
+    greedy packing, the standard pre-training batch-prep step.
+
+    Scale shape: a SINGLE global running sum would serialize the corpus
+    through one partition, so packing is sharded into {PACK_BUCKETS}
+    independent hash-bucket streams — the window's PARTITION BY is the
+    parallelism dimension (at 100 TB you raise PACK_BUCKETS to O(cores)
+    and each stream packs locally; windows are only ever per-bucket).
+    Output key (bucket, pack_id) is the global pack identity."""
+    from pyspark.sql.window import Window
+
+    from bc_proj3_spark.operators.textstats import BPE_RE
+
+    docs = table(spark, sf_dir, "documents")
+    h = hash60(_seeded("pack", F.col("doc_id").cast("string")))
+    n_tokens = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), F.lit(0))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = docs.select(
+        "doc_id",
+        (h % PACK_BUCKETS).alias("bucket"),
+        h.alias("h"),
+        n_tokens.alias("n_tokens"),
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    return staged.select(
+        "doc_id",
+        "bucket",
+        F.floor((F.col("cum") - F.col("n_tokens")) / float(PACK_WINDOW))
+        .cast("bigint")
+        .alias("pack_id"),
     )
