@@ -58,8 +58,15 @@ def run_pipeline(
     landing_dir: str,
     run_date: str,
     fresh: bool = False,
+    maintenance: bool = False,
 ) -> dict[str, StageResult]:
-    """One daily run. Returns per-stage results keyed by stage name."""
+    """One daily run. Returns per-stage results keyed by stage name.
+
+    ``maintenance``: after the load, compact silver tables fragmented by
+    the day's incremental appends and vacuum orphaned staging dirs —
+    the OPTIMIZE/VACUUM step a production daily DAG schedules alongside
+    the load (the reference gets it from Databricks table maintenance).
+    Off by default: tests and ad-hoc runs shouldn't churn files."""
     results: dict[str, StageResult] = {}
 
     import os
@@ -96,6 +103,20 @@ def run_pipeline(
         results["gold_words"] = StageResult("gold_words", SKIPPED)
         results["gold_scoring"] = StageResult("gold_scoring", SKIPPED)
 
+    if maintenance:
+        compacted: dict[str, int] = {}
+        for _, table, _fn in _SILVER:
+            if catalog.exists("silver", table):
+                done = catalog.compact("silver", table)
+                if done:
+                    compacted[table] = sum(b - a for b, a in done.values())
+        vacuumed = sum(len(catalog.vacuum(layer)) for layer in ("bronze", "silver", "gold"))
+        results["maintenance"] = StageResult(
+            "maintenance", LOADED,
+            metrics={"files_reclaimed": sum(compacted.values()),
+                     "tmp_dirs_vacuumed": vacuumed, **compacted},
+        )
+
     return results
 
 
@@ -117,6 +138,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--fresh", action="store_true", help="reset silver/gold first")
     ap.add_argument("--fetch", action="store_true",
                     help="also land synthetic batches first (offline sources)")
+    ap.add_argument("--maintenance", action="store_true",
+                    help="compact fragmented silver partitions + vacuum tmp dirs")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name=f"pipeline-{args.run_date}")
@@ -125,7 +148,10 @@ def main(argv: list[str] | None = None) -> int:
         from bc_proj3_spark.io import sources
 
         sources.fetch_all(args.run_date, args.landing, epoch=int(args.run_date))
-    results = run_pipeline(spark, catalog, args.landing, args.run_date, fresh=args.fresh)
+    results = run_pipeline(
+        spark, catalog, args.landing, args.run_date,
+        fresh=args.fresh, maintenance=args.maintenance,
+    )
     for r in results.values():
         print(f"{r.name:16s} {r.status:8s} rows={r.rows} {r.metrics or ''}")
     return 0

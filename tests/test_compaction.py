@@ -83,6 +83,36 @@ def test_vacuum_removes_only_stale_tmp_dirs(spark, tmp_path):
     assert catalog.read("silver", "t").count() == 1
 
 
+def test_runner_maintenance_stage(spark, tmp_path):
+    """--maintenance compacts the day's append fragmentation and reports
+    reclaimed files; the pipeline result is value-identical."""
+    from bc_proj3_spark.io import sources
+    from bc_proj3_spark.pipeline import run_pipeline
+
+    landing = str(tmp_path / "landing")
+    catalog = Catalog(spark, str(tmp_path / "warehouse"))
+    sources.fetch_all("20230401", landing, epoch=1000)
+    sources.fetch_all("20230402", landing, epoch=2000)
+    run_pipeline(spark, catalog, landing, "20230401")
+    before = sorted(
+        map(tuple, catalog.read("silver", "nytarchive").drop("load_ts").collect())
+    )
+    res = run_pipeline(spark, catalog, landing, "20230402", maintenance=True)
+    m = res["maintenance"].metrics
+    assert m["files_reclaimed"] >= 0 and "tmp_dirs_vacuumed" in m
+    # day-2 dedup-append fragmented nytarchive; maintenance compacted it
+    nyt_dirs = [
+        p for p in catalog.path("silver", "nytarchive").iterdir()
+        if p.name.startswith("run_date=")
+    ]
+    for d in nyt_dirs:
+        assert sum(1 for _ in d.glob("*.parquet")) == 1, d
+    after = sorted(
+        map(tuple, catalog.read("silver", "nytarchive").drop("load_ts").collect())
+    )
+    assert {t[:3] for t in after} >= {t[:3] for t in before}  # day-1 rows kept
+
+
 def test_compaction_noop_below_threshold(spark, tmp_path):
     catalog = Catalog(spark, str(tmp_path / "wh"))
     df = spark.createDataFrame([("a", D1)], ["id", "run_date"]).coalesce(1)
