@@ -183,6 +183,109 @@ def stream_silver_arxiv(
 
 
 # ---------------------------------------------------------------------------
+# st3 — streaming session windows (gap-based, engine-native)
+# ---------------------------------------------------------------------------
+
+#: Mirrors plans/events.py SESSION_GAP_US (30 min) — but session_window's
+#: boundary differs from e2's lag-rewrite at EXACTLY the gap: Spark
+#: merges an event into a session while event_ts < window_end
+#: (= prev_ts + gap), so equality starts a NEW session, whereas e2's
+#: `gap > threshold` keeps it. The oracle below uses >= to replay
+#: session_window's semantics exactly.
+_ST3_GAP = "30 minutes"
+_ST3_GAP_US = 30 * 60 * 1_000_000
+
+_ST3_ORACLE = f"""
+WITH flagged AS (
+  SELECT
+    user_id, ts, event_id, value,
+    CASE
+      WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+      WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= {_ST3_GAP_US} THEN 1
+      ELSE 0
+    END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *,
+    SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_seq
+  FROM flagged
+)
+SELECT
+  user_id,
+  MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL '{_ST3_GAP}' AS session_end,
+  COUNT(*) AS n_events,
+  {{dec_sum}}
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+def _st3_oracle() -> str:
+    from bc_proj3_spark.functions.numeric import sql_dec_sum
+
+    return _ST3_ORACLE.format(dec_sum=sql_dec_sum("value", "session_value"))
+
+
+@register("st3_stream_session_windows", _st3_oracle())
+def st3_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions computed by Spark's NATIVE streaming session
+    windows (``F.session_window`` — state merges adjacent windows as
+    events arrive, the operator Spark added for exactly this shape),
+    drained with AvailableNow into a memory sink. The DuckDB oracle is
+    the batch lag+running-sum islands rewrite (e2's shape) with the
+    boundary matched to session_window's merge rule, so the streaming
+    state machinery is held to exact value equality — including the
+    decimal-exact session value sums. At scale: state is partitioned by
+    user_id, the 1-hour watermark closes sessions and bounds state;
+    complete mode here only because the memory-sink drain verifies ALL
+    windows (a live deployment emits finalized sessions in append
+    mode)."""
+    from bc_proj3_spark.functions.numeric import dec_sum
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", _ST3_GAP).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "session_value"),
+        )
+    )
+    sink = f"st3_sink_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="st3-ckpt-") as ckpt:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(sink).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "session_value",
+    )
+
+
+# ---------------------------------------------------------------------------
 # st2 — custom stateful operator: applyInPandasWithState running totals
 # ---------------------------------------------------------------------------
 
