@@ -1,0 +1,155 @@
+"""Connected-components dedup clustering over the near-dup pair graph.
+
+The canonical last mile of web-scale corpus dedup (reference analogue:
+its sha2 dedup-insert handles row identity only,
+silver_nyt_archive.py:102-120): near-dup detection (d4) yields PAIRS,
+but what a training pipeline needs is CLUSTERS — "these 9 documents are
+all the same article" — so one canonical doc survives per transitive
+group, not per pairwise match. A pair list alone under-deduplicates:
+A~B and B~C without A~C leaves two survivors where there should be one.
+
+cc1 assigns every document a ``component_id`` = the smallest doc_id
+reachable from it over the verified LSH near-dup edges (its own id when
+isolated). The DuckDB oracle replays the identical graph with a
+``WITH RECURSIVE`` min-label reachability query, so the driver's
+value-hash gate covers an *iterative* distributed algorithm end-to-end.
+
+Scale shape (100 TB posture):
+
+- the iteration runs on the near-dup SUBGRAPH only — nodes that appear
+  in at least one verified pair, a set bounded by 2 × |pairs| and tiny
+  relative to the corpus. The full corpus is touched exactly twice: once
+  by d4's candidate generation and once by the final left join stamping
+  isolated docs with their own id (labels side is small → AQE broadcast).
+- each round is one shuffle-on-key join + one map-side-combinable min
+  aggregate; intermediates are persisted per round and the previous
+  round's cache dropped, so lineage stays O(1) deep (no AQE recompute
+  races, no stack-depth growth).
+- min-label propagation converges in O(graph diameter) rounds. Near-dup
+  clusters are dense (every member shares most shingles, so most pairs
+  exist) — diameter is small in practice; MAX_CC_ITERS is a safeguard,
+  not the expected path. For adversarial chain-shaped graphs the
+  alternating large-star/small-star algorithm (Kiveris et al., "CC in
+  MapReduce and Beyond") brings rounds to O(log² n) with the same
+  per-round plan shape; the hook is the ``edges`` frame below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bc_proj3_spark.operators.dedup import d4_minhash_lsh_pairs
+from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.registry import register
+
+#: Convergence safeguard. Propagation needs diameter(G) rounds; a
+#: near-dup cluster's diameter is tiny (dense by construction). Hitting
+#: this bound raises rather than silently returning half-merged labels.
+MAX_CC_ITERS = 25
+
+
+def min_label_components(edges: DataFrame) -> DataFrame:
+    """(doc_id, label) for every node of an undirected edge list.
+
+    ``edges`` must carry (src, dst) BOTH directions. Classic min-label
+    propagation: label(v) ← min(label(v), min over neighbors' labels),
+    iterated to fixpoint.
+
+    Lineage is truncated with ``localCheckpoint(eager=True)`` every
+    round — each round's plan embeds the previous labels plan TWICE
+    (neighbor aggregate + join back), so with plain persist the logical
+    plan doubles per iteration and plan re-normalization in
+    ``cacheQuery`` blows the driver heap after a handful of rounds (the
+    textbook iterative-lineage explosion; GraphX checkpoints for the
+    same reason). With the checkpoint each round's plan is O(1): two
+    joins and a min-groupBy over materialized blocks. On a cluster with
+    executor churn, swap for reliable ``checkpoint()`` with a
+    checkpoint dir — same plan shape, fault-tolerant storage.
+
+    Convergence is detected from the per-round label SUM (labels only
+    ever decrease, so the sum is strictly decreasing until fixpoint) —
+    one scalar aggregate per round instead of a new-vs-old join.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    for _ in range(MAX_CC_ITERS):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.alias("l")
+            .join(nbr_min.alias("n"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("l.label"), F.coalesce("n.nbr_label", F.col("l.label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        if new_sum == prev_sum:
+            return labels
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"connected components did not converge in {MAX_CC_ITERS} rounds"
+    )
+
+
+def _cc_oracle() -> str:
+    """WITH RECURSIVE twin: pairs come from the d4 oracle's CTE chain
+    (same deterministic MinHash family), components from min-label
+    reachability. DuckDB's recursive UNION (distinct) terminates because
+    the (node, lab) state space is finite."""
+    from bc_proj3_spark.operators.dedup import _D4_ORACLE
+
+    # _D4_ORACLE is a full SELECT over a WITH chain; wrap it as a CTE.
+    return f"""
+WITH RECURSIVE pairs AS (
+{_D4_ORACLE}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges) n
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lab) AS component_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS component_id
+FROM documents d
+LEFT JOIN comp c USING (doc_id)
+"""
+
+
+@register("cc1_dedup_components", _cc_oracle())
+def cc1_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full component assignment: every document's component_id is the
+    min doc_id transitively reachable over verified near-dup pairs
+    (d4_minhash_lsh_pairs), its own id when isolated. The iterative
+    propagation runs on the pair subgraph only; the corpus-wide left
+    join at the end is a broadcast of the (small) label table."""
+    pairs = d4_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = min_label_components(edges)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    out = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("label", F.col("doc_id")).cast("bigint").alias("component_id"),
+    )
+    return out

@@ -1,0 +1,47 @@
+"""Connected-components propagation on synthetic graphs.
+
+The registered cc1 query is oracle-checked in test_correctness; here the
+propagation kernel itself is pinned on shapes the corpus data may not
+exercise: chains (worst-case diameter), multiple components, and the
+non-convergence safeguard.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bc_proj3_spark.operators import graph
+
+
+def _components(spark, pairs):
+    df = spark.createDataFrame(pairs, "src: long, dst: long")
+    edges = df.unionAll(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = graph.min_label_components(edges)
+    out = {r["doc_id"]: r["label"] for r in labels.collect()}
+    labels.unpersist()
+    return out
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4 chain: diameter 3, all should label 1; {7,8} separate.
+    got = _components(spark, [(1, 2), (2, 3), (3, 4), (7, 8)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_triangle_and_isolated_pair(spark):
+    got = _components(spark, [(10, 11), (11, 12), (10, 12), (5, 6)])
+    assert got == {10: 10, 11: 10, 12: 10, 5: 5, 6: 5}
+
+
+def test_bridge_merges_two_clusters(spark):
+    # two dense pairs bridged by one edge -> single component labeled 1
+    got = _components(spark, [(1, 2), (3, 4), (2, 3)])
+    assert set(got.values()) == {1}
+
+
+def test_nonconvergence_raises(spark, monkeypatch):
+    monkeypatch.setattr(graph, "MAX_CC_ITERS", 1)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        # chain of diameter 3 cannot finish in 1 round
+        _components(spark, [(1, 2), (2, 3), (3, 4)])
