@@ -13,7 +13,7 @@ Determinism: window orderings always carry a unique tiebreaker
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -53,8 +53,10 @@ def e1_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # e2 — gap-based sessionization (30-minute inactivity gap)
 # ---------------------------------------------------------------------------
 
-_E2_ORACLE = f"""
-WITH flagged AS (
+# Shared session-definition CTE block (single source of truth for e2's
+# aggregate AND e8's interval join — the q16/_SQL_SHINGLES_TMPL rule:
+# never splice two hand-kept copies of the same predicate).
+_SQL_SESSIONS_CTE = f"""flagged AS (
   SELECT
     user_id, ts, event_id, value,
     CASE
@@ -72,7 +74,10 @@ sessions AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
     ) AS session_seq
   FROM flagged
-)
+)"""
+
+_E2_ORACLE = f"""
+WITH {_SQL_SESSIONS_CTE}
 SELECT
   user_id,
   CAST(session_seq AS INTEGER) AS session_seq,
@@ -109,6 +114,101 @@ def e2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# e8 — interval join: concurrent cross-user activity per session
+# ---------------------------------------------------------------------------
+
+#: Time-bucket width for the interval-join equi-key. Granularity trades
+#: session fan-out (a session spanning k buckets explodes to k rows)
+#: against join fan-in (all events in a bucket meet all sessions
+#: overlapping it). Sessions are inactivity-gap-bounded, so 1-hour
+#: buckets keep the fan-out to a handful of rows per session.
+OVERLAP_BUCKET_US = 3_600 * 1_000_000
+
+_E8_ORACLE = f"""
+WITH {_SQL_SESSIONS_CTE},
+sess AS (
+  SELECT user_id, session_seq, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM sessions GROUP BY user_id, session_seq
+)
+SELECT
+  s.user_id,
+  CAST(s.session_seq AS INTEGER) AS session_seq,
+  CAST(COUNT(e.event_id) AS BIGINT) AS concurrent_events
+FROM sess s
+LEFT JOIN events e
+  ON e.ts >= s.s_start AND e.ts <= s.s_end AND e.user_id <> s.user_id
+GROUP BY s.user_id, s.session_seq
+"""
+
+
+@register("e8_session_overlap", _E8_ORACLE)
+def e8_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session count of OTHER users' events inside the session span
+    — a big x big time-interval join with no shared key.
+
+    The naive plan (inequality-only join) is a nested-loop cross
+    product: sessions x events compared pairwise — unrunnable at scale.
+    The scalable rewrite discretizes time: each event maps to its one
+    OVERLAP_BUCKET_US bucket, each session EXPLODES to the buckets it
+    overlaps (``sequence`` — a handful of rows for gap-bounded
+    sessions), and the join becomes an EQUI-join on the bucket with the
+    exact range predicate applied as a post-filter. Every matching pair
+    meets exactly once (the event's single bucket lies in the session's
+    covered range exactly once), so no distinct is needed. The shuffle
+    key is the time bucket; a flash-crowd hot bucket is exactly the
+    shape AQE's skew-join splitting handles. The oracle states the same
+    semantics as the plain inequality join (DuckDB runs it as an
+    IEJoin).
+    """
+    sess = (
+        e2_sessionization(spark, sf_dir)
+        .select("user_id", "session_seq", "session_start", "session_end")
+    )
+    def bkt(us: Column) -> Column:
+        # exact INTEGER bucket index: `floor(us / B)` via `/` would go
+        # through double division, where a boundary microsecond value
+        # (~1.7e15) can floor into the adjacent bucket. us - us % B is
+        # exactly divisible, so the final division is exact.
+        return ((us - (us % OVERLAP_BUCKET_US)) / OVERLAP_BUCKET_US).cast("bigint")
+
+    sess_b = sess.select(
+        F.col("user_id").alias("s_user"),
+        "session_seq",
+        "session_start",
+        "session_end",
+        F.explode(
+            F.sequence(
+                bkt(F.unix_micros(F.col("session_start"))),
+                bkt(F.unix_micros(F.col("session_end"))),
+            )
+        ).alias("bkt"),
+    )
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        bkt(F.unix_micros(F.col("ts"))).alias("bkt"),
+    )
+    # LEFT join from the exploded sessions keeps zero-overlap sessions
+    # (they still group to a 0 count via count-of-non-null) — no second
+    # join back to the session list needed.
+    return (
+        sess_b.join(
+            ev,
+            (sess_b["bkt"] == ev["bkt"])
+            & (ev["e_ts"] >= sess_b["session_start"])
+            & (ev["e_ts"] <= sess_b["session_end"])
+            & (ev["e_user"] != sess_b["s_user"]),
+            "left",
+        )
+        .groupBy(
+            F.col("s_user").alias("user_id"),
+            F.col("session_seq").cast("int").alias("session_seq"),
+        )
+        .agg(F.count(ev["e_ts"]).cast("bigint").alias("concurrent_events"))
     )
 
 
