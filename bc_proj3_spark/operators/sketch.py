@@ -163,3 +163,150 @@ def sk2_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     tok.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# sk3/sk4 — deterministic HyperLogLog (distinct users per event type)
+# ---------------------------------------------------------------------------
+#
+# Spark's approx_count_distinct is an engine-private HLL++ no oracle can
+# replay; this is a from-scratch HLL over the shared md5 hash family so
+# DuckDB builds the IDENTICAL register file and the value-hash gate
+# covers a cardinality sketch. 60-bit hash -> low HLL_P bits pick the
+# register, the remaining W_BITS form the pattern word; rho = leading
+# zeros in the word + 1, computed as 52 - length(bin(w)) (both engines'
+# bin() prints without leading zeros). The register file is the
+# fixed-width mergeable state (max per cell): m rows per group however
+# many rows feed it — the same scale shape as the CMS.
+
+HLL_P = 9
+HLL_M = 1 << HLL_P  # 512 registers
+HLL_W_BITS = 60 - HLL_P  # 51-bit pattern word
+#: alpha_m * m^2 * 2^51, precomputed in Python (IEEE double) and
+#: embedded as the same literal in both engines.
+HLL_ALPHA_NUM = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * float(1 << HLL_W_BITS)
+
+_SQL_HLL_REGS = f"""
+hashes AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+),
+regs AS (
+  SELECT event_type,
+         CAST(h & {HLL_M - 1} AS BIGINT) AS register_id,
+         MAX(CASE WHEN (h >> {HLL_P}) = 0 THEN {HLL_W_BITS + 1}
+                  ELSE {HLL_W_BITS + 1} - length(bin(h >> {HLL_P})) END) AS max_rho
+  FROM hashes
+  GROUP BY event_type, h & {HLL_M - 1}
+)
+"""
+
+_SK3_ORACLE = f"""
+WITH {_SQL_HLL_REGS}
+SELECT event_type, register_id, CAST(max_rho AS INTEGER) AS max_rho
+FROM regs
+"""
+
+
+def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_registers_for(table(spark, sf_dir, "events"))
+
+
+def hll_registers_for(ev: DataFrame) -> DataFrame:
+    """Register file for any frame with (event_type, user_id) — the
+    mergeable unit: register files of disjoint shards combine by
+    cell-wise MAX into the whole's register file (pinned by test)."""
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    w = F.shiftright(F.col("h"), HLL_P)
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        ev.select("event_type", h)
+        .groupBy(
+            "event_type",
+            (F.col("h") % F.lit(HLL_M)).cast("bigint").alias("register_id"),
+        )
+        .agg(F.max(rho).cast("int").alias("max_rho"))
+    )
+
+
+@register("sk3_hll_registers", _SK3_ORACLE)
+def sk3_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL register file per event_type: at most HLL_M rows per
+    group regardless of input size, built by one map-side-combinable
+    max-groupBy; mergeable across shards/streams by cell-wise MAX."""
+    return _hll_registers(spark, sf_dir)
+
+
+_SK4_ORACLE = f"""
+WITH {_SQL_HLL_REGS},
+folded AS (
+  SELECT event_type,
+         COUNT(*) AS n_present,
+         SUM(1::BIGINT << ({HLL_W_BITS + 1} - max_rho)) AS s_present
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         {HLL_M} - n_present AS v_zero,
+         {HLL_ALPHA_NUM!r} / CAST(
+           s_present + ({HLL_M} - n_present) * (1::BIGINT << {HLL_W_BITS})
+           AS DOUBLE) AS raw_est
+  FROM folded
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM events
+  GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+       CASE WHEN e.raw_est <= {2.5 * HLL_M!r} AND e.v_zero > 0
+            THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / e.v_zero)
+            ELSE e.raw_est END AS hll_est
+FROM est e JOIN ex x USING (event_type)
+"""
+
+
+@register("sk4_hll_estimate", _SK4_ORACLE)
+def sk4_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality estimates from the register file, with the standard
+    small-range (linear-counting) correction, next to the exact
+    distinct count. Absent registers contribute 2^0 to the harmonic
+    sum; the sum is accumulated as exact scaled INTEGERS
+    (2^(52 - rho), max 512 * 2^51 < 2^63) so both engines hit the one
+    double division with bit-identical operands. Large-range correction
+    is omitted: the pattern word is 51 bits, so hash saturation is
+    unreachable at any realistic cardinality."""
+    regs = _hll_registers(spark, sf_dir)
+    folded = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W_BITS + 1} - max_rho)")
+        ).alias("s_present"),
+    )
+    v_zero = F.lit(HLL_M) - F.col("n_present")
+    s_total = F.col("s_present") + v_zero.cast("bigint") * F.lit(1 << HLL_W_BITS)
+    raw = F.lit(HLL_ALPHA_NUM) / s_total.cast("double")
+    est = folded.select(
+        "event_type",
+        F.when(
+            (raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero),
+        )
+        .otherwise(raw)
+        .alias("hll_est"),
+    )
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct(F.col("user_id")).cast("bigint").alias("exact_distinct"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "exact_distinct", "hll_est"
+    )
