@@ -23,9 +23,10 @@ their merge key) the join is co-located and shuffle-free.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bc_proj3_spark.operators.incremental import merge_upsert
 from bc_proj3_spark.plans.tables import table
 from bc_proj3_spark.registry import register
 
@@ -42,9 +43,12 @@ _VALUE_COLS = (
     "o_orderpriority",
 )
 
+#: Both snapshots carry the same key+value projection so a snapshot can
+#: be reconstructed from the other plus the change feed (cdc3).
 _SQL_SNAPSHOTS = f"""
 v1 AS (
-  SELECT * FROM orders WHERE o_orderkey % {INSERT_MOD} <> 0
+  SELECT o_orderkey, {', '.join(_VALUE_COLS)}
+  FROM orders WHERE o_orderkey % {INSERT_MOD} <> 0
 ),
 v2 AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
@@ -91,16 +95,159 @@ def snapshot_diff(v1: DataFrame, v2: DataFrame, key: str, value_cols) -> DataFra
     )
 
 
+def _snapshots(o: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The two deterministic orders snapshots (see module docstring),
+    both projected to key + value columns (the cdc3 merge requires
+    identical column sets on both sides, as a real table's versions
+    would have)."""
+    proj = ["o_orderkey", *_VALUE_COLS]
+    v1 = o.filter(F.col("o_orderkey") % INSERT_MOD != 0).select(*proj)
+    v2 = (
+        o.filter(F.col("o_orderkey") % DELETE_MOD != 0)
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % UPDATE_MOD == 0,
+                F.concat(F.col("o_orderpriority"), F.lit("+r2")),
+            ).otherwise(F.col("o_orderpriority")),
+        )
+        .select(*proj)
+    )
+    return v1, v2
+
+
 @register("cdc1_snapshot_diff", _CDC1_ORACLE)
 def cdc1_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diff of the two derived orders snapshots; see module docstring."""
-    o = table(spark, sf_dir, "orders")
-    v1 = o.filter(F.col("o_orderkey") % INSERT_MOD != 0)
-    v2 = o.filter(F.col("o_orderkey") % DELETE_MOD != 0).withColumn(
-        "o_orderpriority",
-        F.when(
-            F.col("o_orderkey") % UPDATE_MOD == 0,
-            F.concat(F.col("o_orderpriority"), F.lit("+r2")),
-        ).otherwise(F.col("o_orderpriority")),
-    )
+    v1, v2 = _snapshots(table(spark, sf_dir, "orders"))
     return snapshot_diff(v1, v2, "o_orderkey", _VALUE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# cdc2 — SCD Type-2 history build (change compression + validity intervals)
+# ---------------------------------------------------------------------------
+
+_CDC2_ORACLE = """
+WITH daily AS (
+  SELECT l_orderkey, l_shipdate, max(l_returnflag) AS attr
+  FROM lineitem GROUP BY l_orderkey, l_shipdate
+),
+seq AS (
+  SELECT l_orderkey, l_shipdate, attr,
+         lag(attr) OVER (
+           PARTITION BY l_orderkey ORDER BY l_shipdate
+         ) AS prev_attr
+  FROM daily
+),
+chg AS (
+  SELECT l_orderkey, attr, l_shipdate
+  FROM seq WHERE prev_attr IS NULL OR prev_attr <> attr
+)
+SELECT l_orderkey,
+       row_number() OVER w AS version_no,
+       attr AS return_flag,
+       l_shipdate AS valid_from,
+       lead(l_shipdate) OVER w AS valid_to,
+       (lead(l_shipdate) OVER w IS NULL) AS is_current
+FROM chg
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_shipdate)
+"""
+
+
+@register("cdc2_scd2_history", _CDC2_ORACLE)
+def cdc2_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change sequence.
+
+    Each order's per-ship-date state (``max(l_returnflag)`` over that
+    date's lineitems — the synthetic lineitem has duplicate
+    (orderkey, linenumber) pairs, so the daily collapse is what makes
+    the change sequence unique and engine-reproducible) is treated as
+    the change feed for the order's "current return flag" attribute —
+    the standard warehouse problem the reference's merge pipeline feeds
+    (silver_arxiv.py:130-152 keeps only latest-version rows; SCD2 keeps
+    the full validity history instead). Two steps, classic SCD2:
+
+    1. change compression — drop a version whose attribute equals the
+       previous version's (``lag``): no change, no new history row;
+    2. interval build — ``valid_from`` = its effective date,
+       ``valid_to`` = the NEXT surviving change's date (``lead``),
+       open interval (NULL / is_current) for the latest.
+
+    Scale shape: ONE shuffle total — the explicit repartition on the
+    dimension key feeds the daily aggregate and both window passes
+    (all three only need key-clustering; the windows reuse the same
+    (key, date) sort). The trade: repartitioning raw rows forgoes
+    map-side partial aggregation, but the partial-agg reduction here is
+    tiny (few duplicate (key, date) pairs per input split) while the
+    avoided second exchange is a full pass over the daily table. At
+    100 TB the key space (orders) is huge and uniform, so the window
+    partitions are tiny and skew-free.
+    """
+    daily = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+        # partition on the key ALONE: hash(l_orderkey) clusters
+        # (l_orderkey, l_shipdate) too, so the aggregate AND both window
+        # passes run off this single exchange (left to itself Spark
+        # shuffles twice: (key, date) for the agg, key for the window)
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_shipdate")
+        .agg(F.max("l_returnflag").alias("attr"))
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate")
+    chg = (
+        daily.withColumn("prev_attr", F.lag("attr").over(w))
+        .filter(
+            F.col("prev_attr").isNull()
+            | (F.col("prev_attr") != F.col("attr"))
+        )
+        .drop("prev_attr")
+    )
+    return chg.select(
+        "l_orderkey",
+        F.row_number().over(w).alias("version_no"),
+        F.col("attr").alias("return_flag"),
+        F.col("l_shipdate").alias("valid_from"),
+        F.lead("l_shipdate").over(w).alias("valid_to"),
+        F.lead("l_shipdate").over(w).isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc3 — apply a change feed: reconstruct v2 = merge(v1, upserts) − deletes
+# ---------------------------------------------------------------------------
+
+_CDC3_ORACLE = f"""
+WITH {_SQL_SNAPSHOTS}
+SELECT * FROM v2
+"""
+
+
+@register("cdc3_apply_changes", _CDC3_ORACLE)
+def cdc3_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the change feed onto the old snapshot and get the new one
+    back EXACTLY — the inverse of cdc1, and a full-value driver oracle
+    over the real :func:`~bc_proj3_spark.operators.incremental.merge_upsert`
+    code path (the pure-Spark MERGE rewrite of the reference's
+    ``MERGE INTO``, silver_arxiv.py:130-152, whose other evidence is
+    pytest-only). The oracle is simply ``SELECT * FROM v2``: if merge
+    semantics (update matched-and-changed, insert unmatched, keep rest)
+    are right, merge(v1, v2-upserts) minus the delete keys IS v2.
+
+    Scale shape: merge_upsert's two key joins + one anti join on the
+    delete-key list — all shuffles on the merge key; with both versions
+    bucketed on the key they co-locate. The persisted merge branches are
+    released before returning (the plan recomputes them lazily — at
+    driver scale that is two batch-sized joins, not a table scan).
+    """
+    v1, v2 = _snapshots(table(spark, sf_dir, "orders"))
+    changed: Column = F.lit(False)
+    for c in _VALUE_COLS:
+        changed = changed | ~F.col(f"tgt.{c}").eqNullSafe(F.col(f"src.{c}"))
+    res = merge_upsert(v1, v2, key="o_orderkey", update_when=changed)
+    deletes = v1.join(v2, "o_orderkey", "left_anti").select("o_orderkey")
+    out = res.df.join(deletes, "o_orderkey", "left_anti").select(
+        "o_orderkey", *_VALUE_COLS
+    )
+    res.cleanup()
+    return out
