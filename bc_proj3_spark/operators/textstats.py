@@ -336,3 +336,143 @@ def t7_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         roll.alias("roll_hash"),
         F.length("text").cast("int").alias("n_chars_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t8 — duplicate-trigram fraction (repetition quality signal)
+# ---------------------------------------------------------------------------
+
+_T8_N = 3  # trigram repetition, the classic Gopher-rules granularity
+
+#: Shared word-array expression: lowercase, whitespace-split, no empties.
+_SQL_WORDS = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+)
+
+_T8_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id,
+    list_transform(
+      generate_series(1, greatest(len(w) - {_T8_N - 1}, 0)),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+    ) AS g
+  FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents) t
+)
+SELECT doc_id,
+       CAST(len(g) AS INTEGER) AS n_trigrams,
+       CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+         / greatest(len(g), 1) AS dup_trigram_frac
+FROM grams
+"""
+
+
+def _words(col):
+    """Lowercased whitespace tokens, empties dropped (codegen twin of
+    :data:`_SQL_WORDS` — raw tokens, NOT the stopword-filtered
+    :func:`~bc_proj3_spark.functions.text.tokenize`: repetition is
+    measured on the text as written)."""
+    return F.filter(
+        F.split(F.trim(F.lower(col)), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+@register("t8_repetition", _T8_ORACLE)
+def t8_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signal: the fraction of word trigrams
+    that are duplicates of an earlier trigram in the same document —
+    the standard "repetitious text" filter a training-data pipeline
+    applies before anything model-based (boilerplate, keyword stuffing,
+    and decoder loops all spike it).
+
+    Pure whole-stage-codegen array expressions (no shuffle, no Python):
+    the n-gram list is built with ``transform`` over an index
+    ``sequence`` (guarded so docs shorter than n yield an empty list,
+    not a descending sequence) and the duplicate fraction is
+    ``1 - |distinct|/|all|`` — integer counts divided as IEEE doubles,
+    so both engines agree bit-for-bit. Scales embarrassingly: per-row
+    work, columnar scan in, columnar out.
+    """
+    docs = fanout(table(spark, sf_dir, "documents"))
+    w = _words(F.col("text"))
+    n_grams = F.greatest(F.size(w) - (_T8_N - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(_T8_N)]
+        ),
+    )
+    # sequence(1, 0) yields [1, 0] (descending), not [] — mask to empty
+    grams = F.when(n_grams > 0, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(grams).alias("n_trigrams"),
+        (
+            (F.size(grams) - F.size(F.array_distinct(grams))).cast("double")
+            / F.greatest(F.size(grams), F.lit(1))
+        ).alias("dup_trigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t9 — most-frequent-token share (single-exchange two-level aggregation)
+# ---------------------------------------------------------------------------
+
+_T9_ORACLE = f"""
+WITH counts AS (
+  SELECT doc_id, word, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest({_SQL_WORDS}) AS word FROM documents) t
+  GROUP BY doc_id, word
+),
+ranked AS (
+  SELECT doc_id, word, cnt,
+         SUM(cnt) OVER (PARTITION BY doc_id) AS total,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY cnt DESC, word DESC
+         ) AS rn
+  FROM counts
+)
+SELECT doc_id,
+       word AS top_token,
+       CAST(cnt AS BIGINT) AS top_cnt,
+       CAST(cnt AS DOUBLE) / total AS top_token_frac
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("t9_top_token_fraction", _T9_ORACLE)
+def t9_top_token_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of a document's tokens taken by its single most frequent
+    token (ties broken toward the lexicographically largest token) —
+    the companion repetition filter to t8: a high top-token share with
+    a low trigram-dup fraction is keyword stuffing rather than phrase
+    boilerplate.
+
+    Scale shape: ONE exchange total. The (small, pre-explode) documents
+    table is repartitioned on doc_id, the token explode runs inside
+    that partitioning (Generate preserves its child's distribution),
+    and BOTH aggregations — (doc_id, word) counts, then the per-doc
+    max/total — are satisfied by doc_id clustering, so neither adds a
+    shuffle. The argmax is ``max(struct(cnt, word))``: struct ordering
+    compares cnt first, then word, which is exactly the oracle's
+    ``ORDER BY cnt DESC, word DESC LIMIT 1`` — no window needed.
+    """
+    docs = fanout(table(spark, sf_dir, "documents")).repartition("doc_id")
+    counts = (
+        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.groupBy("doc_id").agg(
+        F.max(F.struct("cnt", "word")).alias("top"),
+        F.sum("cnt").alias("total"),
+    )
+    return top.select(
+        "doc_id",
+        F.col("top.word").alias("top_token"),
+        F.col("top.cnt").alias("top_cnt"),
+        (F.col("top.cnt").cast("double") / F.col("total")).alias(
+            "top_token_frac"
+        ),
+    )
