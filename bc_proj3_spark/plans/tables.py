@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -48,10 +48,21 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
     truncate to microseconds exactly like DuckDB does (``ts div 1000`` —
     integer floor division, then ``timestamp_micros``) so value hashes
     agree between both engines. A no-op if ``ts`` already reads as a
-    timestamp (e.g. future Spark versions lifting the restriction)."""
+    timestamp (e.g. future Spark versions lifting the restriction).
+
+    Also normalizes TIMESTAMP_NTZ → TIMESTAMP: when testdata is written
+    with µs timestamps and the session has Spark 4's default
+    ``spark.sql.parquet.inferTimestampNTZ.enabled=true`` at *read* time
+    (e.g. a frame scanned before apply_runtime_conf ran, or a schema
+    captured by a streaming reader), ``ts`` arrives NTZ, which
+    ``unix_micros``/``withWatermark`` reject at analysis time. The cast
+    is value-preserving under the UTC session timezone that
+    apply_runtime_conf pins, so both engines see identical instants."""
     field = next((f for f in df.schema.fields if f.name == "ts"), None)
     if field is not None and isinstance(field.dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif field is not None and isinstance(field.dataType, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -30,6 +30,15 @@ _RUNTIME_CONF = {
     # to read as timestamp (PARQUET_TYPE_ILLEGAL); read as long nanos and
     # convert in plans/tables.py. DuckDB truncates ns→µs identically.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet timestamps without isAdjustedToUTC must read as ordinary
+    # TIMESTAMP, not TIMESTAMP_NTZ: unix_micros() and withWatermark()
+    # reject NTZ at analysis time, and the DuckDB oracle treats the same
+    # values as UTC instants. Runtime-settable, so it MUST live here (the
+    # correctness driver hands us an already-built session that never saw
+    # the cold-start builder below) — round-4 lesson: putting it only in
+    # get_spark() left every events/streaming query red under the
+    # driver's vanilla session while all local tests passed.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # deterministic date/timestamp math vs the DuckDB oracle
     "spark.sql.session.timeZone": "UTC",
     # adaptive execution: runtime coalesce + skew-join splitting

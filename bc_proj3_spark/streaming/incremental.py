@@ -33,8 +33,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
-
+from bc_proj3_spark.plans.tables import _normalize_event_ts
 from bc_proj3_spark.registry import register
 
 _ST1_ORACLE = """
@@ -62,9 +61,8 @@ def st1_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(schema["ts"].dataType, LongType):
-        # same ns→µs normalization as plans/tables.py
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # same ns→µs (and NTZ→timestamp) normalization as plans/tables.py
+    src = _normalize_event_ts(src)
 
     agg = (
         src.withWatermark("ts", "1 hour")
@@ -254,8 +252,7 @@ def st3_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(schema["ts"].dataType, LongType):
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = _normalize_event_ts(src)
 
     agg = (
         src.withWatermark("ts", "1 hour")
@@ -338,8 +335,7 @@ def st2_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(schema["ts"].dataType, LongType):
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = _normalize_event_ts(src)
 
     out = src.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         _running_totals,

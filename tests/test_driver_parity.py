@@ -1,0 +1,116 @@
+"""Driver-parity gate: replay queries on a VANILLA SparkSession.
+
+Round-4 post-mortem (VERDICT r4 "What's wrong" #2): all 237 local tests
+were green while five driver rows were red, because every local test ran
+through ``get_spark()`` whose cold-start builder confs
+(inferTimestampNTZ=false among them) masked an environment seam the
+driver's vanilla session exposed. A conformance suite must never be
+green where the driver is red.
+
+This test rebuilds the driver's exact posture: a FRESH JVM (subprocess —
+the pytest session's JVM already has the builder confs applied and
+``getOrCreate`` would reuse it), a bare ``SparkSession.builder`` with
+none of the engine's confs, then ``__spark_entry__.queries()`` exactly
+as the driver calls them (each builder applies apply_runtime_conf
+itself — that is the layer under test). Row counts are compared against
+the DuckDB oracle, so a query that silently returns wrong-shaped output
+also fails, not just analysis errors.
+
+Covers the seam-prone families: events (timestamp semantics), streaming
+(withWatermark/session_window on the inferred source schema), and one
+silver query (engine-written parquet timestamps, brief item 8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+#: Queries replayed under the vanilla session. The six r4 red/latent
+#: rows plus neighbors that share their input schemas.
+PARITY_QUERIES = [
+    "e1_hourly_rollup",
+    "e2_sessionization",
+    "e3_asof_attribution",
+    "e4_user_value_trend",
+    "e4b_trend_arrow",
+    "e7_funnel",
+    "e8_session_overlap",
+    "st1_stream_window_counts",
+    "st2_stateful_user_totals",
+    "st3_stream_session_windows",
+    "sv1_scholar_date_derivation",
+]
+
+_SUBPROCESS_PROG = """
+import json, sys
+from pyspark.sql import SparkSession
+
+# The driver's posture: a vanilla builder, none of the engine's confs.
+spark = (
+    SparkSession.builder.appName("driver-parity")
+    .master("local[8]")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+import __spark_entry__ as entrymod
+
+sf_dir = sys.argv[1]
+names = json.loads(sys.argv[2])
+queries = entrymod.queries()
+out = {}
+for name in names:
+    try:
+        out[name] = queries[name](spark, sf_dir).count()
+    except Exception as exc:
+        out[name] = f"ERROR: {exc!r}"[:300]
+print("PARITY_JSON:" + json.dumps(out))
+"""
+
+
+@pytest.fixture(scope="module")
+def parity_counts():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _SUBPROCESS_PROG, SF_DIR, json.dumps(PARITY_QUERIES)],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+        cwd="/root/repo",
+    )
+    payload = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("PARITY_JSON:"):
+            payload = json.loads(line[len("PARITY_JSON:"):])
+    assert payload is not None, (
+        f"parity subprocess produced no result (rc={proc.returncode})\n"
+        f"stdout tail: {proc.stdout[-1500:]}\nstderr tail: {proc.stderr[-1500:]}"
+    )
+    return payload
+
+
+@pytest.mark.parametrize("name", PARITY_QUERIES)
+def test_vanilla_session_parity(name, parity_counts, oracle_con):
+    got = parity_counts[name]
+    assert not isinstance(got, str), f"{name} failed under vanilla session: {got}"
+
+    from bc_proj3_spark import registry
+
+    spec = registry.all_queries()[name]
+    if spec.oracle:
+        expect = oracle_con.execute(
+            f"SELECT COUNT(*) FROM ({spec.oracle})"
+        ).fetchone()[0]
+        assert got == expect, (
+            f"{name}: vanilla-session row count {got} != oracle {expect}"
+        )
+    else:
+        assert got >= 0
