@@ -78,34 +78,23 @@ _REGISTERING_MODULES = (
 #: row at most ~2 rounds old. Update this map from CORRECTNESS_r{N}.json
 #: each round; queries absent from the map sort first (round 0).
 _VERIFIED_ROUND: dict[str, int] = {
-    # round 2 (CORRECTNESS_r02.json) — stalest, rotate into the r4 prefix
-    "q1_pricing_summary": 2, "q3_shipping_priority": 2,
-    "q4_order_priority": 2, "q5_local_supplier_volume": 2,
-    "q6_forecast_revenue": 2, "q7_volume_shipping": 2, "q8_market_share": 2,
-    "q9_product_profit": 2, "q10_returned_items": 2,
-    "q11_important_part_value": 2, "q13_customer_distribution": 2,
-    "q14_promo_revenue": 2, "q15_top_supplier": 2,
-    "q17_small_quantity_revenue": 2, "q18_large_volume_customer": 2,
-    "q19_disjunctive_revenue": 2, "q22_global_sales_opportunity": 2,
-    "t6_ngram_language_id": 2,
-    # round 3 (CORRECTNESS_r03.json)
+    # NTZ-seam queries red (or latently broken) in CORRECTNESS_r04 are
+    # deliberately ABSENT → round 0, so the repaired code lands in the
+    # r5 prefix: e2_sessionization, e4_user_value_trend, e4b_trend_arrow,
+    # e8_session_overlap, st1_stream_window_counts,
+    # st3_stream_session_windows.
+    #
+    # round 3 (CORRECTNESS_r03.json) — stalest greens, rotate next
     "d1_exact_dedup_groups": 3, "d2_dedup_survivors": 3,
     "d3_jaccard_pairs": 3, "d4_minhash_lsh_pairs": 3,
     "d5_simhash_signatures": 3, "d6_dedup_corpus": 3, "d7_decontaminate": 3,
     "s1_knn_bruteforce": 3, "s2_ann_lsh": 3, "s3_cosine_neardup_pairs": 3,
     "s4_ivf_probe": 3,
     "m1_media_metadata": 3, "m2_decode_features": 3, "m3_frame_sample": 3,
-    "st1_stream_window_counts": 3, "st2_stateful_user_totals": 3,
-    "t7_rolling_fingerprint": 3, "e4b_trend_arrow": 3,
-    "q12_shipping_delay": 3, "e5_daily_retention": 3,
+    "st2_stateful_user_totals": 3,
+    "t7_rolling_fingerprint": 3,
     "a1_pivot_event_matrix": 3, "a3_ordered_collections": 3,
-    "q16_supplier_diversity": 3,
-    "w1_top_orders_per_customer": 3, "u1_account_ledger_union": 3,
-    "r1_rollup_subtotals": 3, "u2_set_operations": 3,
-    "q2_min_cost_supplier": 3, "q20_dominant_share_shippers": 3,
-    "q21_sole_spoiler_suppliers": 3,
-    "e1_hourly_rollup": 3, "e2_sessionization": 3, "e3_asof_attribution": 3,
-    "e4_user_value_trend": 3, "e6_json_props": 3, "e7_funnel": 3,
+    "e7_funnel": 3,
     "d1_surrogate_key": 3, "d2_token_stats": 3, "d3_term_scoring": 3,
     "sv1_scholar_date_derivation": 3, "sv2_arxiv_id_parse": 3,
     "sv3_struct_audit": 3,
@@ -113,6 +102,30 @@ _VERIFIED_ROUND: dict[str, int] = {
     "sql1_priority_revenue": 3,
     "t1_language_id": 3, "t2_quality_score": 3, "t3_token_histogram": 3,
     "t4_doc_fingerprint": 3, "t5_token_count": 3,
+    # round 4 (CORRECTNESS_r04.json) — freshest greens
+    "q1_pricing_summary": 4, "q2_min_cost_supplier": 4,
+    "q3_shipping_priority": 4, "q4_order_priority": 4,
+    "q5_local_supplier_volume": 4, "q6_forecast_revenue": 4,
+    "q7_volume_shipping": 4, "q8_market_share": 4, "q9_product_profit": 4,
+    "q10_returned_items": 4, "q11_important_part_value": 4,
+    "q12_shipping_delay": 4, "q13_customer_distribution": 4,
+    "q14_promo_revenue": 4, "q15_top_supplier": 4,
+    "q16_supplier_diversity": 4, "q17_small_quantity_revenue": 4,
+    "q18_large_volume_customer": 4, "q19_disjunctive_revenue": 4,
+    "q20_dominant_share_shippers": 4, "q21_sole_spoiler_suppliers": 4,
+    "q22_global_sales_opportunity": 4,
+    "e1_hourly_rollup": 4, "e3_asof_attribution": 4,
+    "e5_daily_retention": 4, "e6_json_props": 4,
+    "t6_ngram_language_id": 4, "t8_repetition": 4,
+    "t9_top_token_fraction": 4,
+    "sp1_split_assign": 4, "sp2_stratified_sample": 4,
+    "sp3_corpus_mix_quota": 4, "sp4_sequence_packing": 4,
+    "sk1_countmin_sketch": 4, "sk2_cms_estimate": 4,
+    "sk3_hll_registers": 4, "sk4_hll_estimate": 4,
+    "cc1_dedup_components": 4,
+    "cdc1_snapshot_diff": 4, "cdc2_scd2_history": 4, "cdc3_apply_changes": 4,
+    "w1_top_orders_per_customer": 4, "u1_account_ledger_union": 4,
+    "u2_set_operations": 4, "r1_rollup_subtotals": 4,
 }
 
 

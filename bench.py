@@ -76,18 +76,24 @@ def main() -> None:
             failures[name] = last_err or "no runs attempted"
 
     total = round(sum(timings.values()), 3)
+    # Key order matters: the driver archives only the stdout TAIL, so the
+    # per-query timings map must be the LAST key — in round 4 a leading
+    # "queries" pushed every timing out of the captured tail (the `runs`
+    # map is folded into the timings as values to keep the line short).
     out = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "runs_per_query": n_runs,
-        "runs": runs,
         "estimator": "min_of_n_uniform",
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     if failures:
         out["failures"] = failures
+    incomplete = {n: r for n, r in runs.items() if r < n_runs}
+    if incomplete:
+        out["partial_runs"] = incomplete
+    out["queries"] = timings
     print(json.dumps(out))
 
 
