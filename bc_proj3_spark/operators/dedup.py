@@ -168,23 +168,27 @@ def _shingle_pairs(
     sh carries (doc_id, k, a, b) — see _SQL_SHINGLES for the layout
     rationale. All downstream joins use the compact integer key k.
 
-    The cap is enforced as a broadcast ANTI join against the hot-key
-    list: the hot-key aggregate shuffles only (k, count) pairs, the list
-    of keys over the cap is tiny (boilerplate is rare by definition),
-    and the filter itself is then map-side — no sort, no shuffle of the
-    index. (A count-window over k would need WindowExec's full sort of
-    the index — measured ~2× slower end-to-end at sf0.1.)
+    The cap costs ONE extra pass over the raw (un-persisted) index: a
+    map-side-combinable (k, count) aggregate whose over-cap keys are
+    collected to the driver. The list is size-BOUNDED independent of
+    corpus size — sum(dfreq) = index rows N and every hot key has
+    dfreq > cap = n_docs // 100, so |hot| < N/cap ≈ 100 × the average
+    shingles-per-doc — a few thousand bigints at any scale. When the
+    list is empty (clean corpora; every test SF) the anti-join is
+    dropped from the plan entirely; otherwise it is a broadcast of the
+    already-collected keys, so the filter stays map-side and the raw
+    index is never shuffled. (Round-4 persisted the raw index to share
+    it between the hot-agg and the probe; measured at sf0.1 the persist
+    write [3.8 s] costs 3× the recompute it saves [1.2 s], so the raw
+    subtree now just runs twice.)
 
-    Caching: the raw index is persisted so the hot-key branch and the
-    anti-join probe share ONE materialization of the expensive
-    explode→md5 subtree; the CAPPED index is then persisted +
-    materialized itself and the raw cache dropped before returning —
-    every later job (self-joins, signatures, candidate verification,
-    each a separate plan) reads the capped blocks directly instead of
-    re-deriving the anti join and re-shuffling the hot-key aggregate
-    per plan (measured slower as a lazy view). Callers own
-    ``sh.unpersist()``. ``n_docs`` avoids a recount when the caller
-    already materialized the doc count (d6's survivor set)."""
+    Caching: the CAPPED index is persisted + materialized — every later
+    job (self-joins, signatures, candidate verification, each a
+    separate plan) reads the capped blocks instead of re-deriving the
+    explode→md5 subtree per plan. Callers own ``sh.unpersist()`` unless
+    they went through :func:`_documents_shingle_index` (which owns the
+    cache). ``n_docs`` avoids a recount when the caller already
+    materialized the doc count (d6's survivor set)."""
     from pyspark import StorageLevel
 
     if n_docs is None:
@@ -199,19 +203,53 @@ def _shingle_pairs(
         F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint").alias("k"),
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("a"),
         F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("b"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    hot = (
-        sh0.groupBy("k")
-        .agg(F.count(F.lit(1)).alias("dfreq"))
-        .filter(F.col("dfreq") > cap)
-        .select("k")
     )
-    sh = sh0.join(F.broadcast(hot), "k", "left_anti").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sh.count()  # materialize capped index, then drop the raw one
-    sh0.unpersist()
+    hot_keys = [
+        r[0]
+        for r in (
+            sh0.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("dfreq"))
+            .filter(F.col("dfreq") > cap)
+            .select("k")
+            .collect()
+        )
+    ]
+    sh = sh0
+    if hot_keys:
+        hot = docs.sparkSession.createDataFrame(
+            [(k,) for k in hot_keys], "k bigint"
+        )
+        sh = sh0.join(F.broadcast(hot), "k", "left_anti")
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()  # materialize: downstream plans read cached blocks
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return sh, sizes
+
+
+#: Session-shared capped shingle index over the FULL documents table,
+#: keyed by (applicationId, sf_dir). d3 and d4 build byte-identical
+#: indexes; the correctness driver runs the whole registry on one
+#: session, so sharing saves a full index build per query. Entries
+#: whose cache was evicted (bench.py clearCache between queries, or
+#: executor pressure) are rebuilt transparently. d6's survivor-scoped
+#: index is per-call and NOT cached here (different source relation).
+_DOC_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _documents_shingle_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared (sh, sizes) index for ``{sf_dir}/documents.parquet``.
+
+    Cache lifetime is the session: callers must NOT unpersist the
+    returned frame (unlike :func:`_shingle_pairs`, whose private
+    results the caller owns)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DOC_INDEX_CACHE.get(key)
+    if hit is not None and hit[0].is_cached:
+        return hit
+    sh, sizes = _shingle_pairs(table(spark, sf_dir, "documents"))
+    _DOC_INDEX_CACHE[key] = (sh, sizes)
     return sh, sizes
 
 
@@ -378,14 +416,12 @@ def d3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     use this shape as the verifier on candidates.
 
     The shingle index feeds both self-join sides plus the size lookup;
-    _shingle_pairs returns it persisted + materialized so the
-    explode→hash subtree runs once (see d4). The final pair list is
-    persisted + materialized so the index can be unpersisted before
-    returning (no caller-side cache cleanup owed)."""
+    it comes persisted + materialized from the session-shared cache
+    (_documents_shingle_index — d4 reads the same blocks), so the
+    explode→hash subtree runs at most once per session."""
     from pyspark import StorageLevel
 
-    docs = table(spark, sf_dir, "documents")
-    sh, sizes = _shingle_pairs(docs)
+    sh, sizes = _documents_shingle_index(spark, sf_dir)
     common = (
         sh.alias("a")
         .join(
@@ -412,7 +448,6 @@ def d3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     out.count()
-    sh.unpersist()
     return out
 
 
@@ -481,15 +516,12 @@ def d4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sig + verification probes; both sides of the bucket self-join), and
     without the barrier AQE's concurrent broadcast-exchange jobs race to
     recompute the whole explode→hash subtree once per branch — measured
-    >10× slower at sf0.1. Spark's cache manager dedupes identical plans,
-    so repeated builder calls reuse one entry. Intermediates are
-    unpersisted once the (small, persisted) verified pair list is
-    materialized."""
-    docs = table(spark, sf_dir, "documents")
-    sh, _sizes = _shingle_pairs(docs)  # returned persisted + materialized
-    out = _verified_jaccard(_lsh_candidate_pairs(sh), sh)
-    sh.unpersist()
-    return out
+    >10× slower at sf0.1. The index comes from the session-shared cache
+    (_documents_shingle_index — shared with d3); the band table is
+    per-call and unpersisted once the (small, persisted) verified pair
+    list is materialized."""
+    sh, _sizes = _documents_shingle_index(spark, sf_dir)
+    return _verified_jaccard(_lsh_candidate_pairs(sh), sh)
 
 
 def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
