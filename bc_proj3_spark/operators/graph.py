@@ -68,24 +68,34 @@ def min_label_components(edges: DataFrame) -> DataFrame:
     checkpoint dir — same plan shape, fault-tolerant storage.
 
     Convergence is detected from the per-round label SUM (labels only
-    ever decrease, so the sum is strictly decreasing until fixpoint) —
-    one scalar aggregate per round instead of a new-vs-old join.
+    ever decrease, so the sum is strictly decreasing until fixpoint).
+    The sum rides the checkpoint job itself via ``df.observe`` — the
+    eager materialization IS the action that fills the observation, so
+    each round is exactly ONE job (no separate scalar-aggregate
+    collect; verified the metric fires on eager localCheckpoint).
     """
+    from pyspark.sql import Observation
+
+    def _ckpt_with_sum(df: DataFrame) -> tuple[DataFrame, object]:
+        obs = Observation()
+        out = df.observe(
+            obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("label_sum")
+        ).localCheckpoint(eager=True)
+        return out, obs.get["label_sum"]
+
     edges = edges.localCheckpoint(eager=True)
-    labels = (
+    labels, prev_sum = _ckpt_with_sum(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(MAX_CC_ITERS):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["doc_id"])
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
+        labels, new_sum = _ckpt_with_sum(
             labels.alias("l")
             .join(nbr_min.alias("n"), "doc_id", "left")
             .select(
@@ -94,9 +104,7 @@ def min_label_components(edges: DataFrame) -> DataFrame:
                     F.col("l.label"), F.coalesce("n.nbr_label", F.col("l.label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
-        new_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         if new_sum == prev_sum:
             return labels
         prev_sum = new_sum
