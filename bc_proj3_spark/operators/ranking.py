@@ -1,0 +1,257 @@
+"""Statistical ranking / quality-scoring operators over ``documents``.
+
+Two corpus-trained text-ranking operators a large-scale training-data
+pipeline runs constantly (extends the reference's dictionary-weighted
+term scoring, notebooks/gold_article_scoring.py:69-86, from a FIXED
+hand-made weight dict to weights LEARNED from the corpus itself):
+
+- t10: unigram language-model scoring — mean token log-probability
+  under the corpus's own unigram distribution. The CCNet-style quality
+  signal: docs whose tokens are improbable under the corpus LM are
+  boilerplate/garbled outliers. Two aggregation passes (train: token →
+  count; score: join + per-doc mean), both map-side combinable.
+- bm1: BM25 keyword retrieval — top-k documents for a fixed query term
+  set, the canonical inverted-index ranking function. Exercises a
+  corpus-statistics join pipeline: document frequencies (idf), document
+  lengths, and term frequencies combined per (doc, term), then
+  aggregated and ranked with a total order.
+
+Cross-engine determinism (the driver value-hashes against DuckDB):
+
+- ``ln`` is transcendental and engines may differ in the last ulp, so
+  every log-derived TERM is rounded to 9 decimals before aggregation
+  (|term| < 20, so 1e-9 absolute swamps any sub-ulp divergence);
+- term sums accumulate in exact decimal (functions/numeric.py) — any
+  execution order, any engine, bit-identical results;
+- final scores are rounded to 6 decimals and ranked with a unique-key
+  tiebreaker, so both engines select the same rows in the same order;
+- tf/dl ratios are pure IEEE arithmetic written with IDENTICAL
+  parenthesization in both plans (multiplication/division are
+  correctly rounded, so the same expression tree gives the same bits).
+
+Scale shape (100 TB posture):
+
+- the unigram vocab and the per-term idf table are bounded by VOCAB
+  size, not corpus size → broadcast joins; the corpus is never
+  shuffled, only its exploded token stream is aggregated (partial
+  aggregation map-side).
+- the corpus-wide scalars (total token count, avg doc length) are
+  1-row aggregates crossJoin-broadcast into the plan — the same
+  pattern as q15's max-revenue lookup.
+- bm25 filters the token stream to the query terms FIRST (map-side,
+  tiny literal IN), so the ranking join touches query-term postings
+  only — the inverted-index access pattern, never a corpus scan per
+  term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bc_proj3_spark.functions import text as T
+from bc_proj3_spark.functions.numeric import DECIMAL_T, sql_dec_sum
+from bc_proj3_spark.plans.tables import fanout, table
+from bc_proj3_spark.registry import register
+
+#: log-derived terms are rounded to this many decimals BEFORE the
+#: decimal-exact sum, killing sub-ulp ln() divergence between engines.
+TERM_SCALE = 9
+SCORE_SCALE = 6
+
+# BM25 hyperparameters (the standard Robertson defaults) and the fixed
+# query. Terms are chosen from the synthetic corpus vocabulary; all pass
+# the tokenizer (length > 2, not stopwords).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "merge", "window")
+BM25_TOP_K = 20
+
+
+# ---------------------------------------------------------------------------
+# t10 — unigram LM mean log-probability per document
+# ---------------------------------------------------------------------------
+
+_T10_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({T.sql_tokenize('text')}) AS t FROM documents
+),
+vocab AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+total AS (SELECT SUM(cnt) AS n_total FROM vocab),
+terms AS (
+  SELECT tok.doc_id,
+         ROUND(LN(vocab.cnt / (SELECT n_total FROM total)), {TERM_SCALE}) AS lp
+  FROM tok JOIN vocab USING (t)
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*),
+             {SCORE_SCALE}) AS mean_logprob
+FROM terms
+GROUP BY doc_id
+"""
+
+
+@register("t10_unigram_logprob", _T10_ORACLE)
+def t10_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram LM (CCNet-style quality signal; docs with no surviving
+    tokens are absent, matching the oracle's inner join).
+
+    Plan: one exploded token stream feeds (a) the vocab aggregate —
+    bounded by vocab size, broadcast back — and (b) the per-doc scoring
+    aggregate. The corpus total is a 1-row aggregate crossJoined in.
+    Both aggregations are map-side combinable; nothing corpus-sized is
+    ever broadcast or collected."""
+    docs = fanout(table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("t")
+    )
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    lp = (
+        tok.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("cnt") / F.col("n_total")), TERM_SCALE
+            ).alias("lp"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum(F.col("lp").cast(DECIMAL_T)).cast("double")
+            / F.count(F.lit(1)),
+            SCORE_SCALE,
+        ).alias("mean_logprob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bm1 — BM25 top-k keyword retrieval
+# ---------------------------------------------------------------------------
+
+
+def _bm1_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({T.sql_tokenize('text')}) AS t FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(dl)::DOUBLE / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM tok
+  WHERE t IN ({terms}) GROUP BY doc_id, t
+),
+idf AS (
+  SELECT t,
+         ROUND(LN(((SELECT n_docs FROM stats) - COUNT(DISTINCT doc_id) + 0.5)
+                  / (COUNT(DISTINCT doc_id) + 0.5) + 1.0), {TERM_SCALE}) AS idf
+  FROM tf GROUP BY t
+),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(idf.idf * ((tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * (dl.dl / (SELECT avgdl FROM stats))))),
+               {TERM_SCALE}) AS term_score
+  FROM tf
+  JOIN idf USING (t)
+  JOIN dl USING (doc_id)
+),
+totals AS (
+  SELECT doc_id,
+         ROUND(CAST(SUM(CAST(term_score AS DECIMAL(28,10))) AS DOUBLE),
+               {SCORE_SCALE}) AS bm25
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, bm25
+FROM totals
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
+@register("bm1_bm25_topk", _bm1_oracle())
+def bm1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} documents by BM25 for the fixed query terms.
+
+    The token stream is filtered to the query terms BEFORE any shuffle
+    (map-side literal isin) so tf/idf aggregate over query-term postings
+    only; doc lengths come from a separate full-stream aggregate. idf
+    and the 1-row (n_docs, avgdl) stats are broadcast. Ranked with
+    (score desc, doc_id) — a total order shared with the oracle."""
+    docs = fanout(table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("t")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("t").isin(*BM25_QUERY))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("t")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "t",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+                TERM_SCALE,
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (
+                    (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(BM25_K1)
+                        * (
+                            F.lit(1.0 - BM25_B)
+                            + F.lit(BM25_B)
+                            * (F.col("dl") / F.col("avgdl"))
+                        )
+                    )
+                ),
+                TERM_SCALE,
+            ).alias("term_score"),
+        )
+    )
+    totals = scored.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("term_score").cast(DECIMAL_T)).cast("double"),
+            SCORE_SCALE,
+        ).alias("bm25")
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        totals.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25_TOP_K)
+        .select("doc_id", "bm25")
+    )

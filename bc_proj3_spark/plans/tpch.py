@@ -759,6 +759,43 @@ def r1_rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r2 — CUBE cross-tabulation (grouping sets family, all 2^n combinations)
+# ---------------------------------------------------------------------------
+
+_R2_ORACLE = f"""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
+  {sql_dec_sum("o_totalprice", "sum_price")},
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("r2_cube_crosstab", _R2_ORACLE)
+def r2_cube_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): every margin of the
+    cross-tab — detail cells, each one-dimension rollup, and the grand
+    total — in ONE expand+aggregate pass over orders (no self-union of
+    four scans). grouping_id disambiguates genuine NULL keys from
+    margin rows; sums are decimal-exact (functions/numeric.py)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            dec_sum("o_totalprice", "sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "sum_price", "n_orders"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q8 — national market share within a region, by year
 # ---------------------------------------------------------------------------
 

@@ -59,6 +59,7 @@ _REGISTERING_MODULES = (
     "bc_proj3_spark.plans.aggfuncs",
     "bc_proj3_spark.plans.sqlapi",
     "bc_proj3_spark.operators.textstats",
+    "bc_proj3_spark.operators.ranking",
     "bc_proj3_spark.operators.sampling",
     "bc_proj3_spark.operators.sketch",
     "bc_proj3_spark.operators.dedup",

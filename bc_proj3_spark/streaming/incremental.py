@@ -357,3 +357,54 @@ def st2_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# st4 — streaming exact deduplication (exactly-once ingest semantics)
+# ---------------------------------------------------------------------------
+
+_ST4_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@register("st4_stream_dedup", _ST4_ORACLE)
+def st4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the distinct (user_id, event_type) pairs
+    emitted by ``dropDuplicates`` running INSIDE a streaming query
+    (per-key state store; each key emits exactly once, on first
+    arrival), drained with AvailableNow into a memory sink. After the
+    backlog drains the emitted set equals the batch DISTINCT — which is
+    what the oracle checks. Only key columns are selected, so the
+    output is deterministic regardless of which physical row arrived
+    first.
+
+    This is the exactly-once ingest primitive of a training-data
+    pipeline (the streaming twin of the reference's batch dedup-insert,
+    silver_nyt_archive.py:102-120). At scale the dedup state is
+    partitioned by key in the state store; a live deployment bounds it
+    with ``dropDuplicatesWithinWatermark`` so keys age out after the
+    late-data horizon instead of accumulating forever."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    src = _normalize_event_ts(src)
+
+    deduped = src.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    sink = f"st4_sink_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="st4-ckpt-") as ckpt:
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(sink)
