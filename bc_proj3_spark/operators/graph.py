@@ -161,3 +161,130 @@ def cc1_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("label", F.col("doc_id")).cast("bigint").alias("component_id"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# cc2 — alternating large-star / small-star components (Kiveris et al.)
+# ---------------------------------------------------------------------------
+
+
+def _canon(df: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (c > d) form, self-loops dropped."""
+    return (
+        df.select(
+            F.greatest("a", "b").alias("c"), F.least("a", "b").alias("d")
+        )
+        .filter(F.col("c") != F.col("d"))
+        .distinct()
+    )
+
+
+def star_components(edges: DataFrame, max_iters: int = 40) -> DataFrame:
+    """(doc_id, label) via alternating large-star/small-star rounds
+    ("Connected Components in MapReduce and Beyond", Kiveris et al.,
+    SoCC'14) — the algorithm that holds the round count to O(log² n)
+    on ADVERSARIAL chain-shaped graphs where plain min-label
+    propagation (min_label_components) needs O(diameter) rounds.
+
+    Each round is two shuffle-on-node joins against a per-node min
+    aggregate (map-side combinable) — the same per-round plan shape as
+    min-label, just with edge rewriting:
+
+    - large-star: every node u links each STRICTLY LARGER neighbor to
+      m(u) = min(Γ(u) ∪ {u}) — tall trees flatten geometrically;
+    - small-star: every node u links its smaller neighbors (and
+      itself) to m(u) — stars tighten onto component minima.
+
+    Convergence: the canonical edge set is a fixpoint of small-star.
+    Detected by (edge count, exact-decimal sum of per-edge xxhash64)
+    equality, both riding the round's checkpoint job as observed
+    metrics — one job per half-round, no extra collect (a 2⁻⁶⁴-scale
+    hash-collision risk, vs joining old-vs-new edge sets every round).
+    Lineage is truncated per half-round with eager localCheckpoint
+    exactly as in min_label_components.
+
+    At fixpoint every component is a star centered on its minimum, so
+    label(u) = min over u's outgoing canonical edges (u itself for
+    centers/isolated nodes)."""
+    from pyspark.sql import Observation
+
+    def _ckpt_with_sig(df: DataFrame) -> tuple[DataFrame, tuple]:
+        obs = Observation()
+        out = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.col("c"), F.col("d")).cast("decimal(38,0)")
+            ).alias("hsum"),
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return out, (m["n"], m["hsum"])
+
+    nodes = (
+        _canon(edges.select(F.col("src").alias("a"), F.col("dst").alias("b")))
+        .select(F.explode(F.array("c", "d")).alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    E, sig = _ckpt_with_sig(
+        _canon(edges.select(F.col("src").alias("a"), F.col("dst").alias("b")))
+    )
+    for _ in range(max_iters):
+        # large-star over both directions: (u → every neighbor), gather min
+        both = E.select(F.col("c").alias("u"), F.col("d").alias("v")).unionAll(
+            E.select(F.col("d").alias("u"), F.col("c").alias("v"))
+        )
+        mins = both.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = _canon(
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        ).localCheckpoint(eager=True)
+
+        # small-star on canonical (c > d) edges: attach c and its smaller
+        # neighbors to m(c) = min(d's); c itself re-links via (c, m)
+        smins = large.groupBy("c").agg(F.min("d").alias("m"))
+        joined = large.join(smins, "c")
+        small = _canon(
+            joined.select(F.col("d").alias("a"), F.col("m").alias("b"))
+            .unionAll(
+                joined.select(F.col("c").alias("a"), F.col("m").alias("b"))
+            )
+        )
+        E, new_sig = _ckpt_with_sig(small)
+        if new_sig == sig:
+            labels = E.groupBy(F.col("c").alias("doc_id")).agg(
+                F.min("d").alias("label")
+            )
+            return (
+                nodes.join(labels, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("label", F.col("doc_id")).alias("label"),
+                )
+            )
+        sig = new_sig
+    raise RuntimeError(
+        f"star components did not converge in {max_iters} rounds"
+    )
+
+
+@register("cc2_star_components", _cc_oracle())
+def cc2_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cc1's component assignment computed by the alternating-star
+    algorithm instead of min-label propagation — identical output
+    (and identical WITH RECURSIVE oracle), logarithmic instead of
+    linear round count on high-diameter graphs. Same corpus-wide
+    broadcast left join stamps isolated docs with their own id."""
+    pairs = d4_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = star_components(edges)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("label", F.col("doc_id")).cast("bigint").alias("component_id"),
+    )

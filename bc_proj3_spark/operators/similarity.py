@@ -456,3 +456,67 @@ def s4_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _top_k(scored)
+
+
+# ---------------------------------------------------------------------------
+# s5 — k-means assignment step (one Lloyd iteration, deterministic seeds)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8  # centroids = vec_id 0..7 (deterministic seeding)
+
+_S5_ORACLE = f"""
+WITH {_SQL_BASE},
+cent AS (
+  SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e
+  WHERE vec_id < {KMEANS_K}
+),
+scored AS (
+  SELECT e.vec_id, centroid_id,
+         {_sql_dot('cv', 'v')} / (cn * nrm) AS cosine
+  FROM e, cent
+)
+SELECT vec_id, centroid_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
+  FROM scored
+) t WHERE rn = 1
+"""
+
+
+@register("s5_kmeans_assign", _S5_ORACLE)
+def s5_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment step of spherical k-means: every vector is
+    assigned to its highest-cosine centroid, centroids seeded
+    deterministically as vec_id 0..K-1 (k-means++-style seeding is a
+    sequential RNG process — replaying it identically in two engines
+    buys nothing for a plan-shape benchmark, so seeds are fixed ids).
+
+    Plan shape: the K-row centroid table is broadcast across ONE corpus
+    scan (corpus × K scored rows, never corpus × corpus), and the
+    per-vector argmax is a window rank with a centroid-id tiebreaker —
+    deterministic because the sequential-fold cosines are bit-identical
+    in both engines. The update step (new centroid = mean of members)
+    is a map-side-combinable groupBy away; iterating assignment+update
+    to convergence is driver-side orchestration of exactly this plan,
+    checkpointed per round like operators/graph.py."""
+    corpus = _corpus(spark, sf_dir)
+    cent = corpus.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = corpus.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        (_dot(F.col("cv"), F.col("v")) / (F.col("cn") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "cosine")
+    )

@@ -45,3 +45,34 @@ def test_nonconvergence_raises(spark, monkeypatch):
     with pytest.raises(RuntimeError, match="did not converge"):
         # chain of diameter 3 cannot finish in 1 round
         _components(spark, [(1, 2), (2, 3), (3, 4)])
+
+
+# ---------------------------------------------------------------------------
+# star_components (cc2 kernel) — must agree with min-label on every shape
+# ---------------------------------------------------------------------------
+
+
+def _star(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "src: long, dst: long")
+    edges = df.unionAll(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return {r["doc_id"]: r["label"] for r in graph.star_components(edges, **kw).collect()}
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [(1, 2), (2, 3), (3, 4), (7, 8)],          # chain + pair
+        [(10, 11), (11, 12), (10, 12), (5, 6)],    # triangle + pair
+        [(1, 2), (3, 4), (2, 3)],                  # bridge
+        [(i, i + 1) for i in range(1, 20)],        # diameter-18 chain
+        [(100, 1), (100, 2), (100, 3)],            # star centered off-min
+    ],
+    ids=["chain+pair", "triangle+pair", "bridge", "long-chain", "off-min-star"],
+)
+def test_star_matches_min_label(spark, pairs):
+    assert _star(spark, pairs) == _components(spark, pairs)
+
+
+def test_star_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _star(spark, [(i, i + 1) for i in range(1, 30)], max_iters=1)
