@@ -520,3 +520,71 @@ def s5_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "centroid_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# s6 — k-means update step (per-cluster mean vectors, decimal-exact)
+# ---------------------------------------------------------------------------
+
+_S6_ORACLE = f"""
+WITH {_SQL_BASE},
+cent AS (
+  SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e
+  WHERE vec_id < {KMEANS_K}
+),
+assigned AS (
+  SELECT vec_id, centroid_id, v FROM (
+    SELECT e.vec_id, centroid_id, e.v,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_dot('cv', 'v')} / (cn * nrm) DESC, centroid_id
+           ) AS rn
+    FROM e, cent
+  ) t WHERE rn = 1
+),
+pos AS (
+  SELECT centroid_id, i.i AS pos, v[i.i] AS x
+  FROM assigned, (SELECT unnest(generate_series(1, {DIM})) AS i) i
+)
+SELECT centroid_id,
+       CAST(pos AS INTEGER) AS pos,
+       COUNT(*) AS n_members,
+       CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS mean_x
+FROM pos
+GROUP BY centroid_id, pos
+"""
+
+
+@register("s6_kmeans_update", _S6_ORACLE)
+def s6_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means UPDATE step over s5's assignment: the element-wise
+    mean vector of every cluster, emitted as (centroid_id, pos, mean)
+    rows — one full Lloyd iteration is s5 ∘ s6.
+
+    The vector mean is computed by posexploding assigned vectors to
+    (centroid, position, value) and aggregating — ONE shuffle keyed on
+    (centroid, pos) with map-side partial sums, the scale-canonical way
+    to average billions of vectors (a collect-based centroid refresh
+    dies at exactly the corpus size where k-means matters). Sums
+    accumulate in exact decimal (functions/numeric.py) so any partial-
+    aggregation order in either engine produces bit-identical means.
+    Emitting positional rows (not re-assembled arrays) keeps the result
+    a plain aggregate; array re-assembly is one sort_array(collect_list)
+    away when the next iteration needs literal centroid vectors."""
+    corpus = _corpus(spark, sf_dir)
+    assigned = s5_kmeans_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    return (
+        corpus.join(assigned, "vec_id")
+        .select("centroid_id", F.posexplode("v").alias("pos0", "x"))
+        .select(
+            "centroid_id", (F.col("pos0") + 1).cast("int").alias("pos"), "x"
+        )
+        .groupBy("centroid_id", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_x"),
+        )
+    )
