@@ -255,3 +255,91 @@ def bm1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BM25_TOP_K)
         .select("doc_id", "bm25")
     )
+
+
+# ---------------------------------------------------------------------------
+# f1 — the corpus filter step: language + quality + LM signals conjoined
+# ---------------------------------------------------------------------------
+
+F1_LANG = "en"
+F1_MIN_QUALITY = 0.7
+F1_MIN_LOGPROB = -4.0
+F1_MIN_TOKENS = 10
+
+_F1_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({T.sql_tokenize('text')}) AS t FROM documents
+),
+vocab AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+total AS (SELECT SUM(cnt) AS n_total FROM vocab),
+terms AS (
+  SELECT tok.doc_id,
+         ROUND(LN(vocab.cnt / (SELECT n_total FROM total)), {TERM_SCALE}) AS lp
+  FROM tok JOIN vocab USING (t)
+),
+lm AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*),
+               {SCORE_SCALE}) AS mean_logprob
+  FROM terms GROUP BY doc_id
+),
+q AS (
+  SELECT doc_id,
+         0.4 * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 60.0)
+         + 0.3 * (1.0 - (length(text)
+             - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))::DOUBLE
+             / length(text))
+         + 0.3 * (1.0 - (len(string_split_regex(trim(text), '\\s+'))
+             - len({T.sql_tokenize('text')}))::DOUBLE
+             / len(string_split_regex(trim(text), '\\s+'))) AS quality
+  FROM documents
+)
+SELECT d.doc_id, q.quality, lm.mean_logprob, lm.n_tokens
+FROM documents d
+JOIN q USING (doc_id)
+JOIN lm USING (doc_id)
+WHERE d.lang = '{F1_LANG}'
+  AND q.quality >= {F1_MIN_QUALITY}
+  AND lm.mean_logprob >= {F1_MIN_LOGPROB}
+  AND lm.n_tokens >= {F1_MIN_TOKENS}
+"""
+
+
+@register("f1_quality_filter", _F1_ORACLE)
+def f1_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-training corpus FILTER step: language gate, composite
+    quality floor (t2's formula), unigram-LM mean-logprob floor (t10),
+    and a minimum surviving-token count, conjoined — the stage that
+    turns raw crawl into training-eligible documents (t-family signals
+    are the inputs; this is the decision).
+
+    Plan shape: the lang gate is a pushed-down scan predicate (cheap
+    rows never reach tokenization — check PushedFilters), quality is a
+    pure per-row projection, and the LM signal reuses t10's two
+    map-side-combinable aggregation passes. One corpus scan feeds the
+    token stream; nothing corpus-sized shuffles more than once."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("lang") == F1_LANG)
+    lower = F.lower(F.col("text"))
+    n_chars = F.length(F.col("text"))
+    n_clean = F.length(F.regexp_replace(lower, r"[^a-z0-9\s]", ""))
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_content = F.size(T.tokenize(F.col("text")))
+    punct_ratio = (n_chars - n_clean).cast("double") / n_chars
+    stop_ratio = (n_words - n_content).cast("double") / n_words
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_words.cast("double") / F.lit(60.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+    )
+    scored = docs.select("doc_id", quality.alias("quality"))
+    lm = t10_unigram_logprob(spark, sf_dir)
+    return (
+        scored.join(lm, "doc_id")
+        .filter(
+            (F.col("quality") >= F1_MIN_QUALITY)
+            & (F.col("mean_logprob") >= F1_MIN_LOGPROB)
+            & (F.col("n_tokens") >= F1_MIN_TOKENS)
+        )
+        .select("doc_id", "quality", "mean_logprob", "n_tokens")
+    )

@@ -155,3 +155,118 @@ def a4_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dec_sum("o_totalprice", "total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a6 — mergeable fixed-bin histogram quantiles (the sketch-shaped path
+#      that a2's exact sort-based percentile swaps into at corpus scale)
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 256
+
+_A6_ORACLE = f"""
+WITH rng AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+),
+binned AS (
+  SELECT event_type,
+         least(CAST(floor((value - (SELECT lo FROM rng))
+               / ((SELECT hi FROM rng) - (SELECT lo FROM rng))
+               * {HIST_BINS}) AS BIGINT), {HIST_BINS - 1}) AS bin
+  FROM events
+),
+hist AS (
+  SELECT event_type, bin, COUNT(*) AS n FROM binned GROUP BY event_type, bin
+),
+cum AS (
+  SELECT event_type, bin, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum_n,
+         SUM(n) OVER (PARTITION BY event_type) AS total_n
+  FROM hist
+),
+qs AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum_n >= 0.5 * total_n THEN bin END) AS bin50,
+         MIN(CASE WHEN cum_n >= 0.95 * total_n THEN bin END) AS bin95,
+         MAX(total_n) AS n_events
+  FROM cum GROUP BY event_type
+)
+SELECT event_type,
+       (SELECT lo FROM rng) + bin50 * (((SELECT hi FROM rng) - (SELECT lo FROM rng)) / {HIST_BINS}) AS p50_approx,
+       (SELECT lo FROM rng) + bin95 * (((SELECT hi FROM rng) - (SELECT lo FROM rng)) / {HIST_BINS}) AS p95_approx,
+       n_events
+FROM qs
+"""
+
+
+@register("a6_histogram_quantiles", _A6_ORACLE)
+def a6_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95 per event type from a FIXED-width 256-bin
+    histogram — the mergeable-sketch shape for quantiles at corpus
+    scale (cf. sk1-sk4): per-partition histograms combine map-side
+    (bin counts are plain sums), the final cumulative walk touches
+    256 rows per group, and two shards' histograms merge by adding
+    counts — none of which is true of a2's exact sort-based
+    percentile. Error is bounded by one bin width; the bin edges
+    derive from the exact global (min, max) 1-row aggregate, so both
+    engines bin identically (floor on identical IEEE doubles) and the
+    driver's value gate stays exact despite the operator being
+    approximate — same strategy as the CMS/HLL family."""
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(HIST_BINS)
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "lo",
+        "hi",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * F.lit(HIST_BINS)
+            ).cast("bigint"),
+            F.lit(HIST_BINS - 1),
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "lo", "hi", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql.window import Window
+
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "lo",
+        "hi",
+        "bin",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_all).alias("total_n"),
+    )
+    return cum.groupBy("event_type").agg(
+        (
+            F.first("lo")
+            + F.min(
+                F.when(
+                    F.col("cum_n") >= F.lit(0.5) * F.col("total_n"),
+                    F.col("bin"),
+                )
+            )
+            * ((F.first("hi") - F.first("lo")) / F.lit(HIST_BINS))
+        ).alias("p50_approx"),
+        (
+            F.first("lo")
+            + F.min(
+                F.when(
+                    F.col("cum_n") >= F.lit(0.95) * F.col("total_n"),
+                    F.col("bin"),
+                )
+            )
+            * ((F.first("hi") - F.first("lo")) / F.lit(HIST_BINS))
+        ).alias("p95_approx"),
+        F.max("total_n").alias("n_events"),
+    )

@@ -45,6 +45,7 @@ PARITY_QUERIES = [
     "st1_stream_window_counts",
     "st2_stateful_user_totals",
     "st3_stream_session_windows",
+    "st4_stream_dedup",
     "sv1_scholar_date_derivation",
 ]
 
