@@ -184,70 +184,78 @@ LIMIT {BM25_TOP_K}
 def bm1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{k} documents by BM25 for the fixed query terms.
 
-    The token stream is filtered to the query terms BEFORE any shuffle
-    (map-side literal isin) so tf/idf aggregate over query-term postings
-    only; doc lengths come from a separate full-stream aggregate. idf
-    and the 1-row (n_docs, avgdl) stats are broadcast. Ranked with
-    (score desc, doc_id) — a total order shared with the oracle."""
+    One tokenize pass: per-doc length AND the per-query-term counts
+    come out of a single groupBy(doc_id) with pivoted conditional sums
+    (the query is a FIXED literal set, so tf columns are plan-time
+    constants — no (doc, term) shuffle, no second corpus scan). The
+    corpus statistics (n_docs, avgdl, per-term document frequencies)
+    reduce to ONE 1-row aggregate over that frame, broadcast back, and
+    scoring is then map-side: per-term scores are rounded, cast to
+    decimal and added as columns — exactly equal to the oracle's
+    per-row decimal SUM, since terms absent from a doc contribute a
+    decimal 0 either way. Ranked with (score desc, doc_id) — a total
+    order shared with the oracle."""
     docs = fanout(table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(T.tokenize(F.col("text"))).alias("t")
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    tfdl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("t") == term, 1).otherwise(0)).alias(f"tf{i}")
+            for i, term in enumerate(BM25_QUERY)
+        ],
+    )
+    stats = tfdl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(BM25_QUERY))
+        ],
     )
-    tf = (
-        tok.filter(F.col("t").isin(*BM25_QUERY))
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    idf = (
-        tf.groupBy("t")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .crossJoin(F.broadcast(stats.select("n_docs")))
-        .select(
-            "t",
-            F.round(
-                F.log(
-                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                    + F.lit(1.0)
-                ),
-                TERM_SCALE,
-            ).alias("idf"),
+
+    def _idf(i: int):
+        return F.round(
+            F.log(
+                (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+                / (F.col(f"df{i}") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            TERM_SCALE,
         )
-    )
-    scored = (
-        tf.join(F.broadcast(idf), "t")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats.select("avgdl")))
+
+    def _term_score(i: int):
+        tf = F.col(f"tf{i}")
+        raw = _idf(i) * (
+            (tf * F.lit(BM25_K1 + 1.0))
+            / (
+                tf
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
+                )
+            )
+        )
+        # a term absent from the doc contributes decimal 0, exactly as
+        # its missing row does in the oracle's per-row SUM
+        return F.when(tf > 0, F.round(raw, TERM_SCALE)).otherwise(
+            F.lit(0.0)
+        ).cast(DECIMAL_T)
+
+    n_terms = len(BM25_QUERY)
+    score_sum = _term_score(0)
+    for i in range(1, n_terms):
+        score_sum = score_sum + _term_score(i)
+    any_hit = F.greatest(*[F.col(f"tf{i}") for i in range(n_terms)]) > 0
+    totals = (
+        tfdl.crossJoin(F.broadcast(stats))
+        .filter(any_hit)
         .select(
             "doc_id",
-            F.round(
-                F.col("idf")
-                * (
-                    (F.col("tf") * F.lit(BM25_K1 + 1.0))
-                    / (
-                        F.col("tf")
-                        + F.lit(BM25_K1)
-                        * (
-                            F.lit(1.0 - BM25_B)
-                            + F.lit(BM25_B)
-                            * (F.col("dl") / F.col("avgdl"))
-                        )
-                    )
-                ),
-                TERM_SCALE,
-            ).alias("term_score"),
+            F.round(score_sum.cast("double"), SCORE_SCALE).alias("bm25"),
         )
-    )
-    totals = scored.groupBy("doc_id").agg(
-        F.round(
-            F.sum(F.col("term_score").cast(DECIMAL_T)).cast("double"),
-            SCORE_SCALE,
-        ).alias("bm25")
     )
     w = Window.orderBy(F.col("bm25").desc(), "doc_id")
     return (

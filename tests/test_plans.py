@@ -27,6 +27,16 @@ _BNLJ_OK = {
     "s4_ivf_probe",
     "e7_funnel",
     "u2_set_operations",
+    # round-5 additions, all 1-row-aggregate or K-row broadcasts crossed
+    # against the big side: t10/f1 (corpus token total), bm1 (n_docs +
+    # avgdl stats rows), a6 (global min/max range row), s5/s6 (K=8
+    # centroid table)
+    "t10_unigram_logprob",
+    "f1_quality_filter",
+    "bm1_bm25_topk",
+    "a6_histogram_quantiles",
+    "s5_kmeans_assign",
+    "s6_kmeans_update",
 }
 
 #: streaming queries — their builders execute a full streaming job;
