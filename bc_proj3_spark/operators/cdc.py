@@ -251,3 +251,79 @@ def cdc3_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res.cleanup()
     return out
+
+
+# ---------------------------------------------------------------------------
+# cdc4 — incremental materialized-view maintenance (base agg + deltas)
+# ---------------------------------------------------------------------------
+
+_CDC4_ORACLE = f"""
+WITH {_SQL_SNAPSHOTS}
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS total_price
+FROM v2
+GROUP BY o_custkey
+"""
+
+
+@register("cdc4_incremental_agg", _CDC4_ORACLE)
+def cdc4_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-customer
+    (order count, total price) aggregate of the NEW snapshot computed
+    as base-aggregate-of-v1 PLUS signed deltas from the change feed —
+    the warehouse pattern that keeps a 100 TB rollup fresh by touching
+    only the changed keys instead of rescanning the fact table.
+
+    Delta algebra for distributive aggregates: a delete/old-update row
+    contributes (-1, -price) to ITS customer, an insert/new-update row
+    contributes (+1, +price) to its (possibly different) customer;
+    groups whose maintained count reaches 0 drop out. Sums accumulate
+    in exact decimal end-to-end, so the incremental path cancels old
+    contributions EXACTLY and lands bit-identical to the oracle's full
+    recompute over v2 — which is the entire point of the driver row:
+    the oracle is the full rescan, the Spark plan is the incremental
+    maintenance, and the value hash proves they agree.
+
+    Scale shape: the base aggregate shuffles v1 once on the group key
+    (map-side combinable); the delta stream is one full-outer key join
+    (cdc1's diff shape) over the CHANGED keys only, then a second
+    map-side-combinable aggregate over base ∪ deltas. Nothing rescans
+    v2."""
+    v1, v2 = _snapshots(table(spark, sf_dir, "orders"))
+    dec = "decimal(28,10)"
+
+    base = v1.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("dn"),
+        F.sum(F.col("o_totalprice").cast(dec)).alias("dprice"),
+    )
+
+    a, b = v1.alias("a"), v2.alias("b")
+    ka, kb = F.col("a.o_orderkey"), F.col("b.o_orderkey")
+    same: Column = F.lit(True)
+    for c in _VALUE_COLS:
+        same = same & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+    diff = a.join(b, ka == kb, "full").filter(
+        ka.isNull() | kb.isNull() | ~same
+    )
+    neg = diff.filter(ka.isNotNull()).select(
+        F.col("a.o_custkey").alias("o_custkey"),
+        F.lit(-1).alias("dn"),
+        (-F.col("a.o_totalprice").cast(dec)).alias("dprice"),
+    )
+    pos = diff.filter(kb.isNotNull()).select(
+        F.col("b.o_custkey").alias("o_custkey"),
+        F.lit(1).alias("dn"),
+        F.col("b.o_totalprice").cast(dec).alias("dprice"),
+    )
+    return (
+        base.select("o_custkey", "dn", "dprice")
+        .unionAll(neg)
+        .unionAll(pos)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("dn").alias("n_orders"),
+            F.sum("dprice").cast("double").alias("total_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )

@@ -408,3 +408,83 @@ def st4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# st5 — stream-stream interval join (view → purchase attribution)
+# ---------------------------------------------------------------------------
+
+_ST5_ORACLE = """
+SELECT v.user_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
+@register("st5_stream_stream_join", _ST5_ORACLE)
+def st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join: every purchase joined to each view
+    by the same user in the preceding hour — the streaming attribution
+    twin of the batch interval join (e8) and as-of join (e3). Both
+    sides are real streaming sources with watermarks; the time-range
+    predicate is what lets Spark bound the join state (each side's
+    buffered rows age out once the other side's watermark passes the
+    interval), which is the property that makes stream-stream joins
+    viable at all at scale — an unconstrained stream join would buffer
+    both streams forever. Drained with AvailableNow into a memory sink;
+    the drained result equals the batch interval join, which is exactly
+    what the oracle checks (append is the only supported mode for
+    stream-stream inner joins, so every emitted row is final)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    def _src():
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return _normalize_event_ts(s)
+
+    views = (
+        _src()
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        _src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+    ).select("user_id", "view_ts", "purchase_ts", "purchase_value")
+    sink = f"st5_sink_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="st5-ckpt-") as ckpt:
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(sink)
