@@ -1,0 +1,209 @@
+"""Distributed numerical linear algebra over the ``embeddings`` table.
+
+pi1: power iteration for the corpus's top principal direction — the
+spectral building block under PCA whitening, spectral clustering, and
+embedding diagnostics (is one direction eating the variance?). The
+Spark plan is the honest distributed shape at every step:
+
+1. the 64×64 second-moment (Gram) matrix is built by exploding each
+   sampled vector's outer product JVM-side (``transform`` ×
+   ``transform`` → one ``explode``; no self-join, no Python) and
+   decimal-summing per (i, j) cell — a map-side-combinable aggregate
+   whose output size is DIM², independent of corpus size;
+2. each of the fixed ITERS matvec rounds is a broadcast join of the
+   4096-cell matrix against the 64-row vector plus an exact-decimal
+   groupBy — the iteration state lives in DataFrames, nothing numeric
+   ever collects to the driver.
+
+Cross-engine determinism — the iteration state is EXACT DECIMAL
+end-to-end, learned the hard way:
+
+- the first cut rounded doubles at every stage. That failed: a rounded
+  value is a 1e-12 LATTICE multiple, and multiplying it by the next
+  lattice value lands EXACTLY ON rounding half-ties (c·x with
+  x = 0.125 ties in 1/8 of cases), where Spark (exact BigDecimal
+  HALF_UP) and DuckDB (scaled double round) systematically disagree.
+- so: raw products (generic doubles, tie-free) are rounded ONCE to 12
+  decimals and cast to decimal; all matrix/vector arithmetic after
+  that is decimal × decimal with precisions sized so neither engine
+  ever rescales (c: DECIMAL(14,12), v: DECIMAL(14,12) → products at
+  scale 24 inside both engines' 38-digit cap; sums exact).
+- rescaling scale-24 sums back to 12 TRUNCATES (``y - y % 1e-12`` —
+  pure decimal arithmetic, remainder truncation-based in both engines,
+  verified on negatives) instead of casting: a cast ROUNDS, and these
+  sums sit exactly on half-ties (multiples of 0.125e-12 from the v0 =
+  1/8 lattice), where Spark's HALF_UP and DuckDB's rescale disagree;
+- doubles reappear ONLY where unavoidable (sqrt, division) and ONLY on
+  values first truncated to scale 12, whose integer numerator is
+  double-exact — making each decimal→double cast a single correctly-
+  rounded operation in both engines (at higher scales DuckDB's
+  int128/10^s cast path drifts 1 ulp from Spark's BigDecimal).
+- the division result (a generic, lattice-free double) is rounded to
+  12 and recast — back to the safe case.
+
+The driver's value hash therefore holds an ITERATIVE numeric algorithm
+to bit equality — the linear-algebra twin of the sketch family's
+replayed-sketch strategy. The fixed iteration count (no convergence
+test) is deliberate: the result after K rounds is a pure function of
+the input, so the oracle unrolls K CTE blocks; a data-dependent
+stopping rule would let a last-ulp divergence change the round count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bc_proj3_spark.plans.tables import fanout, table
+from bc_proj3_spark.registry import register
+
+DIM = 64
+PI_ITERS = 5
+PI_SAMPLE_MOD = 10  # Gram built over vec_id % 10 == 0 (bounded demo cost)
+_RND = 12  # rounding scale for double→decimal entry points
+#: entry-point decimal type: 2 integer digits (|cells| ≤ 99), scale 12.
+#: Sized so decimal products stay inside the 38-digit cap with NO
+#: engine-side rescale: (14,12) × (14,12) → (29,24) exact in both.
+_DEC = "decimal(14,12)"
+#: squared-term type for the norm sum: |y²| ≤ 9999, scale 24 exact.
+_DEC_SQ = "decimal(28,24)"
+
+
+def _pi1_oracle() -> str:
+    ctes = [
+        f"""
+e AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id % {PI_SAMPLE_MOD} = 0
+),
+terms AS (
+  SELECT unnest(flatten(list_transform(generate_series(1, {DIM}),
+           i -> list_transform(generate_series(1, {DIM}),
+             j -> {{'i': i, 'j': j, 'p': v[i] * v[j]}})))) AS u
+  FROM e
+),
+c AS (
+  SELECT u.i AS i, u.j AS j,
+         CAST(SUM(CAST(ROUND(u.p, {_RND}) AS DECIMAL(14,12))) AS DECIMAL(14,12)) AS c
+  FROM terms GROUP BY u.i, u.j
+),
+v0 AS (
+  SELECT i.i AS pos, CAST(0.125 AS DECIMAL(14,12)) AS x
+  FROM (SELECT unnest(generate_series(1, {DIM})) AS i) i
+)"""
+    ]
+    for k in range(1, PI_ITERS + 1):
+        p = k - 1
+        ctes.append(
+            f"""
+mv{k} AS (
+  SELECT pos, CAST(y24 - (y24 % CAST(0.000000000001 AS DECIMAL(14,12))) AS DECIMAL(14,12)) AS y
+  FROM (
+    SELECT c.i AS pos, SUM(c.c * v{p}.x) AS y24
+    FROM c JOIN v{p} ON c.j = v{p}.pos
+    GROUP BY c.i
+  ) raw
+),
+n{k} AS (
+  SELECT sqrt(CAST(CAST(s24 - (s24 % CAST(0.000000000001 AS DECIMAL(14,12))) AS DECIMAL(16,12)) AS DOUBLE)) AS nrm
+  FROM (SELECT SUM(CAST(y * y AS DECIMAL(28,24))) AS s24 FROM mv{k}) sq
+),
+v{k} AS (
+  SELECT pos,
+         CAST(ROUND(CAST(y AS DOUBLE) / (SELECT nrm FROM n{k}), {_RND}) AS DECIMAL(14,12)) AS x
+  FROM mv{k}
+)"""
+        )
+    final = f"""
+SELECT pos, CAST(x AS DOUBLE) AS loading,
+       ROUND((SELECT nrm FROM n{PI_ITERS}), 6) AS eigenvalue_est
+FROM v{PI_ITERS}
+"""
+    return "WITH " + ",".join(ctes) + final
+
+
+@register("pi1_power_iteration", _pi1_oracle())
+def pi1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the sampled embedding Gram matrix
+    after a fixed PI_ITERS power-iteration rounds; returns the 64
+    loadings plus the eigenvalue estimate (the final pre-normalization
+    norm). See module docstring for the plan and determinism story."""
+    emb = fanout(
+        table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % PI_SAMPLE_MOD == 0
+        )
+    )
+    v = F.col("embedding").cast("array<double>")
+
+    # outer-product terms: 4096 structs per row, JVM-side, one explode
+    terms = emb.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    v,
+                    lambda xi, i: F.transform(
+                        v,
+                        lambda xj, j: F.struct(
+                            (i + 1).alias("i"),
+                            (j + 1).alias("j"),
+                            (xi * xj).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("u")
+    )
+
+    c = (
+        terms.groupBy(F.col("u.i").alias("i"), F.col("u.j").alias("j"))
+        .agg(
+            F.sum(F.round(F.col("u.p"), _RND).cast(_DEC))
+            .cast(_DEC)
+            .alias("c")
+        )
+        .localCheckpoint(eager=True)  # 4096 rows; cut the explode lineage
+    )
+
+    vk = spark.range(1, DIM + 1).select(
+        F.col("id").cast("int").alias("pos"),
+        F.lit("0.125").cast(_DEC).alias("x"),
+    )
+    tick = F.lit("0.000000000001").cast(_DEC)
+    nrm_col = None
+    for _ in range(PI_ITERS):
+        y24 = F.sum(F.col("c") * F.col("x"))
+        mv = (
+            c.join(F.broadcast(vk), c["j"] == vk["pos"])
+            .groupBy(F.col("i").alias("mpos"))
+            .agg(y24.alias("y24"))
+            .select(
+                "mpos", (F.col("y24") - F.col("y24") % tick).cast(_DEC).alias("y")
+            )
+        )
+        s24 = F.sum((F.col("y") * F.col("y")).cast(_DEC_SQ))
+        nrm = (
+            mv.agg(s24.alias("s24"))
+            .select(
+                F.sqrt(
+                    (F.col("s24") - F.col("s24") % tick)
+                    .cast("decimal(16,12)")
+                    .cast("double")
+                ).alias("nrm")
+            )
+        )
+        vk = (
+            mv.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("mpos").alias("pos"),
+                F.round(F.col("y").cast("double") / F.col("nrm"), _RND)
+                .cast(_DEC)
+                .alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        nrm_col = nrm
+    return vk.crossJoin(F.broadcast(nrm_col)).select(
+        "pos",
+        F.col("x").cast("double").alias("loading"),
+        F.round(F.col("nrm"), 6).alias("eigenvalue_est"),
+    )

@@ -37,6 +37,7 @@ _BNLJ_OK = {
     "a6_histogram_quantiles",
     "s5_kmeans_assign",
     "s6_kmeans_update",
+    "pi1_power_iteration",  # per-round 1-row norm broadcast
 }
 
 #: streaming queries — their builders execute a full streaming job;
