@@ -476,3 +476,109 @@ def t9_top_token_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_token_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# t11 — PMI bigram collocations (corpus-statistical phrase mining)
+# ---------------------------------------------------------------------------
+
+T11_MIN_COUNT = 5
+T11_TOP_K = 30
+
+_T11_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {T.sql_tokenize('text')} AS w FROM documents
+),
+bigrams AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                i -> {{'a': w[i], 'b': w[i+1]}})) AS bg
+  FROM toks
+),
+bg_counts AS (
+  SELECT bg.a AS a, bg.b AS b, COUNT(*) AS n_ab FROM bigrams GROUP BY bg.a, bg.b
+),
+uni AS (
+  SELECT unnest(w) AS t FROM toks
+),
+uni_counts AS (SELECT t, COUNT(*) AS n FROM uni GROUP BY t),
+totals AS (
+  SELECT (SELECT SUM(n) FROM uni_counts) AS n_tot,
+         (SELECT SUM(n_ab) FROM bg_counts) AS n_big
+)
+SELECT a, b, n_ab,
+       ROUND(LN((n_ab / (SELECT n_big FROM totals))
+                / ((za.n / (SELECT n_tot FROM totals))
+                   * (zb.n / (SELECT n_tot FROM totals)))), 6) AS pmi
+FROM bg_counts
+JOIN uni_counts za ON a = za.t
+JOIN uni_counts zb ON b = zb.t
+WHERE n_ab >= {T11_MIN_COUNT}
+ORDER BY pmi DESC, a, b
+LIMIT {T11_TOP_K}
+"""
+
+
+@register("t11_pmi_collocations", _T11_ORACLE)
+def t11_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} bigram collocations by pointwise mutual information —
+    the corpus-statistics phrase miner (which word pairs co-occur far
+    above chance). The phrase-detection pass a tokenizer-training
+    pipeline runs before merging multi-word units.
+
+    One exploded token stream feeds the unigram counts; adjacent-pair
+    structs (built in-array JVM-side, like the shingle family) feed the
+    bigram counts; both are map-side-combinable aggregates bounded by
+    vocabulary size, joined back with the two 1-row totals broadcast.
+    PMI is a single ln per surviving bigram computed from exact integer
+    counts — no log-sums, so cross-engine parity needs only the final
+    round(6). Total order (pmi desc, a, b) shared with the oracle."""
+    docs = fanout(table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", T.tokenize(F.col("text")).alias("w"))
+    size = F.size(F.col("w"))
+    idx = F.when(size >= 2, F.sequence(F.lit(1), size - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("w"), i).alias("a"),
+                    F.element_at(F.col("w"), i + 1).alias("b"),
+                ),
+            )
+        ).alias("bg")
+    )
+    bg_counts = bigrams.groupBy(
+        F.col("bg.a").alias("a"), F.col("bg.b").alias("b")
+    ).agg(F.count(F.lit(1)).alias("n_ab"))
+    uni_counts = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = uni_counts.agg(F.sum("n").alias("n_tot")).crossJoin(
+        bg_counts.agg(F.sum("n_ab").alias("n_big"))
+    )
+    scored = (
+        bg_counts.filter(F.col("n_ab") >= T11_MIN_COUNT)
+        .join(F.broadcast(uni_counts.alias("za")), F.col("a") == F.col("za.t"))
+        .join(F.broadcast(uni_counts.alias("zb")), F.col("b") == F.col("zb.t"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.col("n_big"))
+                    / (
+                        (F.col("za.n") / F.col("n_tot"))
+                        * (F.col("zb.n") / F.col("n_tot"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "a", "b").limit(T11_TOP_K)
