@@ -28,6 +28,8 @@ the merge the same single-key-shuffle plan as the batch path.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import tempfile
 import uuid
 
@@ -35,6 +37,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from bc_proj3_spark.plans.tables import _normalize_event_ts
 from bc_proj3_spark.registry import register
+
+#: Shuffle width for the registered streaming demos' STATE stores.
+#: Stateful streaming fixes its shuffle-partition count at the first
+#: checkpoint and every micro-batch then pays per-partition state-store
+#: overhead (open/commit/snapshot × sides × partitions) regardless of
+#: data volume — measured 3× end-to-end on the stream-stream join at
+#: sf0.1 (8 partitions: 2.7 s; 32: 8 s). Unlike batch, AQE cannot
+#: coalesce this, so it must be SIZED: to expected peak state volume on
+#: a cluster (hundreds for 100 TB feeds), small for bounded demo
+#: drains. Env-overridable like the batch width.
+STREAM_SHUFFLE = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+
+
+@contextlib.contextmanager
+def _stream_shuffle(spark: SparkSession):
+    """Temporarily size shuffle partitions for a stateful stream drain.
+
+    Safe here because each registered streaming query drains its whole
+    backlog with AvailableNow inside the builder call (fresh checkpoint
+    per call, nothing concurrent on the session); a long-lived
+    deployment would instead set the conf once at stream start."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 _ST1_ORACLE = """
 SELECT
@@ -70,7 +99,7 @@ def st1_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     sink = f"st1_sink_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="st1-ckpt-") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="st1-ckpt-") as ckpt, _stream_shuffle(spark):
         # AvailableNow drains the whole backlog in this one call, so the
         # checkpoint is dead state once the query terminates — scope it
         # to the drain (a restartable deployment passes a durable dir).
@@ -263,7 +292,7 @@ def st3_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"st3_sink_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="st3-ckpt-") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="st3-ckpt-") as ckpt, _stream_shuffle(spark):
         query = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -345,7 +374,7 @@ def st2_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = f"st2_sink_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="st2-ckpt-") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="st2-ckpt-") as ckpt, _stream_shuffle(spark):
         # checkpoint scoped to the AvailableNow drain, as in st1
         query = (
             out.writeStream.format("memory")
@@ -397,7 +426,7 @@ def st4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     sink = f"st4_sink_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="st4-ckpt-") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="st4-ckpt-") as ckpt, _stream_shuffle(spark):
         query = (
             deduped.writeStream.format("memory")
             .queryName(sink)
@@ -477,7 +506,7 @@ def st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("user_id", "view_ts", "purchase_ts", "purchase_value")
     sink = f"st5_sink_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="st5-ckpt-") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="st5-ckpt-") as ckpt, _stream_shuffle(spark):
         query = (
             joined.writeStream.format("memory")
             .queryName(sink)
