@@ -38,6 +38,7 @@ _BNLJ_OK = {
     "s5_kmeans_assign",
     "s6_kmeans_update",
     "pi1_power_iteration",  # per-round 1-row norm broadcast
+    "t11_pmi_collocations",  # 1-row (n_tot, n_big) totals broadcast
 }
 
 #: streaming queries — their builders execute a full streaming job;
