@@ -582,3 +582,64 @@ def t11_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "a", "b").limit(T11_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# t12 — BPE merge-candidate counting (the tokenizer-training inner loop)
+# ---------------------------------------------------------------------------
+
+T12_TOP_K = 20
+
+_T12_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({T.sql_tokenize('text')}) AS w FROM documents
+),
+vocab AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY w),
+pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq
+  FROM vocab, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+)
+SELECT pair, SUM(freq) AS weighted_count
+FROM pairs
+GROUP BY pair
+ORDER BY weighted_count DESC, pair
+LIMIT {T12_TOP_K}
+"""
+
+
+@register("t12_bpe_merge_pairs", _T12_ORACLE)
+def t12_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One step of BPE tokenizer training: the top merge candidates —
+    adjacent character pairs weighted by corpus word frequency. The
+    highest-count pair is what a BPE trainer merges next; iterating
+    (merge, re-split, recount) is driver-side orchestration of exactly
+    this plan over the (vocabulary-sized) word-frequency table.
+
+    The scale trick is the standard one: pair counting runs over the
+    DISTINCT vocabulary weighted by frequency, not over the raw token
+    stream — the corpus is touched once (word counts, map-side
+    combinable); everything after is bounded by vocabulary size.
+    Exact integer sums, total order with the oracle."""
+    docs = fanout(table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(T.tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wlen = F.length(F.col("w"))
+    pairs = vocab.filter(wlen >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), wlen - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("weighted_count"))
+        .orderBy(F.col("weighted_count").desc(), "pair")
+        .limit(T12_TOP_K)
+    )
