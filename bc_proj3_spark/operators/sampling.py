@@ -224,3 +224,76 @@ def sp4_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pack_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sp5 — temperature-scaled corpus mixing (n^alpha sampling weights)
+# ---------------------------------------------------------------------------
+
+TEMP_ALPHA = 0.7  # the GPT-3/PaLM-style mixing exponent
+TEMP_TARGET_FRAC = 0.5  # corpus-wide target size as a fraction of input
+_PPB = 1_000_000_000  # acceptance rates quantized to parts-per-billion
+
+_SP5_ORACLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(n) AS n_total, SUM(POWER(n, {TEMP_ALPHA})) AS w_total
+  FROM counts
+),
+rates AS (
+  SELECT source,
+         CAST(ROUND(least(1.0,
+           (POWER(n, {TEMP_ALPHA}) / (SELECT w_total FROM tot))
+           * ({TEMP_TARGET_FRAC} * (SELECT n_total FROM tot)) / n
+         ) * {_PPB}) AS BIGINT) AS thr
+  FROM counts
+)
+SELECT doc_id, d.source
+FROM documents d JOIN rates USING (source)
+WHERE {sql_hash60(_sql_seeded('temp', 'CAST(doc_id AS VARCHAR)'))} % {_PPB} < thr
+"""
+
+
+@register("sp5_temperature_mix", _SP5_ORACLE)
+def sp5_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multi-source sampling: each source's share of
+    the output corpus is proportional to n^{TEMP_ALPHA} (the standard
+    LLM data-recipe upweighting of small, diverse sources against huge
+    crawls), hit deterministically by accepting docs whose content-
+    addressed hash coin falls under the source's acceptance threshold.
+
+    The per-source thresholds derive from one source-bounded aggregate
+    plus two corpus scalars, broadcast back;
+    acceptance is then a map-side filter — no shuffle of the corpus, no
+    RNG, identical membership on any engine or cluster size. Thresholds
+    are quantized to parts-per-billion so the only transcendental
+    (POWER) feeds a ROUND three orders coarser than any engine
+    divergence."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(F.pow(F.col("n"), F.lit(TEMP_ALPHA))).alias("w_total"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.pow(F.col("n"), F.lit(TEMP_ALPHA)) / F.col("w_total"))
+                * (F.lit(TEMP_TARGET_FRAC) * F.col("n_total"))
+                / F.col("n"),
+            )
+            * F.lit(_PPB)
+        )
+        .cast("bigint")
+        .alias("thr"),
+    )
+    coin = hash60(_seeded("temp", F.col("doc_id").cast("string"))) % F.lit(_PPB)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(coin < F.col("thr"))
+        .select("doc_id", "source")
+    )

@@ -557,6 +557,53 @@ def w1_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# w2 — customer spend deciles (ntile distribution window)
+# ---------------------------------------------------------------------------
+
+_W2_ORACLE = """
+SELECT decile,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(spend AS DECIMAL(28,10))) AS DOUBLE) AS decile_spend
+FROM (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS spend,
+         CAST(NTILE(10) OVER (
+           ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) DESC,
+                    o_custkey
+         ) AS INTEGER) AS decile
+  FROM orders
+  GROUP BY o_custkey
+) t
+GROUP BY decile
+"""
+
+
+@register("w2_spend_deciles", _W2_ORACLE)
+def w2_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend decile distribution: per-customer decimal-exact
+    spend, NTILE(10) over a TOTAL order (spend desc, custkey — ntile on
+    a non-total order is nondeterministic in any engine), then per-
+    decile rollup. The distribution-window family (ntile/percent_rank)
+    alongside w1's rank family. The global-order window is one sort of
+    the CUSTOMER aggregate (not the fact table); at larger scale swap
+    ntile for bucketing on a2-style percentile cut points to avoid the
+    single-partition sort."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(dec_sum("o_totalprice", "spend"))
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum("spend", "decile_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # set op — union of the customer/supplier account-balance ledgers
 # ---------------------------------------------------------------------------
 
