@@ -39,6 +39,7 @@ _BNLJ_OK = {
     "s6_kmeans_update",
     "pi1_power_iteration",  # per-round 1-row norm broadcast
     "t11_pmi_collocations",  # 1-row (n_tot, n_big) totals broadcast
+    "sp5_temperature_mix",  # 1-row (n_total, w_total) scalars broadcast
 }
 
 #: streaming queries — their builders execute a full streaming job;
