@@ -498,3 +498,62 @@ def e7_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
     np_ = p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
     return nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+
+
+# ---------------------------------------------------------------------------
+# e9 — rolling 7-day active users (windowed COUNT DISTINCT rewrite)
+# ---------------------------------------------------------------------------
+
+_E9_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM du),
+contrib AS (
+  SELECT du.user_id,
+         unnest(generate_series(du.d, du.d + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE AS target
+  FROM du
+),
+wau AS (
+  SELECT target AS day, COUNT(DISTINCT user_id) AS wau
+  FROM contrib JOIN days ON target = days.d
+  GROUP BY target
+),
+dau AS (SELECT d AS day, COUNT(*) AS dau FROM du GROUP BY d)
+SELECT day, dau, wau FROM dau JOIN wau USING (day)
+"""
+
+
+@register("e9_rolling_active_users", _E9_ORACLE)
+def e9_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and rolling-7-day active users per calendar day — the
+    product-analytics staple whose naive form, COUNT(DISTINCT) over a
+    sliding RANGE window, Spark (and every engine) refuses or executes
+    as a quadratic re-scan. The scalable rewrite: dedupe to
+    (day, user) once, then EXPLODE each pair to the ≤7 window-end days
+    it supports (sequence + explode — pure codegen, fan-out exactly 7)
+    and count distinct users per target day. One distinct shuffle + one
+    aggregate shuffle, both map-side combinable; no self-join, no range
+    join, no window re-scan. Target days are clipped to observed days
+    (broadcast semi-join) so both engines bound the calendar
+    identically."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(F.col("ts").cast("date").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+    )
+    wau = (
+        contrib.join(
+            F.broadcast(days.withColumnRenamed("d", "day")), "day", "left_semi"
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = du.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    return dau.join(wau, "day")
