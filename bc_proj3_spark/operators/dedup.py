@@ -823,3 +823,120 @@ def decontaminate(
             F.countDistinct("eval_doc_id").alias("n_eval_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d8 — incremental dedup: admit a new batch against the existing corpus
+# ---------------------------------------------------------------------------
+
+D8_BATCH_MOD = 10
+D8_BATCH_REM = 7  # doc_id % 10 == 7 plays the newly-arrived batch
+
+
+def _sql_d8_bands() -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_sql_band_key(b)} AS key FROM sig"
+        for b in range(NUM_BANDS)
+    )
+
+
+_D8_ORACLE = f"""
+WITH {_sql_shingles()},
+sig AS (
+  SELECT doc_id,
+         {', '.join(_sql_minhash(i) for i in range(NUM_HASHES))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {_sql_d8_bands()}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id % {D8_BATCH_MOD} = {D8_BATCH_REM}
+    AND y.doc_id % {D8_BATCH_MOD} <> {D8_BATCH_REM}
+),
+inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_common
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.k = sa.k
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT doc_a AS doc_id
+  FROM inter
+  JOIN sizes za ON doc_a = za.doc_id
+  JOIN sizes zb ON doc_b = zb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= {JACCARD_THRESHOLD}
+)
+SELECT d.doc_id
+FROM documents d
+WHERE d.doc_id % {D8_BATCH_MOD} = {D8_BATCH_REM}
+  AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+@register("d8_incremental_dedup", _D8_ORACLE)
+def d8_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup shape: a NEWLY ARRIVED batch (doc_id % 10
+    == 7 stands in for today's crawl) is screened against the EXISTING
+    corpus, and only batch docs with no verified near-duplicate among
+    existing docs are admitted. Unlike d4/d6 (corpus-wide self-dedup,
+    the backfill job), this is the steady-state ingest path: candidate
+    generation joins the batch's band buckets against the existing
+    side's ONLY — work scales with batch × bucket-collision volume,
+    never with corpus².
+
+    Reuses the session-shared capped shingle index (frequencies over
+    the full union, matching the oracle), the banded-LSH bucket keys,
+    and the candidate-scoped exact-Jaccard verifier. At 100 TB the
+    existing side's signatures/bands are a precomputed table updated
+    per batch — exactly what the shared index models here."""
+    sh, _sizes = _documents_shingle_index(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[_minhash_col(i) for i in range(NUM_HASHES)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * ROWS_PER_BAND + j}").cast("string")
+                        for j in range(ROWS_PER_BAND)
+                    ],
+                )
+            ).alias("key"),
+        )
+        for b in range(NUM_BANDS)
+    ]
+    from pyspark import StorageLevel
+
+    bl = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("doc_id", "bk.band", "bk.key")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bl.count()
+    is_batch = F.col("doc_id") % D8_BATCH_MOD == D8_BATCH_REM
+    cand = (
+        bl.filter(is_batch)
+        .alias("x")
+        .join(
+            bl.filter(~is_batch).alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    pairs = _verified_jaccard(cand, sh)
+    bl.unpersist()
+    dropped = pairs.select(F.col("doc_a").alias("doc_id")).distinct()
+    batch = table(spark, sf_dir, "documents").filter(is_batch).select("doc_id")
+    return batch.join(dropped, "doc_id", "left_anti")
