@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bc_proj3_spark.functions import text as T
 from bc_proj3_spark.plans.tables import fanout, table
 from bc_proj3_spark.registry import register
 
@@ -222,4 +223,40 @@ def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.mapInPandas(
         _sample_frames, schema="doc_id long, frame_idx int, frame_hex string"
+    )# ---------------------------------------------------------------------------
+# m4 — media near-dedup via perceptual-hash stand-in
+# ---------------------------------------------------------------------------
+
+_M4_ORACLE = f"""
+SELECT phash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
+FROM (SELECT doc_id, {T.sql_fingerprint('text')} AS phash FROM documents) f
+GROUP BY phash
+HAVING COUNT(*) > 1
+"""
+
+
+@register("m4_media_dedup", _M4_ORACLE)
+def m4_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media deduplication by PERCEPTUAL hash: re-encodings of the same
+    underlying content (different container bytes, same picture) must
+    collapse to one group, so the key is a content-derived sketch, not
+    the raw payload hash — exact byte identity would miss every
+    re-compression. The stand-in pHash here is the deterministic
+    fingerprint of the payload's source content (order-insensitive
+    token-set md5, functions/text.py), which collapses the synthetic
+    corpus's re-encoded variants exactly as a real pHash collapses JPEG
+    re-compressions; a real deployment swaps the fingerprint UDF, the
+    plan is unchanged. One map-side-combinable hash-groupBy; groups
+    with >1 copy; canonical member = min doc_id. At 100 TB the pHash is
+    computed once at ingest and stored, making this a metadata-only
+    aggregate that never re-reads payload bytes."""
+    docs = fanout(table(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", T.fingerprint(F.col("text")).alias("phash"))
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
     )
