@@ -250,7 +250,14 @@ class Catalog:
             df = df.select(*cols)
         return df
 
-    def compact(self, layer: str, name: str, min_files: int = 2) -> dict:
+    def compact(
+        self,
+        layer: str,
+        name: str,
+        min_files: int = 2,
+        zorder_by: list[str] | None = None,
+        zorder_files: int = 1,
+    ) -> dict:
         """OPTIMIZE-style small-file compaction — Delta's table
         maintenance verb (the reference gets it from Databricks; here
         it's the answer to what incremental appends do to a table:
@@ -267,6 +274,13 @@ class Catalog:
         swap. Unpartitioned tables: the whole table is rewritten into a
         single file when it has >= ``min_files``.
 
+        ``zorder_by`` (unpartitioned tables): ``OPTIMIZE ... ZORDER BY``
+        parity — the rewrite clusters rows by the interleaved Z-address
+        of the named columns (operators/layout.py) into ``zorder_files``
+        files, so later filters on ANY clustered column prune files and
+        row groups by parquet min-max stats. The clustering sort is the
+        compaction job itself — no extra pass.
+
         Returns {partition_dir_or_'': (files_before, files_after)} for
         the rewritten units and logs a COMPACT history entry
         (DESCRIBE HISTORY parity — Delta's OPTIMIZE shows up the same
@@ -277,6 +291,11 @@ class Catalog:
         target = self.path(layer, name)
         if not self.exists(layer, name):
             raise FileNotFoundError(f"table {layer}.{name} does not exist")
+        if zorder_by and pby:
+            raise ValueError(
+                "zorder_by applies to unpartitioned tables; a partitioned "
+                "table z-orders within partitions via its own rewrite"
+            )
 
         def _n_files(p: Path) -> int:
             return sum(1 for f in p.glob("*.parquet"))
@@ -285,7 +304,14 @@ class Catalog:
         if not pby:
             before = _n_files(target)
             if before >= min_files:
-                df = self.read(layer, name).repartition(1)
+                if zorder_by:
+                    from bc_proj3_spark.operators.layout import zorder_layout
+
+                    df = zorder_layout(
+                        self.read(layer, name), zorder_by, zorder_files
+                    )
+                else:
+                    df = self.read(layer, name).repartition(1)
                 self.overwrite(layer, name, df)
                 done[""] = (before, _n_files(self.path(layer, name)))
         else:

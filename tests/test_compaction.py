@@ -121,3 +121,53 @@ def test_compaction_noop_below_threshold(spark, tmp_path):
     assert catalog.compact("silver", "t") == {}
     assert _files(catalog, "silver", "t", "run_date=2023-04-01") == files_before
     assert all(h["operation"] != "COMPACT" for h in catalog.history("silver", "t"))
+
+
+def test_compact_zorder_clusters_files(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY parity: a z-ordered compaction leaves
+    every output file covering a narrow range of each clustered column
+    (min-max pruning effective), and a COMPACT history entry lands."""
+    from pyspark.sql import functions as F
+
+    from bc_proj3_spark.catalog import Catalog
+    from bc_proj3_spark.plans.tables import table
+
+    cat = Catalog(spark, warehouse_dir=str(tmp_path / "wh"))
+    li = table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    cat.overwrite("silver", "li_z", li.repartition(8))  # fragmented
+    done = cat.compact(
+        "silver", "li_z", zorder_by=["l_partkey", "l_suppkey"], zorder_files=8
+    )
+    assert done[""][0] >= 8 and done[""][1] == 8
+
+    back = cat.read("silver", "li_z")
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg((F.max("l_partkey") - F.min("l_partkey")).alias("sp"))
+        .agg(F.avg("sp").alias("avg_span"))
+        .first()
+    )
+    full = li.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("fs")
+    ).first()
+    assert spans.avg_span < full.fs * 0.6  # files cluster the column
+    assert back.count() == li.count()
+    assert cat.history("silver", "li_z")[-1]["operation"] == "COMPACT"
+
+
+def test_compact_zorder_rejects_partitioned(spark, tmp_path):
+    import pytest as _pytest
+
+    from bc_proj3_spark.catalog import Catalog
+
+    cat = Catalog(spark, warehouse_dir=str(tmp_path / "wh"))
+    from pyspark.sql import functions as F
+
+    df = spark.range(20).select(
+        F.col("id"), (F.col("id") % 2).alias("p")
+    )
+    cat.overwrite("silver", "pt", df, partition_by=["p"])
+    with _pytest.raises(ValueError, match="unpartitioned"):
+        cat.compact("silver", "pt", zorder_by=["id"])
