@@ -557,3 +557,64 @@ def e9_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("dau")
     )
     return dau.join(wau, "day")
+
+
+# ---------------------------------------------------------------------------
+# e10 — funnel conversion-latency percentiles (view → first purchase)
+# ---------------------------------------------------------------------------
+
+_E10_ORACLE = """
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+fp AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fv.t_view
+  GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_converted,
+       quantile_cont(delta_s, 0.5) AS p50_seconds,
+       quantile_cont(delta_s, 0.9) AS p90_seconds
+FROM (
+  SELECT date_diff('second', fv.t_view, fp.t_purchase) AS delta_s
+  FROM fv JOIN fp USING (user_id)
+) d
+"""
+
+
+@register("e10_conversion_latency", _E10_ORACLE)
+def e10_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long conversion takes: per converting user, seconds from
+    first view to first subsequent purchase; p50/p90 across users (the
+    product-analytics companion to e7's conversion COUNTS). Two
+    map-side-combinable min-aggregates shuffled on user_id feed one
+    exact interpolated percentile over the (small) per-user latency
+    set — the fact table is scanned once per funnel stage, never
+    self-joined row-to-row. Exact percentile matches DuckDB's
+    quantile_cont bit-for-bit on integer-second inputs (a2's pattern);
+    at corpus scale swap in approx_percentile's t-digest."""
+    ev = table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    deltas = fv.join(fp, "user_id").select(
+        (
+            F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")
+        ).alias("delta_s")
+    )
+    return deltas.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile(delta_s, 0.5)").alias("p50_seconds"),
+        F.expr("percentile(delta_s, 0.9)").alias("p90_seconds"),
+    )
