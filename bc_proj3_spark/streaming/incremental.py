@@ -517,3 +517,58 @@ def st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# st6 — append-mode windowed aggregation (finalized-window emission)
+# ---------------------------------------------------------------------------
+
+_ST6_ORACLE = """
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+       <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+"""
+
+
+@register("st6_stream_append_windows", _ST6_ORACLE)
+def st6_stream_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st1's hourly counts in APPEND output mode — the mode a live
+    deployment actually runs, where a window row is emitted exactly
+    once, only after the event-time watermark passes its end (finalized;
+    late data inside the delay was still merged, later data is dropped).
+    The drain therefore emits precisely the windows whose end ≤
+    final watermark = max(ts) − 1 h, and the oracle pins that emission
+    rule in SQL (the HAVING clause) — windows still open when the
+    backlog ends are withheld, which is the correctness property append
+    mode exists for. Complete-mode st1 checks the VALUES; this checks
+    the EMISSION CONTRACT."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    src = _normalize_event_ts(src)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sink = f"st6_sink_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="st6-ckpt-") as ckpt, _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(sink).select(
+        "event_type", F.col("w.start").alias("window_start"), "n_events"
+    )
