@@ -288,3 +288,129 @@ def cc2_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce("label", F.col("doc_id")).cast("bigint").alias("component_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cc3 — PageRank over the near-dup graph (exact-decimal iteration)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_DAMPING = "0.85"  # decimal literals — parsed identically by both engines
+PR_TELEPORT = "0.15"
+#: rank vector type: scale 12, 4 integer digits (ranks ≤ n_nodes).
+_PR_DEC = "decimal(16,12)"
+
+
+def _pr_oracle() -> str:
+    from bc_proj3_spark.operators.dedup import _D4_ORACLE
+
+    ctes = [
+        f"""
+pairs AS (
+{_D4_ORACLE}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+base AS (
+  SELECT CAST(ROUND({PR_TELEPORT} / (SELECT n FROM nn), 12) AS DECIMAL(16,12)) AS b
+),
+r0 AS (
+  SELECT node,
+         CAST(ROUND(1.0 / (SELECT n FROM nn), 12) AS DECIMAL(16,12)) AS r
+  FROM nodes
+)"""
+    ]
+    for k in range(1, PR_ITERS + 1):
+        p = k - 1
+        ctes.append(
+            f"""
+contrib{k} AS (
+  SELECT e.dst AS node,
+         SUM(CAST(ROUND(CAST(r{p}.r AS DOUBLE) / deg.d, 12) AS DECIMAL(16,12))) AS s
+  FROM edges e
+  JOIN r{p} ON e.src = r{p}.node
+  JOIN deg ON e.src = deg.node
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT nodes.node,
+         CAST((SELECT b FROM base)
+              + CAST(ROUND({PR_DAMPING} * CAST(COALESCE(contrib{k}.s, 0) AS DOUBLE), 12)
+                     AS DECIMAL(16,12))
+              AS DECIMAL(16,12)) AS r
+  FROM nodes LEFT JOIN contrib{k} ON nodes.node = contrib{k}.node
+)"""
+        )
+    final = f"""
+SELECT node AS doc_id, CAST(r AS DOUBLE) AS pagerank
+FROM r{PR_ITERS}
+"""
+    return "WITH " + ",".join(ctes) + final
+
+
+@register("cc3_pagerank", _pr_oracle())
+def cc3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {PR_ITERS} fixed rounds) over the
+    verified near-dup graph — ranks the most-connected documents inside
+    duplicate neighborhoods (the doc to KEEP is usually the highest-
+    centrality one, a smarter survivor policy than min-id). The classic
+    iterative-graph workload, in the exact-decimal protocol pi1
+    established (operators/linalg.py): per-term rounding at scale 12 on
+    lattice-free doubles, exact decimal sums, one decimal→double cast
+    per value at double-exact scale. Each round is one shuffle join of
+    the edge list against the rank vector plus a map-side-combinable
+    sum — the same per-round shape as cc1/cc2, cost ∝ subgraph edges,
+    never corpus size."""
+    pairs = d4_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    ).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    ).localCheckpoint(eager=True)
+
+    base = F.lit(str(round(0.15 / n, 12))).cast(_PR_DEC)
+    r = nodes.select(
+        "node", F.lit(str(round(1.0 / n, 12))).cast(_PR_DEC).alias("r")
+    ).localCheckpoint(eager=True)
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(r, edges["src"] == r["node"])
+            .join(deg.withColumnRenamed("node", "dn"), F.col("src") == F.col("dn"))
+            .groupBy(F.col("dst").alias("cnode"))
+            .agg(
+                F.sum(
+                    F.round(F.col("r").cast("double") / F.col("d"), 12).cast(
+                        _PR_DEC
+                    )
+                ).alias("s")
+            )
+        )
+        r = (
+            nodes.join(contrib, nodes["node"] == contrib["cnode"], "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.round(
+                        F.lit(0.85)
+                        * F.coalesce(F.col("s"), F.lit(0)).cast("double"),
+                        12,
+                    ).cast(_PR_DEC)
+                )
+                .cast(_PR_DEC)
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.select(
+        F.col("node").alias("doc_id"), F.col("r").cast("double").alias("pagerank")
+    )
