@@ -108,3 +108,19 @@ def test_no_cartesian_products_anywhere(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} falls back to broadcast nested-loop"
         )
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    """orderBy + limit must compile to TakeOrderedAndProject (bounded
+    per-partition heaps merged on the driver), never a full global Sort
+    feeding a limit — the difference between O(n log k) with no shuffle
+    of the whole set and a cluster-wide sort at 100 TB."""
+    for name in ("q3_shipping_priority", "q10_returned_items", "bm1_bm25_topk"):
+        plan = _physical(spark, name)
+        if "TakeOrderedAndProject" in plan:
+            continue
+        # window-rank rewrites legitimately sort within partitions only:
+        # accept if no global Sort+GlobalLimit pair exists
+        assert not ("Sort [" in plan and "GlobalLimit" in plan), (
+            f"{name} pays a global sort for a top-k:\n{plan[:1500]}"
+        )
