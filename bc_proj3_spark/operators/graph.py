@@ -36,12 +36,37 @@ Scale shape (100 TB posture):
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bc_proj3_spark.operators.dedup import d4_minhash_lsh_pairs
 from bc_proj3_spark.plans.tables import table
 from bc_proj3_spark.registry import register
+
+#: Shuffle width for the ITERATION phases. The iterated frames (rank
+#: vectors, label tables, star edges) are subgraph-sized — bounded by
+#: the verified near-dup pair list, tiny relative to the corpus — while
+#: per-round cost at the session's corpus-sized width is pure task and
+#: state overhead (measured: cc3 7.1 s → 4.2 s at sf0.1 switching the
+#: rounds from 32 to 4 partitions). The corpus-scale stage (d4's pair
+#: generation) materializes BEFORE the iteration starts (persisted by
+#: _verified_jaccard), so sizing here never touches corpus shuffles.
+#: On a cluster, size to the expected pair-subgraph volume.
+GRAPH_ITER_SHUFFLE = os.environ.get("SPARK_GRAFT_GRAPH_SHUFFLE", "8")
+
+
+@contextlib.contextmanager
+def _iter_shuffle(spark: SparkSession):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", GRAPH_ITER_SHUFFLE)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
 
 #: Convergence safeguard. Propagation needs diameter(G) rounds; a
 #: near-dup cluster's diameter is tiny (dense by construction). Hitting
@@ -83,6 +108,12 @@ def min_label_components(edges: DataFrame) -> DataFrame:
         ).localCheckpoint(eager=True)
         return out, obs.get["label_sum"]
 
+    spark = edges.sparkSession
+    with _iter_shuffle(spark):
+        return _min_label_iterate(edges, _ckpt_with_sum)
+
+
+def _min_label_iterate(edges: DataFrame, _ckpt_with_sum) -> DataFrame:
     edges = edges.localCheckpoint(eager=True)
     labels, prev_sum = _ckpt_with_sum(
         edges.select(F.col("src").alias("doc_id"))
@@ -220,6 +251,11 @@ def star_components(edges: DataFrame, max_iters: int = 40) -> DataFrame:
         m = obs.get
         return out, (m["n"], m["hsum"])
 
+    with _iter_shuffle(edges.sparkSession):
+        return _star_iterate(edges, max_iters, _ckpt_with_sig)
+
+
+def _star_iterate(edges: DataFrame, max_iters: int, _ckpt_with_sig) -> DataFrame:
     nodes = (
         _canon(edges.select(F.col("src").alias("a"), F.col("dst").alias("b")))
         .select(F.explode(F.array("c", "d")).alias("doc_id"))
@@ -368,6 +404,13 @@ def cc3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum — the same per-round shape as cc1/cc2, cost ∝ subgraph edges,
     never corpus size."""
     pairs = d4_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    with _iter_shuffle(spark):
+        return _pagerank_iterate(spark, pairs, sf_dir)
+
+
+def _pagerank_iterate(
+    spark: SparkSession, pairs: DataFrame, sf_dir: str
+) -> DataFrame:
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     ).localCheckpoint(eager=True)
