@@ -37,3 +37,48 @@ def sql1_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     of truth with its oracle: identical SQL, different catalog."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     return spark.sql(_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sql2 — CTE + window + join through the raw SQL interface
+# ---------------------------------------------------------------------------
+
+_SQL2 = """
+WITH cust_orders AS (
+  SELECT o_custkey,
+         o_orderkey,
+         CAST(o_totalprice AS DECIMAL(28,10)) AS price_d
+  FROM {orders}
+),
+ranked AS (
+  SELECT o_custkey,
+         o_orderkey,
+         CAST(price_d AS DOUBLE) AS o_totalprice,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY price_d DESC, o_orderkey
+         ) AS INTEGER) AS rk,
+         CAST(SUM(price_d) OVER (PARTITION BY o_custkey) AS DOUBLE)
+           AS cust_total
+  FROM cust_orders
+)
+SELECT r.o_custkey, r.o_orderkey, r.o_totalprice, r.cust_total, c.c_name
+FROM ranked r
+JOIN {customer} c ON r.o_custkey = c.c_custkey
+WHERE r.rk = 1
+"""
+
+
+@register(
+    "sql2_top_order_per_customer",
+    _SQL2.format(orders="orders", customer="customer"),
+)
+def sql2_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string interface exercised past sql1's flat aggregate:
+    chained CTEs, a rank window AND a partition-total window over the
+    same exchange, and a join back to a dimension — one SQL text shared
+    verbatim with the oracle (only the catalog names differ). Window
+    ordering is total (price desc, orderkey) and money flows through
+    decimal so both engines pick identical rows with identical sums."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v2")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v2")
+    return spark.sql(_SQL2.format(orders="orders_v2", customer="customer_v2"))

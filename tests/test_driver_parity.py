@@ -47,6 +47,11 @@ PARITY_QUERIES = [
     "st3_stream_session_windows",
     "st4_stream_dedup",
     "sv1_scholar_date_derivation",
+    # round-5 families, one cheap representative each
+    "e9_rolling_active_users",
+    "e10_conversion_latency",
+    "w2_spend_deciles",
+    "a6_histogram_quantiles",
 ]
 
 _SUBPROCESS_PROG = """
