@@ -1,0 +1,42 @@
+"""The curated api facade: every exported name imports and is callable."""
+
+from __future__ import annotations
+
+
+def test_api_surface_imports_and_is_complete():
+    from bc_proj3_spark import api
+
+    for name in api.__all__:
+        obj = getattr(api, name)
+        assert callable(obj), f"api.{name} is not callable"
+
+
+def test_api_compose_smoke(spark, tmp_path):
+    """A user-style composition: tokenize -> fingerprint -> components
+    -> z-order write, using only facade names."""
+    from pyspark.sql import functions as F
+
+    from bc_proj3_spark import api
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "delta")],
+        ["doc_id", "text"],
+    )
+    fp = df.select("doc_id", api.fingerprint(F.col("text")).alias("fp"))
+    groups = fp.groupBy("fp").count().filter(F.col("count") > 1)
+    assert groups.count() == 1  # 1 and 2 are permutations -> same fp
+
+    pairs = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    edges = pairs.unionAll(pairs.selectExpr("dst as src", "src as dst"))
+    labels = {r.doc_id: r.label for r in api.min_label_components(edges).collect()}
+    assert labels == {1: 1, 2: 1}
+
+    out = str(tmp_path / "z")
+    api.zorder_layout(
+        spark.range(100).select(
+            F.col("id").alias("a"), (F.col("id") * 7 % 100).alias("b")
+        ),
+        ["a", "b"],
+        4,
+    ).write.mode("overwrite").parquet(out)
+    assert spark.read.parquet(out).count() == 100

@@ -124,3 +124,16 @@ def test_topk_uses_take_ordered_not_global_sort(spark):
         assert not ("Sort [" in plan and "GlobalLimit" in plan), (
             f"{name} pays a global sort for a top-k:\n{plan[:1500]}"
         )
+
+
+def test_big_aggregates_have_partial_agg(spark):
+    """Map-side partial aggregation must precede the exchange on the
+    hot aggregates (the difference between shuffling combined partial
+    states and shuffling every input row). Pinned via the two-phase
+    HashAggregate pair (partial_* functions below the exchange)."""
+    for name in ("q1_pricing_summary", "t3_token_histogram", "e1_hourly_rollup"):
+        plan = _physical(spark, name)
+        assert plan.count("HashAggregate") >= 2, (
+            f"{name}: no two-phase aggregate\n{plan[:1200]}"
+        )
+        assert "partial_" in plan, f"{name}: no partial aggregation phase"
