@@ -643,3 +643,47 @@ def t12_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("weighted_count").desc(), "pair")
         .limit(T12_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# t13 — language-ID confusion matrix (classifier-eval over t1)
+# ---------------------------------------------------------------------------
+
+_T13_ORACLE = """
+WITH feat AS (
+  SELECT
+    lang,
+    length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS n_vowels,
+    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_letters
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+    CASE
+      WHEN n_letters = 0 THEN 'und'
+      WHEN CAST(n_vowels AS DOUBLE) / n_letters < 0.28 THEN 'zh'
+      WHEN CAST(n_vowels AS DOUBLE) / n_letters < 0.33 THEN 'de'
+      WHEN CAST(n_vowels AS DOUBLE) / n_letters < 0.38 THEN 'en'
+      WHEN CAST(n_vowels AS DOUBLE) / n_letters < 0.43 THEN 'es'
+      ELSE 'fr'
+    END AS lang_pred
+  FROM feat
+)
+SELECT lang, lang_pred, COUNT(*) AS n_docs
+FROM pred
+GROUP BY lang, lang_pred
+"""
+
+
+@register("t13_langid_confusion", _T13_ORACLE)
+def t13_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of declared language vs t1's heuristic
+    prediction — the EVALUATION step a pipeline runs whenever it swaps
+    a classifier (accuracy per class, systematic confusions). Reuses
+    t1's exact feature/bucket expressions, then one (truth, pred)
+    count aggregate — classifier eval at corpus scale is a groupBy,
+    not a collect."""
+    pred = t1_language_id(spark, sf_dir)
+    return pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

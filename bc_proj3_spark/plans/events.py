@@ -618,3 +618,44 @@ def e10_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(delta_s, 0.5)").alias("p50_seconds"),
         F.expr("percentile(delta_s, 0.9)").alias("p90_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e11 — event-type transition matrix (per-user next-event Markov counts)
+# ---------------------------------------------------------------------------
+
+_E11_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n_transitions
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+@register("e11_transition_matrix", _E11_ORACLE)
+def e11_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-event transition counts — the Markov matrix under
+    session modeling and next-action prediction features. One window
+    pass (lead over the per-user timeline, event_id tiebreak for a
+    total order shared with the oracle) then a count aggregate; the
+    shuffle is the window's user_id exchange, which the aggregate
+    reuses nothing of — at scale, pre-bucketing events by user_id
+    makes this exchange-free."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
