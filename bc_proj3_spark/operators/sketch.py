@@ -310,3 +310,114 @@ def sk4_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select(
         "event_type", "exact_distinct", "hll_est"
     )
+
+
+# ---------------------------------------------------------------------------
+# sk5/sk6 — Bloom filter: build + membership probe (set-membership sketch)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 4096  # M
+BLOOM_HASHES = 4  # K
+_BLOOM_EVAL_MOD = 50  # doc_id % 50 == 0 plays the probe set (as d7)
+
+_SQL_FP = """
+fps AS (
+  SELECT doc_id, md5(text) AS fp FROM documents
+)
+"""
+
+
+def _sql_bloom_bits(src_filter: str) -> str:
+    union = " UNION ALL ".join(
+        f"SELECT {sql_hash32('fp', seed=100 + i)} % {BLOOM_BITS} AS bit_pos "
+        f"FROM fps WHERE {src_filter}"
+        for i in range(BLOOM_HASHES)
+    )
+    return f"bits AS (SELECT DISTINCT bit_pos FROM ({union}) u)"
+
+
+_SK5_ORACLE = f"""
+WITH {_SQL_FP},
+{_sql_bloom_bits(f'doc_id % {_BLOOM_EVAL_MOD} <> 0')}
+SELECT CAST(bit_pos AS BIGINT) AS bit_pos FROM bits
+"""
+
+
+def _fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fanout(table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+
+
+def _bloom_bits(fps: DataFrame) -> DataFrame:
+    hashes = [
+        (hash32(F.col("fp"), seed=100 + i) % BLOOM_BITS).alias("b")
+        for i in range(BLOOM_HASHES)
+    ]
+    return (
+        fps.select(F.explode(F.array(*hashes)).alias("bit_pos"))
+        .distinct()
+    )
+
+
+@register("sk5_bloom_bits", _SK5_ORACLE)
+def sk5_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom filter itself: the set bit positions (M=4096, K=4,
+    seeded md5 family) for the TRAINING-side document fingerprints —
+    built as explode → distinct, output bounded at M rows regardless of
+    corpus size, mergeable across shards by union. DuckDB builds the
+    identical filter, so the value gate covers a probabilistic
+    set-membership structure exactly (same strategy as CMS/HLL: exact
+    about its construction, approximate only in its answers)."""
+    fps = _fps(spark, sf_dir).filter(
+        F.col("doc_id") % _BLOOM_EVAL_MOD != 0
+    )
+    return _bloom_bits(fps)
+
+
+_SK6_ORACLE = f"""
+WITH {_SQL_FP},
+{_sql_bloom_bits(f'doc_id % {_BLOOM_EVAL_MOD} <> 0')},
+probes AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {sql_hash32('fp', seed=100 + i)} % {BLOOM_BITS} AS bit_pos FROM fps WHERE doc_id % {_BLOOM_EVAL_MOD} = 0" for i in range(BLOOM_HASHES))}
+)
+SELECT p.doc_id,
+       CAST(MIN(CASE WHEN b.bit_pos IS NOT NULL THEN 1 ELSE 0 END) AS BOOLEAN)
+         AS maybe_in_corpus
+FROM probes p LEFT JOIN bits b ON p.bit_pos = b.bit_pos
+GROUP BY p.doc_id
+"""
+
+
+@register("sk6_bloom_membership", _SK6_ORACLE)
+def sk6_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership probe: each held-out doc tests its K bit positions
+    against the corpus filter — maybe-present only if ALL are set (the
+    Bloom contract: no false negatives, bounded false positives). The
+    filter side is at most M rows → broadcast; the probe is then
+    map-side per doc. This is the cheap pre-screen in front of d7's
+    exact decontamination join: at 100 TB you Bloom-probe first and
+    run the exact n-gram join only on maybe-hits."""
+    fps = _fps(spark, sf_dir)
+    bits = _bloom_bits(
+        fps.filter(F.col("doc_id") % _BLOOM_EVAL_MOD != 0)
+    ).withColumn("hit", F.lit(1))
+    probes = fps.filter(F.col("doc_id") % _BLOOM_EVAL_MOD == 0).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    (hash32(F.col("fp"), seed=100 + i) % BLOOM_BITS).alias("b")
+                    for i in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("bit_pos"),
+    )
+    return (
+        probes.join(F.broadcast(bits), "bit_pos", "left")
+        .groupBy("doc_id")
+        .agg(
+            (F.min(F.coalesce(F.col("hit"), F.lit(0))) == 1).alias(
+                "maybe_in_corpus"
+            )
+        )
+    )
