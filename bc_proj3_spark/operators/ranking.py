@@ -351,3 +351,78 @@ def f1_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "quality", "mean_logprob", "n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# t14 — per-document top-k TF-IDF terms
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+_T14_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({T.sql_tokenize('text')}) AS t FROM documents
+),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+total AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.t AS term, tf.tf,
+         ROUND(tf.tf * ROUND(LN(CAST((SELECT n_docs FROM total) AS DOUBLE)
+                                / df.df), {TERM_SCALE}), {SCORE_SCALE}) AS tfidf
+  FROM tf JOIN df USING (t)
+)
+SELECT doc_id, term, tf, tfidf, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term
+  ) AS rnk
+  FROM scored
+)
+WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
+@register("t14_tfidf_topterms", _T14_ORACLE)
+def t14_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_TOP_K characteristic terms per document — the classic
+    keyword-extraction signal (and the feature a sparse-retrieval index
+    stores). Two aggregation passes over the exploded token stream (tf:
+    one (doc,term) shuffle; df: derived from tf, map-side combinable),
+    then the vocabulary-bounded idf table joins back (broadcastable —
+    |vocab| ≪ corpus) and one per-doc window picks the top terms.
+
+    Determinism: idf is ln-derived so it rounds to TERM_SCALE before
+    the tf multiply (sub-ulp ln divergence dies in the rounding);
+    scores round to SCORE_SCALE and rank with the term as tiebreaker,
+    so both engines pick identical rows in identical order."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokenize(F.col("text"))).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = df.crossJoin(F.broadcast(n_docs)).select(
+        "t",
+        F.round(
+            F.log(F.col("n_docs").cast("double") / F.col("df")), TERM_SCALE
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "t")
+        .select(
+            "doc_id",
+            F.col("t").alias("term"),
+            "tf",
+            F.round(F.col("tf") * F.col("idf"), SCORE_SCALE).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "tfidf", "rnk")
+    )

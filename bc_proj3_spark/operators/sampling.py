@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bc_proj3_spark.functions.hashing import hash60, sql_hash60
+from bc_proj3_spark.functions.hashing import hash32, hash60, sql_hash32, sql_hash60
 from bc_proj3_spark.plans.tables import table
 from bc_proj3_spark.registry import register
 
@@ -296,4 +296,59 @@ def sp5_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(rates), "source")
         .filter(coin < F.col("thr"))
         .select("doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sp6 — deterministic weighted sampling without replacement (A-ES keys)
+# ---------------------------------------------------------------------------
+
+#: sample size and the hash-family seed for the priority coin.
+WEIGHTED_K = 50
+WEIGHTED_SEED = 11
+
+_SP6_ORACLE = f"""
+WITH pri AS (
+  SELECT doc_id, source, n_chars,
+         ROUND(
+           -LN(CAST({sql_hash32('CAST(doc_id AS VARCHAR)', WEIGHTED_SEED)} + 1
+                    AS DOUBLE) / 4294967296.0)
+           / n_chars, 10) AS priority
+  FROM documents
+)
+SELECT doc_id, source, n_chars, priority
+FROM pri
+ORDER BY priority, doc_id
+LIMIT {WEIGHTED_K}
+"""
+
+
+@register("sp6_weighted_sample", _SP6_ORACLE)
+def sp6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of WEIGHTED_K docs without replacement, where a
+    doc's inclusion probability is proportional to its length — the
+    Efraimidis–Spirakis exponential-keys scheme made DETERMINISTIC: the
+    uniform draw is the content-addressed 32-bit hash (u = (h+1)/2^32 ∈
+    (0,1]), priority = -ln(u)/weight, keep the K smallest priorities.
+
+    No RNG: the same doc gets the same priority on any engine, any
+    cluster size, any re-run; adding documents can only displace, never
+    reshuffle, the sample. Priority is map-side codegen; the top-k
+    compiles to TakeOrderedAndProject (per-partition heaps + one K-row
+    driver merge — never a global sort), so at 100 TB the shuffle
+    carries K rows per partition.
+
+    Determinism across engines: 32-bit hash values are exact in double,
+    4294967296.0 is a power of two, and the single ln() is rounded to
+    10 decimals before ranking (tiebreak on doc_id) — sub-ulp ln
+    divergence cannot flip the selection."""
+    docs = table(spark, sf_dir, "documents")
+    u = (
+        hash32(F.col("doc_id").cast("string"), seed=WEIGHTED_SEED) + 1
+    ).cast("double") / F.lit(4294967296.0)
+    pri = F.round(-F.log(u) / F.col("n_chars"), 10)
+    return (
+        docs.select("doc_id", "source", "n_chars", pri.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(WEIGHTED_K)
     )

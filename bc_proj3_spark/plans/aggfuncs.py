@@ -270,3 +270,72 @@ def a6_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p95_approx"),
         F.max("total_n").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a7 — two-sided trimmed mean (robust aggregate)
+# ---------------------------------------------------------------------------
+
+#: fraction trimmed from EACH tail, as an exact integer divisor
+#: (1/TRIM_DIV per side): k = floor(n / TRIM_DIV) rows drop per tail.
+TRIM_DIV = 20
+
+_A7_ORACLE = f"""
+WITH ranked AS (
+  SELECT c_mktsegment, c_acctbal,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_kept,
+       {sql_dec_sum('c_acctbal', 'kept_sum')},
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+            / COUNT(*) AS DOUBLE) AS trimmed_mean
+FROM ranked
+WHERE rn > n // {TRIM_DIV} AND rn <= n - n // {TRIM_DIV}
+GROUP BY c_mktsegment
+"""
+
+
+@register("a7_trimmed_mean", _A7_ORACLE)
+def a7_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment 5%-per-tail trimmed mean of customer balance — the
+    robust location estimate that survives the heavy-tailed outliers a
+    plain AVG is dragged by. Exact semantics: rank rows within each
+    group with a total order (value, then key), drop floor(n/20) rows
+    from each tail, decimal-sum the rest.
+
+    Plan: one shuffle on the group key feeds BOTH window functions
+    (row_number + count share a partition) and the final aggregation —
+    a single-exchange plan. At 100 TB the exact rank-trim becomes
+    approx_percentile bounds + a filtered aggregate; kept exact here
+    because the oracle compares values."""
+    from pyspark.sql.window import Window
+
+    cust = table(spark, sf_dir, "customer")
+    w_rank = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_all = Window.partitionBy("c_mktsegment")
+    ranked = cust.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    trim_k = F.floor(F.col("n") / TRIM_DIV)
+    return (
+        ranked.filter(
+            (F.col("rn") > trim_k) & (F.col("rn") <= F.col("n") - trim_k)
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            dec_sum("c_acctbal", "kept_sum"),
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).cast("double").alias("trimmed_mean"),
+        )
+    )

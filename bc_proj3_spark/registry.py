@@ -63,6 +63,8 @@ _REGISTERING_MODULES = (
     "bc_proj3_spark.operators.sampling",
     "bc_proj3_spark.operators.sketch",
     "bc_proj3_spark.operators.dedup",
+    "bc_proj3_spark.operators.linkage",
+    "bc_proj3_spark.operators.chunking",
     "bc_proj3_spark.operators.graph",
     "bc_proj3_spark.operators.cdc",
     "bc_proj3_spark.operators.similarity",
