@@ -421,3 +421,115 @@ def sk6_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bf1 — Bloom runtime filter: semi-join reduction before the exact join
+# ---------------------------------------------------------------------------
+
+#: the selective driving subset: one month of urgent orders.
+BF1_PRIORITY = "1-URGENT"
+BF1_MONTH_START = "1995-03-01"
+BF1_MONTH_END = "1995-04-01"
+
+_BF1_ORACLE = f"""
+WITH sel AS (
+  SELECT o_orderkey
+  FROM orders
+  WHERE o_orderpriority = '{BF1_PRIORITY}'
+    AND o_orderdate >= TIMESTAMP '{BF1_MONTH_START}'
+    AND o_orderdate <  TIMESTAMP '{BF1_MONTH_END}'
+)
+SELECT COUNT(*) AS n_lineitems,
+       COUNT(DISTINCT l.l_orderkey) AS n_orders,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN sel s ON l.l_orderkey = s.o_orderkey
+"""
+
+
+@register("bf1_bloom_semijoin", _BF1_ORACLE)
+def bf1_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of the line items belonging to one month's urgent
+    orders, computed through an explicit Bloom runtime filter: the
+    selective order subset aggregates into a Spark-native Bloom sketch
+    (``bloom_filter_agg``), which broadcasts to the fact scan and
+    discards non-matching line items map-side (``might_contain``)
+    BEFORE the exact join. False positives pass the filter and die in
+    the join, so the result is byte-identical to the plain join the
+    oracle runs — the filter is pure plan physics, invisible in the
+    values (same contract as sj1's salting).
+
+    This is the manual form of Spark's own runtime row-level filtering
+    (spark.sql.optimizer.runtime.bloomFilter), written out so the
+    technique is explicit and verifiable: at 100 TB the fact-side
+    shuffle shrinks by the subset's selectivity (~0.25% here) for the
+    price of one K-bit broadcast — the single highest-leverage trick
+    for selective star joins. The exact join side is itself broadcast
+    (the subset is dimension-sized)."""
+    orders = table(spark, sf_dir, "orders")
+    sel = orders.filter(
+        (F.col("o_orderpriority") == BF1_PRIORITY)
+        & (F.col("o_orderdate") >= F.lit(BF1_MONTH_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(BF1_MONTH_END).cast("timestamp"))
+    ).select("o_orderkey")
+    # Build the filter with the seeded md5 family (same construction as
+    # sk5, independent seeds). The bit-position list is HARD-BOUNDED at
+    # BLOOM_BITS rows regardless of key count — the one driver-side
+    # collect is the filter itself (what a cluster broadcasts anyway),
+    # same bounded-collect contract as the dedup hot-key cap.
+    key = F.col("o_orderkey").cast("string")
+    bit_rows = (
+        sel.select(
+            F.explode(
+                F.array(
+                    *[
+                        (hash32(key, seed=200 + i) % BLOOM_BITS).alias(f"h{i}")
+                        for i in range(BLOOM_HASHES)
+                    ]
+                )
+            ).alias("bit_pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_BITS // 32)
+    for r in bit_rows:
+        b = int(r.bit_pos)
+        words[b >> 5] |= 1 << (b & 31)
+    words_lit = F.lit(words)
+    pow2_lit = F.lit([1 << i for i in range(32)])
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    lkey = F.col("l_orderkey").cast("string")
+
+    def _bit_set(h: "F.Column") -> "F.Column":
+        word = F.element_at(words_lit, (h / 32).cast("int") + 1)
+        p = F.element_at(pow2_lit, (h % 32).cast("int") + 1)
+        # word / p is division by a power of two — exact in binary FP —
+        # so the bigint truncation is an exact floor; word itself can
+        # carry bit 31 (> int32 max), hence bigint not int.
+        return ((word / p).cast("bigint") % 2) == 1
+
+    probe = None
+    for i in range(BLOOM_HASHES):
+        ok = _bit_set(hash32(lkey, seed=200 + i) % BLOOM_BITS)
+        probe = ok if probe is None else (probe & ok)
+    probed = li.filter(probe)
+    return (
+        probed.join(F.broadcast(sel), probed["l_orderkey"] == sel["o_orderkey"])
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,10)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

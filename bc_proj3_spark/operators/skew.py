@@ -51,3 +51,62 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     joined = big_salted.join(small_exploded, on=[key, "_salt"], how=how)
     return joined.drop("_salt")
+
+
+# ---------------------------------------------------------------------------
+# sj1 — the salted join as a registered, oracle-verified query
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from bc_proj3_spark.functions.numeric import DECIMAL_T  # noqa: E402
+from bc_proj3_spark.plans.tables import table  # noqa: E402
+from bc_proj3_spark.registry import register  # noqa: E402
+
+_SJ1_ORACLE = """
+WITH tot AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS user_total
+  FROM events GROUP BY user_id
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value / t.user_total, 9) AS DECIMAL(28,10)))
+            AS DOUBLE) AS share_sum
+FROM events e JOIN tot t USING (user_id)
+WHERE t.user_total > 0
+GROUP BY e.event_type
+"""
+
+
+@register("sj1_salted_user_join", _SJ1_ORACLE)
+def sj1_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event share of its user's lifetime value, aggregated by event
+    type — routed through :func:`salted_join` so the driver's value gate
+    covers the hot-key rewrite itself (the oracle is the PLAIN join:
+    salting must be a pure physical transformation, invisible in the
+    result). user_id is the canonical power-law key at 100 TB; the
+    per-user totals dimension is cheap to replicate ×salt.
+
+    Determinism: per-user totals accumulate in exact decimal; the share
+    ratio divides identical doubles in both engines and rounds to 9
+    before the exact-decimal final sum."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    tot = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast(DECIMAL_T))
+            .cast("double")
+            .alias("user_total")
+        )
+        .filter(F.col("user_total") > 0)
+    )
+    joined = salted_join(ev, tot, "user_id")
+    share = F.round(F.col("value") / F.col("user_total"), 9)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(share.cast(DECIMAL_T)).cast("double").alias("share_sum"),
+        )
+    )

@@ -339,3 +339,67 @@ def a7_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("trimmed_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a8 — Pearson correlation from exact decimal moments
+# ---------------------------------------------------------------------------
+
+_A8_ORACLE = """
+WITH m AS (
+  SELECT p_brand,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(p_size AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(p_size * p_size AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(p_retailprice * p_retailprice AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(p_size * p_retailprice AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+  FROM part
+  GROUP BY p_brand
+)
+SELECT p_brand, n,
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+         AS corr_size_price
+FROM m
+"""
+
+
+@register("a8_correlation", _A8_ORACLE)
+def a8_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pearson correlation between part size and retail price,
+    computed from the five exact-decimal moment sums rather than
+    ``F.corr`` — Spark's ``corr`` accumulates co-moments in floating
+    point in partition order, so its low bits are nondeterministic
+    across runs and engines; moment sums in exact decimal are
+    order-independent, and the final correlation formula is one double
+    expression over identical operands in both engines (every double
+    op correctly rounded → identical bits), rounded to 9 decimals.
+
+    Plan shape: one map-side-combinable aggregation (the products are
+    per-row projections) — the same single-exchange shape as AVG, no
+    second pass, mergeable across shards by adding moments."""
+    part = table(spark, sf_dir, "part")
+    dec = "decimal(28,10)"
+    m = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p_size").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("p_retailprice").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("p_size") * F.col("p_size")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("p_retailprice") * F.col("p_retailprice")).cast(dec))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("p_size") * F.col("p_retailprice")).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "p_brand", "n", F.round(num / den, 9).alias("corr_size_price")
+    )

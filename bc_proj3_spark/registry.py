@@ -68,6 +68,7 @@ _REGISTERING_MODULES = (
     "bc_proj3_spark.operators.graph",
     "bc_proj3_spark.operators.cdc",
     "bc_proj3_spark.operators.similarity",
+    "bc_proj3_spark.operators.skew",
     "bc_proj3_spark.operators.linalg",
     "bc_proj3_spark.operators.quality",
     "bc_proj3_spark.operators.multimodal",

@@ -572,3 +572,62 @@ def st6_stream_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         "event_type", F.col("w.start").alias("window_start"), "n_events"
     )
+
+
+# ---------------------------------------------------------------------------
+# st7 — stream-STATIC enrichment join (dimension lookup per micro-batch)
+# ---------------------------------------------------------------------------
+
+_ST7_ORACLE = """
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(28,10))) AS DOUBLE) AS value_sum
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
+@register("st7_stream_static_join", _ST7_ORACLE)
+def st7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: the event stream enriched against the static
+    customer dimension, then aggregated per (segment, event type) —
+    the canonical streaming-enrichment shape (clickstream × user
+    profile). The static side needs no watermark and holds no join
+    state: Spark re-plans it per micro-batch as an ordinary broadcast
+    lookup, which is why dimension enrichment is cheap in streams while
+    stream-stream joins (st5) need state on both sides. Aggregation
+    runs in complete mode (the segment×type matrix is tiny); the drain
+    is AvailableNow, and the final sink contents must value-match the
+    batch join+groupBy oracle exactly (sums in exact decimal)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    src = _normalize_event_ts(src)
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    enriched = src.join(
+        F.broadcast(dim), src["user_id"] == dim["c_custkey"]
+    )
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
+    sink = f"st7_sink_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="st7-ckpt-") as ckpt, _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(sink)
