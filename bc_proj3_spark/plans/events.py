@@ -659,3 +659,94 @@ def e11_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# e12 — rolling-window z-score anomaly detection per user
+# ---------------------------------------------------------------------------
+
+#: trailing-window geometry: stats over the 10 events BEFORE the
+#: current one (the current row never sees itself), minimum history
+#: before flagging, and the anomaly threshold.
+ROLL_FRAME = 10
+ROLL_MIN_N = 5
+ROLL_Z = 2.0
+
+_E12_ORACLE = f"""
+WITH w AS (
+  SELECT event_id, user_id, ts, value,
+         COUNT(*) OVER f AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER f AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(28,10)) * CAST(value AS DECIMAL(28,10)))
+              OVER f AS DOUBLE) AS s2
+  FROM events
+  WINDOW f AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN {ROLL_FRAME} PRECEDING AND 1 PRECEDING
+  )
+),
+s AS (
+  SELECT event_id, user_id, value, n,
+         s1 / n AS roll_mean,
+         SQRT((s2 - s1 * s1 / n) / (n - 1)) AS roll_sd
+  FROM w
+  WHERE n >= {ROLL_MIN_N}
+)
+SELECT event_id, user_id, value,
+       ROUND(roll_mean, 6) AS roll_mean,
+       ROUND((value - roll_mean) / roll_sd, 6) AS zscore
+FROM s
+WHERE roll_sd > 0 AND ABS((value - roll_mean) / roll_sd) > {ROLL_Z}
+"""
+
+
+@register("e12_rolling_anomaly", _E12_ORACLE)
+def e12_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates more than ROLL_Z standard deviations
+    from the user's own TRAILING window — the streaming-shaped anomaly
+    signal (o5 is the global-baseline batch twin; this one adapts to
+    per-user drift, the form a metrics/abuse pipeline actually runs).
+
+    The frame excludes the current row (an outlier must not dilute the
+    baseline it is judged against) and requires ROLL_MIN_N prior events.
+    Variance comes from exact-decimal Σx/Σx² window sums — decimal
+    window aggregation is order-independent once the frame is fixed, and
+    the frame is fixed by the (ts, event_id) total order. One shuffle on
+    user_id serves both window aggregates and the projection.
+
+    100 TB shape: trailing-window state is O(frame) per user; the
+    streaming twin is applyInPandasWithState with a ring buffer (st2's
+    machinery). Batch cost is one exchange + one sort — no self-join."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ROLL_FRAME, -1)
+    )
+    dec = F.col("value").cast("decimal(28,10)")
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(f).alias("n"),
+        F.sum(dec).over(f).cast("double").alias("s1"),
+        F.sum(dec * dec).over(f).cast("double").alias("s2"),
+    ).filter(F.col("n") >= ROLL_MIN_N)
+    roll_mean = F.col("s1") / F.col("n")
+    roll_sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    z = (F.col("value") - roll_mean) / roll_sd
+    return (
+        w.filter((roll_sd > 0) & (F.abs(z) > ROLL_Z))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(roll_mean, 6).alias("roll_mean"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )
