@@ -84,11 +84,16 @@ _REGISTERING_MODULES = (
 #: row at most ~2 rounds old. Update this map from CORRECTNESS_r{N}.json
 #: each round; queries absent from the map sort first (round 0).
 _VERIFIED_ROUND: dict[str, int] = {
-    # NTZ-seam queries red (or latently broken) in CORRECTNESS_r04 are
-    # deliberately ABSENT → round 0, so the repaired code lands in the
-    # r5 prefix: e2_sessionization, e4_user_value_trend, e4b_trend_arrow,
-    # e8_session_overlap, st1_stream_window_counts,
-    # st3_stream_session_windows.
+    # round -1: NTZ-seam queries RED (or latently broken) in
+    # CORRECTNESS_r04, repaired this round. Pinned ahead of even the
+    # never-verified round-0 block (which now outnumbers the ~50-query
+    # driver prefix): a previously-red row going green is the single
+    # most important evidence in r5, so these six must not be crowded
+    # out by registration-order ties — st1/st3 register in the LAST
+    # module and would otherwise sort at the round-0 tail.
+    "e2_sessionization": -1, "e4_user_value_trend": -1,
+    "e4b_trend_arrow": -1, "e8_session_overlap": -1,
+    "st1_stream_window_counts": -1, "st3_stream_session_windows": -1,
     #
     # round 3 (CORRECTNESS_r03.json) — stalest greens, rotate next
     "d1_exact_dedup_groups": 3, "d2_dedup_survivors": 3,
