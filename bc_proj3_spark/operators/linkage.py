@@ -155,3 +155,57 @@ def er2_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# er3 — recursive canonical-root resolution (Spark recursive CTE)
+# ---------------------------------------------------------------------------
+
+_ER3_RECURSIVE = """
+WITH RECURSIVE res(variant, root, depth) AS (
+  SELECT variant, canonical, 1 FROM {assign}
+  UNION ALL
+  SELECT r.variant, a.canonical, r.depth + 1
+  FROM res r JOIN {assign} a ON a.variant = r.root
+)
+SELECT variant, root, CAST(depth AS INTEGER) AS depth
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY variant ORDER BY depth DESC) AS rn
+  FROM res
+)
+WHERE rn = 1
+"""
+
+_ER3_ORACLE = f"""
+WITH RECURSIVE assign AS (
+{_ER2_ORACLE}
+),
+{_ER3_RECURSIVE.split("WITH RECURSIVE ", 1)[1].format(assign="assign")}
+"""
+
+
+@register("er3_canonical_roots", _ER3_ORACLE)
+def er3_canonical_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain resolution over er2's variant → canonical assignment: a
+    variant's canonical may itself be someone's variant, so merges must
+    follow the chain to the ULTIMATE root. The assignment graph is
+    acyclic by construction (canonical < variant lexicographically, so
+    every hop strictly decreases), which makes this expressible as a
+    Spark 4 RECURSIVE CTE with UNION ALL — the engine's iterate-until-
+    empty-increment machinery instead of a hand-rolled driver loop
+    (contrast cc1/cc2, where cycles force the driver-side iteration).
+    The DuckDB oracle runs the structurally identical recursive query.
+
+    Scale: each recursion step is one equi-join of the open frontier
+    against the assignment table (match-bounded, ≪ corpus); depth is
+    bounded by the longest merge chain, not table size."""
+    import uuid
+
+    view = f"er3_assign_{uuid.uuid4().hex[:8]}"
+    er2_canonical_assignment(spark, sf_dir).createOrReplaceTempView(view)
+    try:
+        return spark.sql(_ER3_RECURSIVE.format(assign=view))
+    finally:
+        # the returned DataFrame's plan is already resolved against the
+        # view; dropping it keeps the catalog clean for the next call.
+        spark.catalog.dropTempView(view)
