@@ -184,6 +184,75 @@ class Catalog:
             shutil.rmtree(tmp, ignore_errors=True)
         return rows
 
+    def delete_where(self, layer: str, name: str, condition) -> int:
+        """DELETE FROM ``layer.name`` WHERE ``condition`` — the Delta
+        DML verb the reference's GDPR/compliance path would need
+        (notebooks use DROP TABLE only; row-level delete is the engine
+        add that completes the MERGE/DELETE/HISTORY DML trio).
+
+        Partition-pruned like the merge: on a partitioned table only
+        the partitions that actually CONTAIN matching rows are
+        rewritten — the touched-value list is one bounded aggregate
+        over the matching rows (distinct partition values ≤ partition
+        count), and untouched partitions' files are never opened for
+        write. A partition whose rows all match is deleted outright.
+        Unpartitioned tables fall back to a full rewrite.
+
+        Returns the number of rows deleted; records a DELETE history
+        entry (predicate + rows_deleted) and keeps the pre-delete state
+        travelable via the snapshot hook inside the rewrite path.
+        """
+        from pyspark.sql import Column
+        from pyspark.sql import functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        if not isinstance(cond, Column):
+            raise TypeError(f"condition must be a Column or SQL string, got {type(condition)!r}")
+        meta = self._read_meta(layer, name) or {}
+        pby = meta.get("partition_by") or []
+        current = self.read(layer, name)
+        kept = current.filter(~F.coalesce(cond, F.lit(False)))
+        matched = current.filter(F.coalesce(cond, F.lit(False)))
+        if len(pby) == 1:
+            pcol = pby[0]
+            touched_rows = (
+                matched.groupBy(pcol).agg(F.count(F.lit(1)).alias("n")).collect()
+            )
+            deleted = int(sum(r["n"] for r in touched_rows))
+            if any(r[pcol] is None for r in touched_rows):
+                raise ValueError(
+                    f"{layer}.{name}: matching rows in a null partition — "
+                    "partition-scoped delete cannot address them; rewrite "
+                    "via overwrite() instead"
+                )
+            values = [r[pcol] for r in touched_rows]
+            if deleted == 0:
+                self.log_operation(
+                    layer, name, "DELETE",
+                    predicate=str(condition), rows_deleted=0, partitions_rewritten=0,
+                )
+                return 0
+            self.overwrite_partitions(
+                layer, name,
+                kept.filter(F.col(pcol).isin(values)), values,
+            )
+            self.log_operation(
+                layer, name, "DELETE",
+                predicate=str(condition), rows_deleted=deleted,
+                partitions_rewritten=len(values),
+            )
+            return deleted
+        # unpartitioned (or multi-partition-col) table: full rewrite
+        n_before = current.count()
+        n_after = self.overwrite(layer, name, kept, partition_by=pby or None)
+        deleted = n_before - n_after
+        self.log_operation(
+            layer, name, "DELETE",
+            predicate=str(condition), rows_deleted=deleted,
+            partitions_rewritten=-1,
+        )
+        return deleted
+
     def append(self, layer: str, name: str, df: DataFrame) -> None:
         """INSERT INTO, honoring the table's recorded partition layout.
         The caller is responsible for dedup semantics (anti-join first,
@@ -410,7 +479,10 @@ class Catalog:
             "version": sum(1 for _ in p.open()) if p.exists() else 0,
             "operation": operation,
             "timestamp": time.time(),
-            "operationMetrics": {k: int(v) for k, v in metrics.items()},
+            "operationMetrics": {
+                k: (v if isinstance(v, str) else int(v))
+                for k, v in metrics.items()
+            },
         }
         with p.open("a", encoding="utf-8") as fh:
             fh.write(json.dumps(entry) + "\n")
