@@ -750,3 +750,83 @@ def e12_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("zscore"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts1 — calendar-spine gap filling + carry-forward resampling
+# ---------------------------------------------------------------------------
+
+_TS1_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_events,
+         {sql_dec_sum("value", "day_value")}
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT s.user_id, s.day,
+       COALESCE(d.n_events, 0) AS n_events,
+       COALESCE(d.day_value, 0.0) AS day_value,
+       last_value(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS carried_value
+FROM spine s
+LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+"""
+
+
+@register("ts1_gap_fill", _TS1_ORACLE)
+def ts1_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular daily time series per user from irregular events: build
+    each user's calendar spine (min..max active day), left-join the
+    daily aggregate onto it, zero-fill the counts, and carry the last
+    observed value across gap days (forward fill) — the resampling +
+    interpolation step every time-series feature pipeline needs before
+    a model sees the data (and the inverse of e3's as-of lookup).
+
+    Plan: one groupBy builds the daily aggregate; the spine is
+    sequence()+explode from the per-user bounds (rows ∝ user-days, no
+    cross join against a global calendar); one more shuffle joins
+    spine↔daily on (user, day) and the same partitioning feeds the
+    forward-fill window. Carried values use last(ignorenulls) over the
+    date-ordered frame — deterministic because (user, day) is unique."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value", "day_value"),
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+        F.last("day_value", ignorenulls=True).over(w).alias("carried_value"),
+    )
