@@ -140,3 +140,67 @@ def o5_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("zscore"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dq3 — Benford first-digit distribution check
+# ---------------------------------------------------------------------------
+
+_DQ3_ORACLE = """
+WITH digits AS (
+  SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+           AS digit
+  FROM orders
+  WHERE o_totalprice >= 1
+),
+counts AS (
+  SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+),
+total AS (SELECT SUM(n) AS t FROM counts)
+SELECT digit,
+       n,
+       ROUND(n / (SELECT t FROM total), 9) AS obs_share,
+       ROUND(LOG10(1.0 + 1.0 / CAST(digit AS INTEGER)), 9) AS benford_share,
+       ROUND(ABS(ROUND(n / (SELECT t FROM total), 9)
+                 - ROUND(LOG10(1.0 + 1.0 / CAST(digit AS INTEGER)), 9)), 9)
+         AS deviation
+FROM counts
+"""
+
+
+@register("dq3_benford_digits", _DQ3_ORACLE)
+def dq3_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs the
+    Benford expectation log10(1 + 1/d) — the classic anomaly screen
+    for fabricated or unit-mangled numeric columns (a synthetic uniform
+    price column FAILS Benford, which is itself information about the
+    generator). One scan + a 9-row aggregate; the 1-row total
+    broadcasts back into the share projection.
+
+    Determinism: the first digit comes from FLOOR → BIGINT → string
+    (floor is exact in both engines; a direct double→int cast would
+    TRUNCATE in Spark but ROUND in DuckDB, flipping 99.6 between '9'
+    and '1'); shares divide identical bigints (exact in double) and
+    log10-derived terms round to 9 before the comparison arithmetic."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).alias("digit")
+    counts = o.select(digit).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    obs = F.round(F.col("n") / F.col("t"), 9)
+    benford = F.round(
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("int")), 9
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            obs.alias("obs_share"),
+            benford.alias("benford_share"),
+            F.round(F.abs(obs - benford), 9).alias("deviation"),
+        )
+    )

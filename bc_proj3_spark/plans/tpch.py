@@ -1344,3 +1344,46 @@ def q21_sole_spoiler_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# r3 — explicit GROUPING SETS (non-hierarchical margins)
+# ---------------------------------------------------------------------------
+
+_R3_ORACLE = f"""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
+  {sql_dec_sum("o_totalprice", "sum_price")},
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+@register("r3_grouping_sets", _R3_ORACLE)
+def r3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority)) — the two
+    one-dimension margins and NOTHING else, a set list neither ROLLUP
+    (hierarchical prefixes) nor CUBE (all 2^n combinations) can
+    express: the report wants each dimension's totals without paying
+    for the detail cells. Still ONE expand + aggregate pass over
+    orders — the expand emits one replica per requested set instead of
+    2^n. grouping_id labels which margin a row belongs to."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [[F.col("o_orderstatus")], [F.col("o_orderpriority")]],
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            dec_sum("o_totalprice", "sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "sum_price", "n_orders"
+        )
+    )
