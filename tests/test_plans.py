@@ -40,6 +40,10 @@ _BNLJ_OK = {
     "pi1_power_iteration",  # per-round 1-row norm broadcast
     "t11_pmi_collocations",  # 1-row (n_tot, n_big) totals broadcast
     "sp5_temperature_mix",  # 1-row (n_total, w_total) scalars broadcast
+    # round-5 second-session additions, same shape:
+    "tc1_triangle_census",  # 1-row edge/triangle totals crossed together
+    "t14_tfidf_topterms",  # 1-row corpus doc count into the idf table
+    "dq3_benford_digits",  # 1-row grand total into the 9-digit table
 }
 
 #: streaming queries — their builders execute a full streaming job;
@@ -137,3 +141,42 @@ def test_big_aggregates_have_partial_agg(spark):
             f"{name}: no two-phase aggregate\n{plan[:1200]}"
         )
         assert "partial_" in plan, f"{name}: no partial aggregation phase"
+
+
+def test_chunking_is_zero_exchange(spark):
+    """ch1 must be pure map-side codegen: split → sequence → explode →
+    slice with NO shuffle — the property that lets chunking run at scan
+    speed over 100 TB. Any Exchange in the plan is a regression."""
+    plan = _physical(spark, "ch1_chunk_documents")
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """sp6's top-K by priority must compile to TakeOrderedAndProject
+    (per-partition heaps + K-row driver merge), never a global sort."""
+    plan = _physical(spark, "sp6_weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_bloom_probe_filters_before_join(spark):
+    """bf1's Bloom membership test must sit in a Filter BELOW the join
+    (fact rows die map-side), and the exact join must be a broadcast
+    hash join of the dimension subset — the runtime-filter shape."""
+    plan = _physical(spark, "bf1_bloom_semijoin")
+    assert "BroadcastHashJoin" in plan
+    # the probe is element_at arithmetic inside a Filter over lineitem
+    fpos = plan.find("element_at")
+    jpos = plan.find("BroadcastHashJoin")
+    assert fpos != -1 and jpos != -1 and fpos > jpos, (
+        "probe filter not below the join in the plan tree"
+    )
+
+
+def test_er1_fuzzy_join_is_hash_on_block_key(spark):
+    """er1's candidate join must be an equi-join on the blocking key
+    (hash or broadcast-hash), never a nested loop — the Levenshtein
+    runs only inside blocks."""
+    plan = _physical(spark, "er1_fuzzy_name_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
