@@ -82,3 +82,41 @@ def sql2_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v2")
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v2")
     return spark.sql(_SQL2.format(orders="orders_v2", customer="customer_v2"))
+
+
+# ---------------------------------------------------------------------------
+# sql3 — correlated EXISTS / NOT EXISTS through the raw SQL interface
+# ---------------------------------------------------------------------------
+
+_SQL3 = """
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+FROM {customer} c
+WHERE EXISTS (
+  SELECT 1 FROM {orders} o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_totalprice > 100000
+)
+AND NOT EXISTS (
+  SELECT 1 FROM {orders} o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@register(
+    "sql3_exists_decorrelation",
+    _SQL3.format(customer="customer", orders="orders"),
+)
+def sql3_exists_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS in one raw SQL statement —
+    customers with at least one big order and no urgent ones. The SQL
+    text is shared verbatim with the DuckDB oracle (only catalog names
+    differ), and Catalyst must DECORRELATE both subqueries into a
+    left-semi and a left-anti hash join on o_custkey — never a per-row
+    subquery execution. (q4/q21 pin the same shapes through the
+    DataFrame API; this pins the SQL parser path.)"""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(_SQL3.format(customer="customer_v", orders="orders_v"))

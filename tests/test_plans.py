@@ -180,3 +180,12 @@ def test_er1_fuzzy_join_is_hash_on_block_key(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan
+
+
+def test_sql3_exists_decorrelates_to_semi_anti(spark):
+    """Both correlated subqueries must decorrelate: EXISTS → left-semi
+    hash join, NOT EXISTS → left-anti hash join, one pass each over
+    orders — never a per-outer-row subquery."""
+    plan = _physical(spark, "sql3_exists_decorrelation")
+    assert "LeftSemi" in plan, plan[:1500]
+    assert "LeftAnti" in plan, plan[:1500]
