@@ -35,7 +35,11 @@ from bc_proj3_spark.operators.dedup import (
 from bc_proj3_spark.operators.graph import (
     min_label_components,
     star_components,
+    triangle_census,
 )
+
+# document chunking (RAG / pretraining prep)
+from bc_proj3_spark.operators.chunking import chunk_documents
 
 # data layout
 from bc_proj3_spark.operators.layout import zorder_key, zorder_layout
@@ -70,6 +74,9 @@ __all__ = [
     # graph
     "min_label_components",
     "star_components",
+    "triangle_census",
+    # chunking
+    "chunk_documents",
     # layout
     "zorder_key",
     "zorder_layout",
