@@ -830,3 +830,55 @@ def ts1_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
         F.last("day_value", ignorenulls=True).over(w).alias("carried_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w3 — time-based RANGE frame: trailing 1-hour activity per event
+# ---------------------------------------------------------------------------
+
+_W3_HOUR_US = 3_600_000_000
+
+_W3_ORACLE = f"""
+SELECT event_id, user_id,
+       COUNT(*) OVER f AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER f AS DOUBLE)
+         AS value_last_hour
+FROM events
+WINDOW f AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN {_W3_HOUR_US} PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("w3_trailing_hour_range", _W3_ORACLE)
+def w3_trailing_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: how much the same user did in the trailing hour —
+    a VALUE-based (RANGE) window frame over event time, the sliding
+    velocity/rate-limit signal. Unlike a ROWS frame, the frame edge is
+    a time distance, so frames differ per row and peers (equal
+    timestamps) always enter together — which also makes the result
+    order-insensitive and hash-stable without a unique-key tiebreak.
+
+    Both engines order by the integer microsecond epoch with an
+    identical numeric range ({_W3_HOUR_US} µs), sidestepping
+    interval-frame dialect differences; sums are decimal-exact. One
+    exchange on user_id; at 100 TB this is the windowed form of e9's
+    explode rewrite, preferable when frame ÷ event-density is large."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_W3_HOUR_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(f).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .over(f)
+        .cast("double")
+        .alias("value_last_hour"),
+    )

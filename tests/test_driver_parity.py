@@ -52,6 +52,11 @@ PARITY_QUERIES = [
     "e10_conversion_latency",
     "w2_spend_deciles",
     "a6_histogram_quantiles",
+    # round-5 second-session event-time consumers (same seam class)
+    "e12_rolling_anomaly",
+    "ts1_gap_fill",
+    "st7_stream_static_join",
+    "w3_trailing_hour_range",
 ]
 
 _SUBPROCESS_PROG = """
