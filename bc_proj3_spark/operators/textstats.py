@@ -687,3 +687,66 @@ def t13_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang", "lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# t15 — skip-gram context pairs (embedding-training data prep)
+# ---------------------------------------------------------------------------
+
+SKIPGRAM_WINDOW = 3
+SKIPGRAM_TOP_K = 50
+
+_T15_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {T.sql_tokenize('text')} AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
+  FROM tok WHERE len(t) >= 2
+),
+pairs AS (
+  SELECT t[i + 1] AS w_a, t[i + 1 + j] AS w_b
+  FROM pos, (SELECT unnest(range(1, {SKIPGRAM_WINDOW} + 1)) AS j) js
+  WHERE i + j < len(t)
+)
+SELECT w_a, w_b, COUNT(*) AS n_pairs
+FROM pairs
+GROUP BY w_a, w_b
+ORDER BY n_pairs DESC, w_a, w_b
+LIMIT {SKIPGRAM_TOP_K}
+"""
+
+
+@register("t15_skipgram_pairs", _T15_ORACLE)
+def t15_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-occurring (center, context) token pairs within a
+    SKIPGRAM_WINDOW-token forward window — the pair-extraction step a
+    word2vec/GloVe-style embedding trainer runs over the whole corpus.
+
+    Pair generation is one nested codegen expression (sequence →
+    transform → struct → flatten → explode): rows multiply by ~window
+    per token with NO join and NO shuffle until the count aggregate, so
+    the heavy fan-out stage runs at scan speed. The count is a two-phase
+    hash aggregate (map-side combine absorbs each partition's repeats)
+    and the top-k compiles to TakeOrderedAndProject with a total order
+    (count desc, then both words) so both engines pick identical rows."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(T.tokenize(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(0, size(t) - 2), i ->
+                      transform(sequence(1, least({SKIPGRAM_WINDOW}, size(t) - 1 - i)), j ->
+                        struct(element_at(t, i + 1) AS w_a,
+                               element_at(t, i + j + 1) AS w_b))))"""
+            )
+        ).alias("p")
+    ).select("p.w_a", "p.w_b")
+    return (
+        pairs.groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "w_a", "w_b")
+        .limit(SKIPGRAM_TOP_K)
+    )
