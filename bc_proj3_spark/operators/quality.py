@@ -204,3 +204,145 @@ def dq3_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(obs - benford), 9).alias("deviation"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dq2 — referential-integrity audit: orphan counts per FK relationship
+# ---------------------------------------------------------------------------
+
+#: (relationship label, child table, child key, parent table, parent key).
+#: The TPC-H FKs are clean by construction — their zero rows prove the
+#: check doesn't false-positive; events.user_id→customer is the dirty
+#: one (event users outnumber customers at every SF), proving it counts.
+DQ2_RELATIONSHIPS: tuple[tuple[str, str, str, str, str], ...] = (
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+)
+
+
+def _dq2_oracle() -> str:
+    parts = []
+    for label, child, ck, parent, pk in DQ2_RELATIONSHIPS:
+        parts.append(
+            f"SELECT '{label}' AS relationship, "
+            f"(SELECT COUNT(*) FROM {child}) AS n_child, "
+            f"(SELECT COUNT(*) FROM {child} c "
+            f" WHERE c.{ck} IS NOT NULL AND NOT EXISTS "
+            f" (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})) AS n_orphans"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("dq2_referential_integrity", _dq2_oracle())
+def dq2_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphaned-foreign-key counts for the declared relationship set —
+    the join-integrity half of the expectations suite (dq1 checks rows
+    in isolation; this checks rows against their parents, the class of
+    breakage that silently drops revenue in an inner join downstream).
+
+    Each relationship is one LEFT ANTI join child→parent (null child
+    keys excluded — nullability is dq1's province) aggregated to a
+    1-row count, then the per-relationship rows union. Anti joins
+    shuffle on the key like any equi-join — at 100 TB each audit costs
+    one key exchange, and small parents (supplier, customer) broadcast
+    under AQE so the big fact side never moves. No driver loop: the
+    result is one unioned plan, counts ride broadcast 1-row frames."""
+    out = None
+    for label, child, ck, parent, pk in DQ2_RELATIONSHIPS:
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent)
+        n_child = c.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = (
+            c.filter(F.col(ck).isNotNull())
+            .join(p, c[ck] == p[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        row = (
+            n_child.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(label).alias("relationship"), "n_child", "n_orphans"
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# o6 — Pareto frontier (skyline): undominated suppliers
+# ---------------------------------------------------------------------------
+
+_O6_ORACLE = """
+WITH m AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+         CAST(SUM(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE)
+           / COUNT(*) AS avg_discount
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT suppkey, ROUND(revenue, 6) AS revenue, ROUND(avg_discount, 6) AS avg_discount
+FROM m
+WHERE NOT EXISTS (
+  SELECT 1 FROM m o
+  WHERE o.revenue >= m.revenue AND o.avg_discount <= m.avg_discount
+    AND (o.revenue > m.revenue OR o.avg_discount < m.avg_discount)
+)
+"""
+
+
+@register("o6_pareto_frontier", _O6_ORACLE)
+def o6_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: suppliers not dominated on (revenue max, average
+    discount min) — the two-criteria shortlist (``BETTER in one
+    dimension, no worse in the other``: revenue earned without giving margin away) that a quadratic NOT-EXISTS
+    self-join expresses and a sort-based plan computes in O(n log n).
+
+    The oracle IS the quadratic definition; the Spark plan is the
+    sort-based rewrite, exact under ties: a row is dominated iff
+    (a) the minimum discount among STRICTLY higher-revenue rows is <= its
+    discount, or (b) some equal-revenue row has strictly smaller discount.
+    (a) needs a running min over distinct revenue levels — the per-level
+    min-discount table is a reduction of the supplier aggregate (<= one row
+    per supplier), its running min is one tiny window, and it joins
+    back broadcast. (b) is a min over the revenue-peer partition.
+
+    100 TB shape: the expensive part is the lineitem groupBy (one
+    exchange); everything after operates on per-supplier rows (1e4·SF),
+    where the window sort is trivial. The naive NOT EXISTS would be a
+    suppliers² nested loop — fine in DuckDB at sf0.01, not a plan."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    disc = F.col("l_discount").cast("decimal(28,10)")
+    m = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_discount"),
+    )
+    # (b): best discount among revenue peers
+    peer_min = F.min("avg_discount").over(Window.partitionBy("revenue"))
+    # (a): running min of per-level best discount over strictly higher levels
+    levels = m.groupBy("revenue").agg(F.min("avg_discount").alias("lvl_min"))
+    w_lvl = (
+        Window.orderBy(F.desc("revenue"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    strict = levels.select(
+        "revenue", F.min("lvl_min").over(w_lvl).alias("strict_min")
+    )
+    joined = m.withColumn("peer_min", peer_min).join(
+        F.broadcast(strict), "revenue"
+    )
+    dominated = (
+        F.col("strict_min").isNotNull() & (F.col("strict_min") <= F.col("avg_discount"))
+    ) | (F.col("peer_min") < F.col("avg_discount"))
+    return joined.filter(~dominated).select(
+        "suppkey",
+        F.round("revenue", 6).alias("revenue"),
+        F.round("avg_discount", 6).alias("avg_discount"),
+    )

@@ -403,3 +403,53 @@ def a8_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "p_brand", "n", F.round(num / den, 9).alias("corr_size_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# a5 — unpivot (melt): wide matrix back to long form
+# ---------------------------------------------------------------------------
+
+_A5_ORACLE = f"""
+WITH wide AS (
+  SELECT
+    user_id,
+    {', '.join(f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS BIGINT) AS n_{t}" for t in EVENT_TYPES)}
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, REPLACE(event_type, 'n_', '') AS event_type, n
+FROM (
+  SELECT user_id, event_type, n FROM wide
+  UNPIVOT (n FOR event_type IN ({', '.join(f'n_{t}' for t in EVENT_TYPES)}))
+  WHERE n > 0
+)
+"""
+
+
+@register("a5_unpivot_melt", _A5_ORACLE)
+def a5_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.unpivot`` (ANSI UNPIVOT / pandas melt): a1's wide
+    user × event-type matrix back to long (user_id, event_type, n)
+    rows, zero cells dropped — the wide↔long bridge every feature
+    store crosses in both directions (a1 is the other half; composing
+    them here pins the round trip against a DuckDB UNPIVOT oracle,
+    restoring exactly the nonzero groupBy counts).
+
+    unpivot is a zero-shuffle projection: each input row explodes to a
+    fixed |columns| output rows map-side (Spark's Expand node, the same
+    machinery grouping sets use). The only exchange in the plan is the
+    a1 pivot aggregate it consumes. Column-name values arrive as the
+    literal ``n_<type>`` labels; one regexp strips the prefix so the
+    output speaks the domain vocabulary, not the matrix encoding."""
+    wide = a1_pivot_event_matrix(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["user_id"],
+        values=[f"n_{t}" for t in EVENT_TYPES],
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+    return long.filter(F.col("n") > 0).select(
+        "user_id",
+        F.regexp_replace("event_type", "^n_", "").alias("event_type"),
+        "n",
+    )

@@ -882,3 +882,79 @@ def w3_trailing_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_last_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts2 — exponentially weighted moving average (dyadic-exact)
+# ---------------------------------------------------------------------------
+
+_TS2_ALPHA = 0.5  # dyadic: 0.5**k is EXACT in IEEE double for all k
+_TS2_K = 12  # trailing observed days in the kernel; 0.5**11 ~ 5e-4
+
+
+def _ts2_terms(val: str) -> tuple[str, str]:
+    """(numerator, denominator) SQL text, k=0..K-1, left-assoc — the
+    SAME addition order the Spark expression tree uses, so both engines
+    run bit-identical IEEE sums (every 0.5**k product is an exact
+    scaling; only the additions round, identically)."""
+    num, den = [], []
+    for k in range(_TS2_K):
+        w = repr(_TS2_ALPHA**k)
+        x = val if k == 0 else f"LAG({val}, {k}) OVER ewm"
+        num.append(f"COALESCE({x} * {w}, 0.0)")
+        den.append(f"CASE WHEN {x} IS NOT NULL THEN {w} ELSE 0.0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+_TS2_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         {sql_dec_sum("value", "day_value")}
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT user_id, day, day_value,
+       ROUND(({_ts2_terms("day_value")[0]})
+             / ({_ts2_terms("day_value")[1]}), 6) AS ewma
+FROM daily
+WINDOW ewm AS (PARTITION BY user_id ORDER BY day)
+"""
+
+
+@register("ts2_ewma", _TS2_ORACLE)
+def ts2_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of daily event value — the smoothing every
+    monitoring/trend pipeline runs, made cross-engine bit-exact by
+    construction instead of tolerance: the kernel is a FINITE trailing
+    window of {K} observed days with a dyadic decay (alpha = 0.5, so
+    every weight 0.5**k is an exact double and weight*x is an exact
+    scaling), expressed as an explicit left-associated sum of LAG terms
+    — Spark's expression tree and the oracle's SQL text add in the SAME
+    order, so the only float roundings are identical on both sides.
+    The recursive form (ewma = a*x + (1-a)*prev) is NOT expressible as
+    a Spark window function (no recursive aggregates); the truncated
+    kernel is the standard rewrite and differs by < 0.5**{K} of the
+    oldest mass, which normalizing by the present-weight sum absorbs
+    for series shorter than the kernel.
+
+    Plan: one exchange on user_id — the daily groupBy repartitions, and
+    the {K}-lag window reuses that partitioning with one sort. All {K}
+    lags share ONE window frame (Spark collapses equal window specs),
+    so this costs a single pass regardless of kernel width."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(dec_sum("value", "day_value"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(_TS2_K):
+        x = F.col("day_value") if k == 0 else F.lag("day_value", k).over(w)
+        wt = F.lit(_TS2_ALPHA**k)
+        num = num + F.coalesce(x * wt, F.lit(0.0))
+        den = den + F.when(x.isNotNull(), wt).otherwise(F.lit(0.0))
+    return daily.select(
+        "user_id", "day", "day_value", F.round(num / den, 6).alias("ewma")
+    )

@@ -47,6 +47,10 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every Python<->JVM columnar boundary
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # the Python Data Source wrapper (io/pyds.py) prunes run_date
+    # partitions in pushFilters(); Spark 4.1 gates that behind a flag
+    # and hard-errors when a reader implements the hook unenabled
+    "spark.sql.python.filterPushdown.enabled": "true",
     # streaming aggregations can't use AQE coalescing, so an unset
     # vanilla session would run them at the 200-partition default;
     # size the shuffle to the local core budget explicitly. (Batch
