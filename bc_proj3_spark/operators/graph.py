@@ -620,3 +620,106 @@ def triangle_census(edges: DataFrame) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cc4 — bounded multi-source BFS distance (hop count to a seed set)
+# ---------------------------------------------------------------------------
+
+#: deterministic seed rule (documents with doc_id % MOD == 0) — scales
+#: with the corpus, non-empty at every SF; depth bound caps the state.
+BFS_SEED_MOD = 17
+BFS_MAX_DEPTH = 6
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame) -> DataFrame:
+    """(doc_id, dist): minimum hop count from any seed, depth-bounded.
+
+    ``edges`` must carry (src, dst) both directions; ``seeds`` one
+    doc_id column. Classic frontier BFS: round k joins the previous
+    frontier against the edge list, anti-joins already-visited nodes,
+    and tags survivors dist=k. The visited set is localCheckpoint-ed
+    each round (same lineage-explosion defense as min_label_components)
+    with the NEW-node count riding the checkpoint job via df.observe,
+    so each round is exactly one job and the loop exits the first empty
+    frontier. Per-round cost ∝ frontier × degree — never corpus-sized.
+    """
+    from pyspark.sql import Observation
+
+    spark = edges.sparkSession
+
+    def _ckpt_count_at(df: DataFrame, k: int) -> tuple[DataFrame, int]:
+        obs = Observation()
+        out = df.observe(
+            obs,
+            F.sum(F.when(F.col("dist") == k, 1).otherwise(0)).alias("n_new"),
+        ).localCheckpoint(eager=True)
+        return out, obs.get["n_new"]
+
+    with _iter_shuffle(spark):
+        edges = edges.localCheckpoint(eager=True)
+        known, _ = _ckpt_count_at(
+            seeds.select("doc_id", F.lit(0).cast("int").alias("dist")), 0
+        )
+        for k in range(1, BFS_MAX_DEPTH + 1):
+            frontier = known.filter(F.col("dist") == k - 1)
+            nxt = (
+                edges.join(frontier, edges["src"] == frontier["doc_id"])
+                .select(F.col("dst").alias("doc_id"))
+                .distinct()
+                .join(known, "doc_id", "left_anti")
+                .withColumn("dist", F.lit(k).cast("int"))
+            )
+            known, n_new = _ckpt_count_at(known.unionAll(nxt), k)
+            if n_new == 0:
+                break
+        return known
+
+
+def _bfs_oracle() -> str:
+    from bc_proj3_spark.operators.dedup import _D4_ORACLE
+
+    return f"""
+WITH RECURSIVE pairs AS (
+{_D4_ORACLE}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+seeds AS (SELECT doc_id FROM documents WHERE doc_id % {BFS_SEED_MOD} = 0),
+reach(node, dist) AS (
+  SELECT doc_id, 0 FROM seeds
+  UNION
+  SELECT e.dst, r.dist + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.dist < {BFS_MAX_DEPTH}
+)
+SELECT node AS doc_id, CAST(MIN(dist) AS INT) AS dist
+FROM reach GROUP BY node
+"""
+
+
+@register("cc4_bfs_distance", _bfs_oracle())
+def cc4_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from a deterministic seed set over the verified
+    near-dup graph, depth-bounded — the "how close is this document to
+    a known-bad/known-labeled node" contagion signal (seed = flagged
+    docs in production; here doc_id % {MOD} keeps it reproducible).
+    Unreached nodes are absent (an outer join against the corpus would
+    just add NULLs). The driver-checked twin of a WITH RECURSIVE
+    shortest-reach query — evidence the iterative frontier loop, not
+    just one round, matches exact SQL semantics."""
+    pairs = d4_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    seeds = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % BFS_SEED_MOD == 0)
+    )
+    return bfs_distances(edges, seeds).select(
+        "doc_id", F.col("dist").cast("int").alias("dist")
+    )

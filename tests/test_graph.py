@@ -76,3 +76,41 @@ def test_star_matches_min_label(spark, pairs):
 def test_star_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         _star(spark, [(i, i + 1) for i in range(1, 30)], max_iters=1)
+
+
+# ---------------------------------------------------------------------------
+# BFS kernel (cc4's iteration) on shapes the corpus may not exercise
+# ---------------------------------------------------------------------------
+
+
+def _bfs(spark, pairs, seed_ids):
+    df = spark.createDataFrame(pairs, "src: long, dst: long")
+    edges = df.unionAll(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = spark.createDataFrame([(s,) for s in seed_ids], "doc_id: long")
+    return {r["doc_id"]: r["dist"] for r in graph.bfs_distances(edges, seeds).collect()}
+
+
+def test_bfs_chain_distances(spark):
+    # 1-2-3-4-5 chain seeded at 1: dist = hops; 9 isolated seed -> 0.
+    got = _bfs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], [1, 9])
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 9: 0}
+
+
+def test_bfs_min_over_multiple_seeds(spark):
+    # two seeds at both chain ends: every node takes the closer one
+    got = _bfs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], [1, 5])
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+def test_bfs_depth_bound(spark):
+    # chain longer than BFS_MAX_DEPTH: nodes beyond the bound unreached
+    n = graph.BFS_MAX_DEPTH + 3
+    chain = [(i, i + 1) for i in range(1, n + 1)]
+    got = _bfs(spark, chain, [1])
+    assert max(got.values()) == graph.BFS_MAX_DEPTH
+    assert n + 1 not in got
+
+
+def test_bfs_unreached_absent(spark):
+    got = _bfs(spark, [(1, 2), (7, 8)], [1])
+    assert got == {1: 0, 2: 1}
