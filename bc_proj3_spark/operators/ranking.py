@@ -426,3 +426,84 @@ def t14_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tf", "tfidf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# t16 — bigram LM mean log-probability (fluency signal)
+# ---------------------------------------------------------------------------
+
+_T16_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {T.sql_tokenize('text')} AS toks FROM documents
+),
+idx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM base
+),
+big AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM idx
+),
+bigv AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+univ AS (SELECT w1, SUM(c2) AS c1 FROM bigv GROUP BY w1),
+terms AS (
+  SELECT big.doc_id,
+         ROUND(LN(CAST(bigv.c2 AS DOUBLE) / univ.c1), {TERM_SCALE}) AS lp
+  FROM big JOIN bigv USING (w1, w2) JOIN univ USING (w1)
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*),
+             {SCORE_SCALE}) AS mean_logprob
+FROM terms
+GROUP BY doc_id
+"""
+
+
+@register("t16_bigram_logprob", _T16_ORACLE)
+def t16_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram log-probability per document under the corpus's own
+    bigram MLE LM, P(w2|w1) = c(w1,w2)/c(w1·) — t10's unigram signal
+    with one token of context, the cheapest fluency score that still
+    catches shuffled/templated text a unigram model scores as fluent.
+    No smoothing needed: the corpus is scored on itself, so every
+    scored bigram has count >= 1. Docs with < 2 tokens are absent.
+
+    Bigram construction is pure codegen — transform over the token
+    array with the element index (the SQL twin indexes the same way),
+    so pair building costs zero shuffles and inherits the scan
+    partitioning. The bigram and left-context vocabularies are
+    vocabulary-bounded aggregates (c1 derives from c2 — one corpus
+    pass builds both) that broadcast back into the scoring join;
+    the corpus itself shuffles once, for the per-doc mean. Log terms
+    round at scale {TERM_SCALE} before the exact-decimal sum (the
+    module-wide ln-ulp discipline)."""
+    docs = fanout(table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", T.tokenize(F.col("text")).alias("toks"))
+    big = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (x, i) -> struct(x AS w1, element_at(toks, i + 2) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bigv = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    univ = bigv.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    terms = (
+        big.join(F.broadcast(bigv), ["w1", "w2"])
+        .join(F.broadcast(univ), "w1")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("c2").cast("double") / F.col("c1")), TERM_SCALE
+            ).alias("lp"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("lp").cast(DECIMAL_T)).cast("double")
+            / F.count(F.lit(1)),
+            SCORE_SCALE,
+        ).alias("mean_logprob"),
+    )

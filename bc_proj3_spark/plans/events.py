@@ -958,3 +958,91 @@ def ts2_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "user_id", "day", "day_value", F.round(num / den, 6).alias("ewma")
     )
+
+
+# ---------------------------------------------------------------------------
+# e13 — time-constrained funnel: click within 24h, purchase within 72h
+# ---------------------------------------------------------------------------
+
+#: stage deadlines sized to the synthetic event density (~1 event per
+#: user-day): 24h to click, 72h to purchase keeps a meaningful
+#: converting population at every SF while still EXPIRING most slow
+#: paths (sf0.01: 150 viewers -> 60 clickers -> 45 purchasers).
+_E13_CLICK_US = 24 * 3_600_000_000
+_E13_PURCHASE_US = 72 * 3_600_000_000
+
+_E13_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND epoch_us(e.ts) > v.t AND epoch_us(e.ts) <= v.t + {_E13_CLICK_US}
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) > c.t AND epoch_us(e.ts) <= c.t + {_E13_PURCHASE_US}
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       (c.t - v.t) // 1000000 AS sec_view_to_click,
+       (p.t - c.t) // 1000000 AS sec_click_to_purchase
+FROM v JOIN c USING (user_id) JOIN p USING (user_id)
+"""
+
+
+@register("e13_constrained_funnel", _E13_ORACLE)
+def e13_constrained_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel with per-stage TIMEOUTS: first view, first
+    click within 24 HOURS of it, first purchase within 72 HOURS of the
+    click — e7's ordered funnel plus the deadline semantics real
+    attribution uses (a purchase a week after the click doesn't convert
+    the campaign). Emits per-converting-user stage latencies, the input
+    to e10-style percentile reporting. Latencies are FLOOR-divided to
+    whole seconds on both sides (a bare double->bigint cast ROUNDS in
+    DuckDB but TRUNCATES in Spark — the dq3 lesson, again).
+
+    Same scale shape as e7 — each stage is a groupBy-min plus one
+    equi-join back on user_id, N stages = N shuffles on one key, never
+    a window over the full stream. All time math runs on integer
+    microseconds (both engines), so the stage deadline is a pure long
+    comparison; integer seconds out via floor division."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+
+    def stage(prev: DataFrame, etype: str, deadline_us: int) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev.withColumnRenamed("t", "_prev_t"), "user_id")
+            .filter((us > F.col("_prev_t")) & (us <= F.col("_prev_t") + deadline_us))
+            .groupBy("user_id")
+            .agg(F.min(us).alias("t"))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t"))
+    )
+    c = stage(v, "click", _E13_CLICK_US)
+    p = stage(c, "purchase", _E13_PURCHASE_US)
+    return (
+        v.withColumnRenamed("t", "tv")
+        .join(c.withColumnRenamed("t", "tc"), "user_id")
+        .join(p.withColumnRenamed("t", "tp"), "user_id")
+        .select(
+            "user_id",
+            F.floor((F.col("tc") - F.col("tv")) / 1_000_000)
+            .cast("bigint")
+            .alias("sec_view_to_click"),
+            F.floor((F.col("tp") - F.col("tc")) / 1_000_000)
+            .cast("bigint")
+            .alias("sec_click_to_purchase"),
+        )
+    )

@@ -35,7 +35,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from bc_proj3_spark.plans.tables import _normalize_event_ts
+from bc_proj3_spark.plans.tables import _normalize_event_ts, table
 from bc_proj3_spark.registry import register
 
 #: Shuffle width for the registered streaming demos' STATE stores.
@@ -631,3 +631,117 @@ def st7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# st8 — streaming change-feed apply via foreachBatch + merge_upsert
+# ---------------------------------------------------------------------------
+
+def _st8_oracle() -> str:
+    from bc_proj3_spark.operators.cdc import _CDC3_ORACLE
+
+    return _CDC3_ORACLE
+
+
+@register("st8_stream_apply_changes", _st8_oracle())
+def st8_stream_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cdc3's change-feed replay run as a STREAMING ingest: the feed
+    (upserts carrying v2 values + delete markers) lands as four files,
+    a file-stream source reads them one per micro-batch
+    (maxFilesPerTrigger=1), and ``foreachBatch`` applies each batch
+    through the REAL :func:`merge_upsert` path followed by the
+    delete anti-join — the continuous-MERGE pattern a production CDC
+    sink runs (Delta's streaming MERGE INTO; the reference's batch
+    merge, silver_arxiv.py:130-152, promoted to a stream). After the
+    drain, the maintained table must equal the v2 snapshot EXACTLY —
+    the same oracle as cdc3, now earned through streaming machinery.
+
+    The feed is hash-partitioned on the merge key, so each key appears
+    in exactly one micro-batch and batch ORDER cannot matter — the
+    idempotent-partition property that lets a real deployment run
+    parallel apply workers. The maintained state is localCheckpoint-ed
+    after each merge (the iterative-lineage defense, same as graph.py)
+    and the per-batch cost is merge's two key joins + one anti join on
+    BATCH-sized inputs, never a full-table rewrite.
+
+    100 TB: swap the memory-held current table for a catalog table
+    (Catalog.merge is partition-scoped) and the temp dir for the real
+    feed topic; checkpointed source offsets make redelivery exactly-once."""
+    import shutil
+
+    from bc_proj3_spark.operators.cdc import _VALUE_COLS, _snapshots
+    from bc_proj3_spark.operators.incremental import merge_upsert
+
+    v1, v2 = _snapshots(table(spark, sf_dir, "orders"))
+
+    # change feed: inserts/updates carry v2 values, deletes key only
+    ups = (
+        v2.alias("b")
+        .join(v1.alias("a"), "o_orderkey", "left")
+        .filter(
+            F.col(f"a.{_VALUE_COLS[0]}").isNull()
+            | ~_st8_same_cols()
+        )
+        .select("o_orderkey", *[f"b.{c}" for c in _VALUE_COLS])
+        .withColumn("change_type", F.lit("upsert"))
+    )
+    dels = (
+        v1.join(v2, "o_orderkey", "left_anti")
+        .select("o_orderkey")
+        .withColumn("change_type", F.lit("delete"))
+    )
+    for c in _VALUE_COLS:
+        dels = dels.withColumn(c, F.lit(None).cast(dict(v1.dtypes)[c]))
+    feed = ups.select("o_orderkey", "change_type", *_VALUE_COLS).unionByName(
+        dels.select("o_orderkey", "change_type", *_VALUE_COLS)
+    )
+
+    feed_dir = tempfile.mkdtemp(prefix="st8-feed-")
+    ckpt = tempfile.mkdtemp(prefix="st8-ckpt-")
+    state = {"cur": v1.localCheckpoint(eager=True)}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.localCheckpoint(eager=True)
+        b_ups = b.filter(F.col("change_type") == "upsert").select(
+            "o_orderkey", *_VALUE_COLS
+        )
+        b_del = b.filter(F.col("change_type") == "delete").select("o_orderkey")
+        changed = F.lit(False)
+        for c in _VALUE_COLS:
+            changed = changed | ~F.col(f"tgt.{c}").eqNullSafe(F.col(f"src.{c}"))
+        res = merge_upsert(state["cur"], b_ups, key="o_orderkey", update_when=changed)
+        cur = res.df.join(b_del, "o_orderkey", "left_anti").localCheckpoint(
+            eager=True
+        )
+        res.cleanup()
+        state["cur"] = cur
+
+    try:
+        # one file per hash partition of the key -> one micro-batch each
+        feed.repartition(4, "o_orderkey").write.mode("overwrite").parquet(feed_dir)
+        src = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed_dir)
+        )
+        with _stream_shuffle(spark):
+            q = (
+                src.writeStream.foreachBatch(_apply)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return state["cur"].select("o_orderkey", *_VALUE_COLS)
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _st8_same_cols():
+    from bc_proj3_spark.operators.cdc import _VALUE_COLS
+
+    same = F.lit(True)
+    for c in _VALUE_COLS:
+        same = same & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+    return same
