@@ -1,0 +1,104 @@
+"""Table profiling: the ANALYZE/statistics-collection operator.
+
+Every warehouse engine ships a stats collector (ANALYZE TABLE ...
+COMPUTE STATISTICS; the reference gets per-write operation metrics from
+Delta's DESCRIBE HISTORY, silver_arxiv.py:175-184, but has no column
+profiler). Column-level NDV/null/min-max stats are what a cost-based
+optimizer joins-orders with and what data-quality monitoring trends
+over time — a first-class engine surface, so it is a registered,
+oracle-checked query here, not a notebook helper.
+
+Determinism notes: NDV is EXACT count distinct (the approximate path is
+sk3/sk4's deterministic HLL — engine-native approx_count_distinct is
+seed-dependent and can't face a value-hash oracle). Min/max are emitted
+as DOUBLES with dates mapped to epoch days — cross-engine double→string
+formatting is not canonical, numeric casting is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.registry import register
+
+#: (column, kind) over orders; kind picks the min/max mapping.
+#: Strings profile null-count + NDV only (no canonical numeric order).
+PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "date"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+)
+
+_EPOCH = "1970-01-01"
+
+
+def _prof1_oracle() -> str:
+    parts = []
+    for col, kind in PROFILE_COLS:
+        if kind == "num":
+            mn = f"CAST(MIN({col}) AS DOUBLE)"
+            mx = f"CAST(MAX({col}) AS DOUBLE)"
+        elif kind == "date":
+            mn = f"CAST(date_diff('day', DATE '{_EPOCH}', CAST(MIN({col}) AS DATE)) AS DOUBLE)"
+            mx = f"CAST(date_diff('day', DATE '{_EPOCH}', CAST(MAX({col}) AS DATE)) AS DOUBLE)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{col}' AS column_name, COUNT(*) AS n_rows, "
+            f"COUNT(*) - COUNT({col}) AS n_nulls, "
+            f"COUNT(DISTINCT {col}) AS n_distinct, "
+            f"{mn} AS min_v, {mx} AS max_v FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("prof1_table_stats", _prof1_oracle())
+def prof1_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of ``orders``: rows, nulls, exact NDV, numeric
+    min/max (dates as epoch days) — one output row per column.
+
+    Plan: ONE aggregate computes every per-column statistic together —
+    Spark rewrites multi-column COUNT(DISTINCT) into a single Expand +
+    two-phase aggregate (one shuffle total), where the oracle's
+    readable per-column UNION would rescan the table |columns| times.
+    The 1-row wide aggregate then unpivots map-side (stack) into the
+    per-column shape. At 100 TB: NDV via Expand multiplies the shuffle
+    by the distinct-column count; when that bites, swap exact NDV for
+    the mergeable HLL registers of sk3 per column — same output shape,
+    sketch-width shuffle."""
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, kind in PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"))
+        aggs.append(F.count_distinct(F.col(col)).alias(f"{col}__ndv"))
+        if kind == "num":
+            aggs.append(F.min(col).cast("double").alias(f"{col}__min"))
+            aggs.append(F.max(col).cast("double").alias(f"{col}__max"))
+        elif kind == "date":
+            aggs.append(
+                F.datediff(F.min(col).cast("date"), F.lit(_EPOCH))
+                .cast("double")
+                .alias(f"{col}__min")
+            )
+            aggs.append(
+                F.datediff(F.max(col).cast("date"), F.lit(_EPOCH))
+                .cast("double")
+                .alias(f"{col}__max")
+            )
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{col}__min"))
+            aggs.append(F.lit(None).cast("double").alias(f"{col}__max"))
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max" for c, _ in PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack})"
+        " AS (column_name, n_nulls, n_distinct, min_v, max_v)",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v")

@@ -453,3 +453,73 @@ def a5_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("event_type", "^n_", "").alias("event_type"),
         "n",
     )
+
+
+# ---------------------------------------------------------------------------
+# stat1 — chi-square independence: event_type × day-of-week
+# ---------------------------------------------------------------------------
+
+#: day-of-week as (epoch_days % 7) — identical integer arithmetic in
+#: both engines (Spark dayofweek() is 1=Sun..7, DuckDB dayofweek() is
+#: 0=Sun..6: a dialect seam avoided entirely). 0 = Thursday (1970-01-01).
+_STAT1_DOW_SPARK = "pmod(datediff(to_date(ts), DATE '1970-01-01'), 7)"
+_STAT1_DOW_SQL = "((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7) + 7) % 7"
+
+_STAT1_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type, {_STAT1_DOW_SQL} AS dow7, COUNT(*) AS n
+  FROM events GROUP BY event_type, {_STAT1_DOW_SQL}
+),
+rows_ AS (SELECT event_type, SUM(n) AS rn FROM cells GROUP BY event_type),
+cols_ AS (SELECT dow7, SUM(n) AS cn FROM cells GROUP BY dow7),
+tot AS (SELECT SUM(n) AS t FROM cells)
+SELECT c.event_type, c.dow7, c.n,
+       ROUND(CAST(r.rn AS DOUBLE) * cn / (SELECT t FROM tot), 6) AS expected,
+       ROUND(
+         (c.n - CAST(r.rn AS DOUBLE) * cn / (SELECT t FROM tot))
+         * (c.n - CAST(r.rn AS DOUBLE) * cn / (SELECT t FROM tot))
+         / (CAST(r.rn AS DOUBLE) * cn / (SELECT t FROM tot)), 9) AS contrib
+FROM cells c
+JOIN rows_ r USING (event_type)
+JOIN cols_ USING (dow7)
+"""
+
+
+@register("stat1_chi2_cells", _STAT1_ORACLE)
+def stat1_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen for event_type × day-of-week:
+    observed cell counts, expected counts under independence
+    (row·col/N), and each cell's (O−E)²/E contribution — the
+    contingency diagnostic behind "does behavior differ by weekday"
+    (sum the contribs, compare to χ² at (R−1)(C−1) df; the per-cell
+    rows localize WHICH cell drives the signal, which is what an
+    analyst actually reads).
+
+    One scan builds the cells; row/column margins are reductions OF the
+    cell table (never a second scan) that broadcast back; the grand
+    total rides a broadcast 1-row frame. Expected/contrib arithmetic is
+    written with identical association in both engines, on exact
+    integer margins cast once to double — only the division and
+    multiply round, identically; outputs round at 6/9.
+
+    Day-of-week is (epoch_days mod 7), sidestepping the engines'
+    incompatible dayofweek() origins."""
+    ev = table(spark, sf_dir, "events")
+    dow = F.expr(_STAT1_DOW_SPARK).alias("dow7")
+    cells = ev.groupBy("event_type", dow).agg(F.count(F.lit(1)).alias("n"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("n").alias("rn"))
+    cols_ = cells.groupBy("dow7").agg(F.sum("n").alias("cn"))
+    tot = cells.agg(F.sum("n").alias("t"))
+    e = F.col("rn").cast("double") * F.col("cn") / F.col("t")
+    return (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "dow7")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow7",
+            "n",
+            F.round(e, 6).alias("expected"),
+            F.round((F.col("n") - e) * (F.col("n") - e) / e, 9).alias("contrib"),
+        )
+    )

@@ -71,6 +71,7 @@ _REGISTERING_MODULES = (
     "bc_proj3_spark.operators.skew",
     "bc_proj3_spark.operators.linalg",
     "bc_proj3_spark.operators.quality",
+    "bc_proj3_spark.operators.profile",
     "bc_proj3_spark.operators.multimodal",
     "bc_proj3_spark.streaming.incremental",
 )
