@@ -1046,3 +1046,46 @@ def e13_constrained_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sec_click_to_purchase"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e14 — VariantType semi-structured path (schema-on-read without schema)
+# ---------------------------------------------------------------------------
+
+_E14_ORACLE = """
+WITH k AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+)
+SELECT kv % 10 AS k_digit,
+       COUNT(*) AS n,
+       CAST(SUM(kv) AS BIGINT) AS sum_k
+FROM k GROUP BY kv % 10
+"""
+
+
+@register("e14_variant_props", _E14_ORACLE)
+def e14_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT path for semi-structured data: parse the
+    JSON ``props`` string ONCE into an open VariantType value
+    (``parse_json`` — binary-encoded, no declared schema, unlike e6's
+    from_json struct) and extract typed fields by path at use sites
+    (``variant_get('$.k', 'bigint')``). This is the schema-flexible
+    ingest posture for event streams whose property bags drift: new
+    keys need no schema migration, and the binary variant encoding
+    reads fields without re-parsing text per access — the open-format
+    answer to JSON columns at 100 TB (shredding into parquet subcolumns
+    is the follow-on optimization). Aggregates the extracted ints into
+    a last-digit histogram; all arithmetic integer-exact."""
+    ev = table(spark, sf_dir, "events")
+    kv = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select(kv.alias("kv"))
+        .filter(F.col("kv").isNotNull())
+        .groupBy((F.col("kv") % 10).alias("k_digit"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("kv").cast("bigint").alias("sum_k"),
+        )
+    )

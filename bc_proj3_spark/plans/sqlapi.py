@@ -120,3 +120,44 @@ def sql3_exists_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     return spark.sql(_SQL3.format(customer="customer_v", orders="orders_v"))
+
+
+# ---------------------------------------------------------------------------
+# sql4 — LATERAL correlated subquery with LIMIT (top-k per row)
+# ---------------------------------------------------------------------------
+
+#: Identical statement text for both engines modulo catalog names —
+#: ANSI LATERAL is the one syntax for "top-k related rows per outer
+#: row" that needs no window-function rewrite from the user.
+_SQL4 = """
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+FROM {customer} c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM {orders} o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+"""
+
+
+@register(
+    "sql4_lateral_topk",
+    _SQL4.format(customer="customer", orders="orders"),
+)
+def sql4_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: each
+    customer's two largest orders, written the way a SQL user writes it
+    (a dependent subquery per outer row). The naive reading is an
+    O(customers × orders) nested loop; Catalyst DECORRELATES it into a
+    ranked group-limit — the physical plan is one equi-join feeding
+    ``WindowGroupLimit`` (partial before the shuffle, final after), so
+    per-group top-k costs one key exchange with map-side pruning and no
+    per-row re-scan. The unique-key tiebreak makes the selected rows
+    deterministic for the value hash. DuckDB runs the IDENTICAL
+    statement text over its own views — one source of truth, two
+    catalogs, two optimizers, same rows."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v4")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v4")
+    return spark.sql(_SQL4.format(customer="customer_v4", orders="orders_v4"))

@@ -189,3 +189,13 @@ def test_sql3_exists_decorrelates_to_semi_anti(spark):
     plan = _physical(spark, "sql3_exists_decorrelation")
     assert "LeftSemi" in plan, plan[:1500]
     assert "LeftAnti" in plan, plan[:1500]
+
+
+def test_sql4_lateral_decorrelates_to_group_limit(spark):
+    """The LATERAL ... ORDER BY ... LIMIT 2 subquery must decorrelate
+    to a rank-based group limit over ONE equi-join (WindowGroupLimit,
+    with a partial pass before the shuffle) — never a per-customer
+    re-scan or a nested-loop join."""
+    plan = _physical(spark, "sql4_lateral_topk")
+    assert "WindowGroupLimit" in plan, plan[:1500]
+    assert "BroadcastNestedLoop" not in plan, plan[:1500]
