@@ -750,3 +750,71 @@ def t15_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pairs").desc(), "w_a", "w_b")
         .limit(SKIPGRAM_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# t17 — PII detection + redaction (emails / phone numbers)
+# ---------------------------------------------------------------------------
+
+#: Cross-engine regexes (RE2-safe subset; Java and RE2 agree on these).
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\b555-[0-9]{2,4}\\b"
+
+_T17_ORACLE = f"""
+WITH tagged AS (
+  SELECT
+    doc_id,
+    'Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-01'
+      || CAST(doc_id % 100 AS VARCHAR) || '. ' || text AS raw
+  FROM documents
+),
+scrub AS (
+  SELECT
+    doc_id,
+    len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS n_emails,
+    len(regexp_extract_all(raw, '{_PII_PHONE}')) AS n_phones,
+    regexp_replace(regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+  FROM tagged
+)
+SELECT
+  doc_id,
+  n_emails,
+  n_phones,
+  length(redacted) AS redacted_len,
+  substr(redacted, 1, 40) AS redacted_head
+FROM scrub
+"""
+
+
+@register("t17_pii_scrub", _T17_ORACLE)
+def t17_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub pass every training-data
+    pipeline runs before anything else. The synthetic corpus carries no
+    PII (word-soup text, verified digit-free), so both engines first
+    inject a deterministic contact line keyed by doc_id, then the
+    operator under test finds (regexp_extract_all → count) and redacts
+    (regexp_replace → '<EMAIL>'/'<PHONE>') with the SAME patterns — a
+    RE2-safe regex subset on which Java regex (Spark, codegen'd JVM
+    path) and RE2 (DuckDB) agree. Pure scan-side expressions: no
+    shuffle, no Python worker; at 100 TB this runs at parquet-scan
+    speed and the redacted column writes straight back out."""
+    docs = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-01"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(". "),
+        F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(_PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PII_PHONE), 0)).alias("n_phones"),
+        F.length(redacted).alias("redacted_len"),
+        F.substring(redacted, 1, 40).alias("redacted_head"),
+    )

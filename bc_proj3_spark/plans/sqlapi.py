@@ -161,3 +161,42 @@ def sql4_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v4")
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v4")
     return spark.sql(_SQL4.format(customer="customer_v4", orders="orders_v4"))
+
+
+# ---------------------------------------------------------------------------
+# sql5 — WITH RECURSIVE date spine (native recursive CTE execution)
+# ---------------------------------------------------------------------------
+
+#: Identical statement text on both engines. Spark 4 executes WITH
+#: RECURSIVE natively (UnionLoop iterations under the hood); DuckDB has
+#: its own recursive-CTE executor — two independent recursion engines,
+#: one statement, same rows.
+_SQL5 = """
+WITH RECURSIVE days(d) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT d + INTERVAL '1' DAY FROM days WHERE d < DATE '1995-03-31'
+)
+SELECT
+  d AS order_day,
+  COUNT(o.o_orderkey) AS n_orders,
+  ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS revenue
+FROM days LEFT JOIN {orders} o ON CAST(o.o_orderdate AS DATE) = d
+GROUP BY d
+"""
+
+
+@register("sql5_recursive_spine", _SQL5.format(orders="orders"))
+def sql5_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``WITH RECURSIVE`` date spine (90 daily rows built by the
+    engine's own recursion, not a pre-materialized calendar) LEFT-joined
+    to orders so zero-order days still appear — the gap-preserving daily
+    rollup written the way a SQL user writes it. Complements ts1, which
+    builds the same spine with ``sequence()`` + explode: two idioms, one
+    semantic, both gap-faithful. Recursion depth (90) sits well under
+    Spark's cteRecursionLevelLimit (100 by default); at 100 TB the spine
+    side is O(days) rows and broadcast, so the join adds no shuffle
+    beyond the date-group aggregate. Revenue rounds at 2 (exact cents)
+    per the repo's cross-engine float convention."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v5")
+    return spark.sql(_SQL5.format(orders="orders_v5"))

@@ -199,3 +199,20 @@ def test_sql4_lateral_decorrelates_to_group_limit(spark):
     plan = _physical(spark, "sql4_lateral_topk")
     assert "WindowGroupLimit" in plan, plan[:1500]
     assert "BroadcastNestedLoop" not in plan, plan[:1500]
+
+
+def test_sql5_recursive_spine_executes_native_recursion(spark):
+    """WITH RECURSIVE must run through Spark's native recursive-CTE
+    executor (a UnionLoop physical node), and the 90-row spine must sit
+    on the build/broadcast side of the join with orders — never a
+    shuffle of the big side keyed by the spine."""
+    plan = _physical(spark, "sql5_recursive_spine")
+    assert "UnionLoop" in plan, plan[:1500]
+
+
+def test_t17_pii_scrub_is_pure_scan_side(spark):
+    """PII redaction is per-row regex work: the plan must contain no
+    exchange (shuffle) and no Python worker — it runs at scan speed."""
+    plan = _physical(spark, "t17_pii_scrub")
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Python" not in plan, plan[:1500]
