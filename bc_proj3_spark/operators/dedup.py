@@ -636,7 +636,9 @@ def d5_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d6 — end-to-end corpus dedup (exact survivors, then LSH near-dup prune)
 # ---------------------------------------------------------------------------
 
-_D6_ORACLE = f"""
+#: Shared CTE prefix for the end-to-end dedup funnel — d6 selects the
+#: surviving doc ids from it, d9 aggregates the funnel counts from it.
+_DEDUP_FUNNEL_CTES = f"""
 WITH fps AS (
   SELECT doc_id, n_chars, {T.sql_fingerprint('text')} AS fp FROM documents
 ),
@@ -678,6 +680,9 @@ dropped AS (
   JOIN sizes zb ON doc_b = zb.doc_id
   WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= {JACCARD_THRESHOLD}
 )
+"""
+
+_D6_ORACLE = f"""{_DEDUP_FUNNEL_CTES}
 SELECT s.doc_id
 FROM surv s
 WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
@@ -940,3 +945,71 @@ def d8_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = pairs.select(F.col("doc_a").alias("doc_id")).distinct()
     batch = table(spark, sf_dir, "documents").filter(is_batch).select("doc_id")
     return batch.join(dropped, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# d9 — corpus dedup report (the funnel, as one auditable row)
+# ---------------------------------------------------------------------------
+
+_D9_ORACLE = f"""{_DEDUP_FUNNEL_CTES}
+SELECT
+  (SELECT COUNT(*) FROM documents) AS n_docs,
+  (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM surv)
+    AS n_exact_dropped,
+  (SELECT COUNT(*) FROM dropped) AS n_near_dropped,
+  (SELECT COUNT(*) FROM surv) - (SELECT COUNT(*) FROM dropped) AS n_final,
+  ROUND(CAST((SELECT COUNT(*) FROM surv) - (SELECT COUNT(*) FROM dropped)
+             AS DOUBLE) / (SELECT COUNT(*) FROM documents), 9) AS keep_rate
+"""
+
+
+@register("d9_dedup_report", _D9_ORACLE)
+def d9_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup data card: how many documents entered, how many each
+    stage removed (exact-fingerprint, then LSH near-dup), how many
+    survived, and the keep rate — the one-row audit artifact a corpus
+    build publishes next to the output (every at-scale dedup run needs
+    this to detect a mis-tuned threshold eating the corpus). Shares the
+    d6 funnel exactly (same fingerprint window, same session-shared
+    capped shingle index, same verified-Jaccard prune), so the numbers
+    reconcile with d6's survivor list by construction. The three stage
+    counts are 1-row aggregates crossJoined into a single row — three
+    scalar broadcasts, no data movement beyond d6's own shuffles."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
+    surv = (
+        fanout(docs)
+        .select("doc_id", "n_chars", "text", T.fingerprint(F.col("text")).alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_surv_rows = surv.count()
+    sh, _sizes = _shingle_pairs(surv, n_docs=n_surv_rows)
+    pairs = _verified_jaccard(_lsh_candidate_pairs(sh), sh)
+    sh.unpersist()
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_surv = surv.agg(F.count(F.lit(1)).alias("n_surv"))
+    n_near = dropped.agg(F.count(F.lit(1)).alias("n_near_dropped"))
+    out = (
+        n_docs.crossJoin(n_surv)
+        .crossJoin(n_near)
+        .select(
+            "n_docs",
+            (F.col("n_docs") - F.col("n_surv")).alias("n_exact_dropped"),
+            F.col("n_near_dropped"),
+            (F.col("n_surv") - F.col("n_near_dropped")).alias("n_final"),
+            F.round(
+                (F.col("n_surv") - F.col("n_near_dropped")).cast("double")
+                / F.col("n_docs"),
+                9,
+            ).alias("keep_rate"),
+        )
+    )
+    return out

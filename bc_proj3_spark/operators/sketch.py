@@ -533,3 +533,83 @@ def bf1_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sk7 — bottom-k hash sample → mergeable quantile estimate
+# ---------------------------------------------------------------------------
+
+BOTTOMK = 64  # sample size per group
+
+_SK7_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY {sql_hash32("CAST(o_orderkey AS VARCHAR)", seed=7)},
+                    o_orderkey
+         ) AS rn
+  FROM orders
+),
+sample AS (SELECT * FROM ranked WHERE rn <= {BOTTOMK}),
+est AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_sample,
+         quantile_cont(o_totalprice, 0.5) AS est_median
+  FROM sample GROUP BY o_orderpriority
+),
+exact AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.5) AS exact_median
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT e.o_orderpriority, n_sample,
+       ROUND(est_median, 6) AS est_median,
+       ROUND(exact_median, 6) AS exact_median,
+       ROUND(ABS(est_median - exact_median), 6) AS abs_err
+FROM est e JOIN exact x USING (o_orderpriority)
+"""
+
+
+@register("sk7_bottomk_quantile", _SK7_ORACLE)
+def sk7_bottomk_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k hash sketch for quantile estimation: per group, keep the
+    K=64 rows with the smallest seeded md5-derived hash of the row key —
+    a deterministic uniform sample WITHOUT randomness (same rows on any
+    engine, any cluster size, any execution order), and a *mergeable*
+    sketch (the bottom-k of a union is the bottom-k of the per-shard
+    bottom-k's — the distributed-quantile property). The median over
+    the sample estimates the group median; the query also carries the
+    exact median so the sketch's error is visible in the result. The
+    rank filter compiles to WindowGroupLimit (partial group-limit
+    before the shuffle — tested in test_plans), so at 100 TB each map
+    task forwards at most K rows per group, never the full column.
+    Exact-median side is the small per-group percentile for comparison
+    only. ``quantile_cont`` / Spark ``percentile`` are both linear
+    interpolation on the sorted set — identical definition."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    hk = hash32(F.col("o_orderkey").cast("string"), seed=7)
+    w = Window.partitionBy("o_orderpriority").orderBy(hk, "o_orderkey")
+    sample = (
+        orders.select("o_orderpriority", "o_totalprice", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BOTTOMK)
+    )
+    est = sample.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.percentile("o_totalprice", 0.5).alias("est_median_raw"),
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("exact_median_raw")
+    )
+    return est.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_sample",
+        F.round("est_median_raw", 6).alias("est_median"),
+        F.round("exact_median_raw", 6).alias("exact_median"),
+        F.round(F.abs(F.col("est_median_raw") - F.col("exact_median_raw")), 6).alias(
+            "abs_err"
+        ),
+    )

@@ -818,3 +818,52 @@ def t17_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(redacted).alias("redacted_len"),
         F.substring(redacted, 1, 40).alias("redacted_head"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t18 — token-distribution entropy (repetitiveness quality signal)
+# ---------------------------------------------------------------------------
+
+_T18_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+),
+cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+agg AS (
+  SELECT doc_id, SUM(c) AS n_tokens, SUM(c * log2(c)) AS s_clog
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id,
+       n_tokens,
+       ROUND(log2(n_tokens) - s_clog / n_tokens, 9) AS token_entropy
+FROM agg
+"""
+
+
+@register("t18_token_entropy", _T18_ORACLE)
+def t18_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    quality signal that separates natural prose (high entropy) from
+    boilerplate/keyword-stuffed/looping text (low entropy); used
+    alongside the Gopher-style repetition fractions (t8) as a corpus
+    filter. Computed as log2(N) - sum(c*log2 c)/N, which needs only two
+    partially-aggregable sums per doc: explode → (doc, token) count →
+    per-doc agg, two key shuffles both combiner-absorbed map-side.
+    Rounded at 9 per the cross-engine float convention."""
+    docs = table(spark, sf_dir, "documents")
+    tok = fanout(docs).select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    cnt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.log2("c")).alias("s_clog"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.log2("n_tokens") - F.col("s_clog") / F.col("n_tokens"), 9
+        ).alias("token_entropy"),
+    )

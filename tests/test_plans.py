@@ -44,6 +44,7 @@ _BNLJ_OK = {
     "tc1_triangle_census",  # 1-row edge/triangle totals crossed together
     "t14_tfidf_topterms",  # 1-row corpus doc count into the idf table
     "dq3_benford_digits",  # 1-row grand total into the 9-digit table
+    "d9_dedup_report",  # three 1-row stage counts crossed into one row
 }
 
 #: streaming queries — their builders execute a full streaming job;
@@ -216,3 +217,20 @@ def test_t17_pii_scrub_is_pure_scan_side(spark):
     plan = _physical(spark, "t17_pii_scrub")
     assert "Exchange" not in plan, plan[:1500]
     assert "Python" not in plan, plan[:1500]
+
+
+def test_sk7_bottomk_prunes_before_shuffle(spark):
+    """The bottom-k rank filter must compile to WindowGroupLimit with a
+    Partial pass before the exchange — each map task forwards at most K
+    rows per group, which is what makes the sketch viable at 100 TB."""
+    plan = _physical(spark, "sk7_bottomk_quantile")
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "Partial" in plan, plan[:2000]
+
+
+def test_t18_entropy_aggregates_are_partial(spark):
+    """Both aggregation levels (doc,token) and (doc) must show partial
+    (map-side combine) aggregation, and nothing Python-side."""
+    plan = _physical(spark, "t18_token_entropy")
+    assert "partial" in plan.lower(), plan[:2000]
+    assert "Python" not in plan, plan[:2000]
