@@ -346,3 +346,54 @@ def o6_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("revenue", 6).alias("revenue"),
         F.round("avg_discount", 6).alias("avg_discount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq4 — ingest freshness: per-type staleness against the newest event
+# ---------------------------------------------------------------------------
+
+STALE_AFTER_S = 6 * 3600  # a type silent for 6h is flagged
+
+_DQ4_ORACLE = f"""
+WITH per_type AS (
+  SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_events
+  FROM events GROUP BY event_type
+),
+g AS (SELECT MAX(ts) AS mx FROM events)
+SELECT
+  event_type,
+  last_ts,
+  n_events,
+  (epoch_us(g.mx) - epoch_us(last_ts)) // 1000000 AS lag_seconds,
+  (epoch_us(g.mx) - epoch_us(last_ts)) // 1000000 > {STALE_AFTER_S}
+    AS is_stale
+FROM per_type, g
+"""
+
+
+@register("dq4_event_freshness", _DQ4_ORACLE)
+def dq4_event_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-freshness monitor: each event type's last-seen timestamp
+    and its lag behind the newest event anywhere in the table, flagged
+    stale past a threshold — the check that catches one silently-dead
+    upstream producer while the table as a whole keeps growing. Two
+    map-side-combinable MAX aggregates (per-type, and a 1-row global)
+    crossed together; lag arithmetic is integer microseconds floored to
+    seconds, identical in both engines. At 100 TB this is the cheapest
+    query in the suite — partial MAX absorbs everything at the scan."""
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    g = ev.agg(F.max("ts").alias("mx"))
+    lag = (F.unix_micros(F.col("mx")) - F.unix_micros(F.col("last_ts"))) / F.lit(
+        1_000_000
+    )
+    lag_s = F.floor(lag).cast("bigint")
+    return per_type.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "last_ts",
+        "n_events",
+        lag_s.alias("lag_seconds"),
+        (lag_s > STALE_AFTER_S).alias("is_stale"),
+    )

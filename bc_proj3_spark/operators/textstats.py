@@ -867,3 +867,69 @@ def t18_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log2("n_tokens") - F.col("s_clog") / F.col("n_tokens"), 9
         ).alias("token_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t19 — vocabulary coverage / OOV rate against the corpus top-V vocab
+# ---------------------------------------------------------------------------
+
+VOCAB_V = 100
+
+_T19_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+),
+cf AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+vocab AS (SELECT t FROM cf ORDER BY c DESC, t LIMIT {VOCAB_V})
+SELECT tok.doc_id,
+       COUNT(*) AS n_tokens,
+       SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 9) AS oov_rate
+FROM tok LEFT JOIN vocab v USING (t)
+GROUP BY tok.doc_id
+"""
+
+
+@register("t19_oov_rate", _T19_ORACLE)
+def t19_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against a frequency-built
+    vocabulary — the tokenizer-prep metric that tells you what a fixed
+    top-V vocab would fail to cover, and the standard screen for docs
+    that are mostly rare junk (high OOV ⇒ drop or route to byte-level
+    fallback). Two phases: (1) corpus term frequencies (one combiner-
+    absorbed shuffle) → top-V via TakeOrdered (V rows to the driver,
+    deterministic count-desc/token-asc tie-break); (2) the V-row vocab
+    broadcast-left-joins the token stream, so the per-doc coverage agg
+    is the only other exchange. At 100 TB the vocab stays K-sized
+    however big the corpus — nothing about phase 2 grows."""
+    docs = table(spark, sf_dir, "documents")
+    tok = fanout(docs).select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "t")
+        .limit(VOCAB_V)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 9
+            ).alias("oov_rate"),
+        )
+    )

@@ -45,6 +45,7 @@ _BNLJ_OK = {
     "t14_tfidf_topterms",  # 1-row corpus doc count into the idf table
     "dq3_benford_digits",  # 1-row grand total into the 9-digit table
     "d9_dedup_report",  # three 1-row stage counts crossed into one row
+    "dq4_event_freshness",  # 1-row global-max timestamp crossed in
 }
 
 #: streaming queries — their builders execute a full streaming job;
