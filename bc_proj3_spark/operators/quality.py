@@ -397,3 +397,37 @@ def dq4_event_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag_s.alias("lag_seconds"),
         (lag_s > STALE_AFTER_S).alias("is_stale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq5 — k-anonymity audit over quasi-identifier combinations
+# ---------------------------------------------------------------------------
+
+K_ANON = 8
+
+_DQ5_ORACLE = f"""
+SELECT c_nationkey, c_mktsegment,
+       COUNT(*) AS n,
+       COUNT(*) >= {K_ANON} AS meets_k
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+@register("dq5_k_anonymity", _DQ5_ORACLE)
+def dq5_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: the size of every quasi-identifier
+    equivalence class (nation × market segment) with a meets-k flag —
+    the data-governance check run before releasing or training on a
+    table containing people (a class smaller than k re-identifies its
+    members by attribute combination alone). Deliberately returns ALL
+    classes, not just violators, so the result is non-degenerate at
+    every scale factor and the auditor sees the margin, not only the
+    failures. One combiner-absorbed groupBy on the quasi-identifier
+    key; output cardinality is the QI-combination count (bounded by the
+    attribute domain product, not the row count) at any data size."""
+    cust = table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) >= K_ANON).alias("meets_k"),
+    )

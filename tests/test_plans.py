@@ -235,3 +235,11 @@ def test_t18_entropy_aggregates_are_partial(spark):
     plan = _physical(spark, "t18_token_entropy")
     assert "partial" in plan.lower(), plan[:2000]
     assert "Python" not in plan, plan[:2000]
+
+
+def test_ts3_ohlc_is_single_exchange(spark):
+    """Window (open/close) and the bar aggregate share the bucket hash
+    partitioning — the whole OHLC reduction must pay exactly one
+    shuffle of the raw stream."""
+    plan = _physical(spark, "ts3_ohlc_bars")
+    assert plan.count("Exchange") == 1, plan[:2000]
