@@ -327,3 +327,99 @@ def cdc4_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc5 — point-in-time (temporal) join against the SCD2 history
+# ---------------------------------------------------------------------------
+
+_CDC5_ORACLE = """
+WITH daily AS (
+  SELECT l_orderkey, l_shipdate, max(l_returnflag) AS attr
+  FROM lineitem GROUP BY l_orderkey, l_shipdate
+),
+seq AS (
+  SELECT l_orderkey, l_shipdate, attr,
+         lag(attr) OVER (
+           PARTITION BY l_orderkey ORDER BY l_shipdate
+         ) AS prev_attr
+  FROM daily
+),
+chg AS (
+  SELECT l_orderkey, attr, l_shipdate
+  FROM seq WHERE prev_attr IS NULL OR prev_attr <> attr
+),
+hist AS (
+  SELECT l_orderkey,
+         row_number() OVER w AS version_no,
+         attr AS return_flag,
+         l_shipdate AS valid_from,
+         lead(l_shipdate) OVER w AS valid_to
+  FROM chg
+  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_shipdate)
+),
+probe AS (
+  SELECT l_orderkey, l_linenumber, l_shipdate AS probe_date
+  FROM lineitem
+)
+SELECT p.l_orderkey, p.l_linenumber, p.probe_date,
+       h.version_no, h.return_flag
+FROM probe p JOIN hist h
+  ON p.l_orderkey = h.l_orderkey
+ AND p.probe_date >= h.valid_from
+ AND (h.valid_to IS NULL OR p.probe_date < h.valid_to)
+"""
+
+
+@register("cdc5_pointintime_join", _CDC5_ORACLE)
+def cdc5_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each probe row picks the ONE
+    dimension version whose [valid_from, valid_to) interval contains
+    its event time — how facts are enriched against an SCD2 dimension
+    without leaking future attribute values (the training-data analogue
+    is feature-store time travel: never join tomorrow's feature onto
+    today's example). Reuses cdc2's history build verbatim, then probes
+    each lineitem row at its own ship date (this synthetic lineitem has
+    no second date column), so every probe lands in exactly one
+    version. The join is an EQUI-join on
+    the entity key with the interval predicate as a residual filter —
+    the scalable PIT shape: versions-per-key is small, so the range
+    check runs on key-matched rows only, never as a range cross
+    product. One key shuffle each side; history and probe co-partition
+    on l_orderkey."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy("l_orderkey", "l_shipdate").agg(
+        F.max("l_returnflag").alias("attr")
+    )
+    seq = daily.withColumn(
+        "prev_attr",
+        F.lag("attr").over(
+            Window.partitionBy("l_orderkey").orderBy("l_shipdate")
+        ),
+    )
+    chg = seq.filter(
+        F.col("prev_attr").isNull() | (F.col("prev_attr") != F.col("attr"))
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate")
+    hist = chg.select(
+        "l_orderkey",
+        F.row_number().over(w).alias("version_no"),
+        F.col("attr").alias("return_flag"),
+        F.col("l_shipdate").alias("valid_from"),
+        F.lead("l_shipdate").over(w).alias("valid_to"),
+    )
+    probe = li.select(
+        "l_orderkey", "l_linenumber", F.col("l_shipdate").alias("probe_date")
+    )
+    return probe.join(hist, "l_orderkey").where(
+        (F.col("probe_date") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("probe_date") < F.col("valid_to")))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "probe_date",
+        "version_no",
+        "return_flag",
+    )

@@ -523,3 +523,44 @@ def stat1_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n") - e) * (F.col("n") - e) / e, 9).alias("contrib"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a9 — higher-order array functions over the embedding vectors
+# ---------------------------------------------------------------------------
+
+_A9_ORACLE = """
+SELECT
+  vec_id,
+  len(embedding) AS dim,
+  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+  ROUND(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6)
+    AS l1_norm,
+  ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_dim
+FROM embeddings
+"""
+
+
+@register("a9_vector_hof", _A9_ORACLE)
+def a9_vector_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions over array columns — the lambda surface
+    (transform / filter / aggregate) that lets vector math stay inside
+    whole-stage codegen instead of falling out to a Python UDF: per
+    embedding, dimensionality, positive-dimension count, L1 norm (a
+    left-fold — both engines reduce the list left-to-right, so the
+    float sum associates identically), and max component. Everything is
+    scan-side expression work: zero exchanges, zero Python workers, and
+    the same lambdas DuckDB runs as list_transform/list_filter/
+    list_sum. Elements are cast float→double BEFORE the fold in both
+    engines so the accumulations happen in the same precision."""
+    emb = table(spark, sf_dir, "embeddings")
+    as_dbl = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(as_dbl, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("l1_norm"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_dim"),
+    )
