@@ -1,0 +1,86 @@
+"""The end-to-end corpus build: filter → dedup → split, as ONE operator.
+
+Every stage exists as its own registered, oracle-checked query (f1
+quality filter, d6 dedup funnel, sp1 split assignment); this module
+composes them into the artifact a pre-training data pipeline actually
+ships — the document manifest: which docs made the corpus and which
+split each landed in. Composition is by reusing the SAME builders and
+the SAME oracle CTE text (imported, not re-derived), so the flagship
+cannot drift from its stages.
+
+Reference scope: the reference pipeline's bronze→silver→gold document
+flow (notebooks/gold_*.py) ends at scored terms; an LLM-corpus build is
+the engine's extension of that flow to training-data production.
+
+Scale shape: f1 is scan-side + two combiner-absorbed agg passes; d6 is
+the capped-LSH funnel (bucket-local candidates only); the final join
+chain is doc-id-keyed shuffles; sp1's split is a map-side hash — no new
+scale risk is introduced by composing them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bc_proj3_spark.functions.hashing import hash60, sql_hash60
+from bc_proj3_spark.operators.dedup import _DEDUP_FUNNEL_CTES, d6_dedup_corpus
+from bc_proj3_spark.operators.ranking import _F1_ORACLE, f1_quality_filter
+from bc_proj3_spark.operators.sampling import (
+    TRAIN_PCT,
+    VAL_PCT,
+    _seeded,
+    _sql_seeded,
+)
+from bc_proj3_spark.registry import register
+
+# f1's oracle is a full statement; as a composition block we need its
+# CTEs only (strip the leading WITH, keep everything up to the final
+# SELECT, then re-expose its decision as one more CTE).
+_F1_CTES, _F1_SELECT = _F1_ORACLE.split("SELECT d.doc_id", 1)
+_F1_AS_CTE = (
+    _F1_CTES.replace("WITH tok AS", "tok AS", 1).rstrip().rstrip(",")
+    + ",\nf1_pass AS (\nSELECT d.doc_id"
+    + _F1_SELECT
+    + ")"
+)
+
+_PIPE1_ORACLE = f"""{_DEDUP_FUNNEL_CTES.rstrip()},
+{_F1_AS_CTE}
+SELECT s.doc_id,
+       {sql_hash60(_sql_seeded('split', 'CAST(s.doc_id AS VARCHAR)'))} % 100
+         AS bucket,
+       CASE WHEN {sql_hash60(_sql_seeded('split', 'CAST(s.doc_id AS VARCHAR)'))} % 100 < {TRAIN_PCT} THEN 'train'
+            WHEN {sql_hash60(_sql_seeded('split', 'CAST(s.doc_id AS VARCHAR)'))} % 100 < {VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM surv s
+JOIN f1_pass f ON f.doc_id = s.doc_id
+WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+@register("pipe1_corpus_build", _PIPE1_ORACLE)
+def pipe1_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus manifest: documents that pass the quality filter (f1)
+    AND survive the dedup funnel (d6), stamped with their deterministic
+    train/val/test split (sp1's content-addressed hash). This is the
+    pipeline's end product — the table a trainer reads. Built by
+    composing the registered stage operators themselves (f1 and d6 are
+    called, not re-implemented), joined on doc_id, so this flagship is
+    exactly as correct as its independently-oracled stages; its own
+    oracle splices the same CTE text the stage oracles use."""
+    kept = d6_dedup_corpus(spark, sf_dir).select("doc_id")
+    passed = f1_quality_filter(spark, sf_dir).select("doc_id")
+    bucket = hash60(_seeded("split", F.col("doc_id").cast("string"))) % 100
+    return (
+        kept.join(passed, "doc_id")
+        .select("doc_id", bucket.alias("bucket"))
+        .select(
+            "doc_id",
+            "bucket",
+            F.when(F.col("bucket") < TRAIN_PCT, "train")
+            .when(F.col("bucket") < VAL_PCT, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

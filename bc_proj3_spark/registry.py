@@ -67,6 +67,7 @@ _REGISTERING_MODULES = (
     "bc_proj3_spark.operators.chunking",
     "bc_proj3_spark.operators.graph",
     "bc_proj3_spark.operators.cdc",
+    "bc_proj3_spark.operators.corpus",
     "bc_proj3_spark.operators.similarity",
     "bc_proj3_spark.operators.skew",
     "bc_proj3_spark.operators.linalg",
