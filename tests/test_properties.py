@@ -83,3 +83,77 @@ def test_weights_are_unit_signs(t, b):
     assert set(w) <= {1.0, -1.0}
     # deterministic: same (t, b) → same vector
     assert w == _weights(t, b)
+
+
+# ---------------------------------------------------------------------------
+# t17 PII regexes: pure-Python invariants of the shared patterns
+# ---------------------------------------------------------------------------
+
+import re
+
+from bc_proj3_spark.operators.textstats import _PII_EMAIL, _PII_PHONE
+
+_WORDS = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz ", min_size=0, max_size=60
+)
+
+
+@given(_WORDS, st.integers(min_value=0, max_value=10**9))
+def test_pii_scrub_is_idempotent(text, n):
+    """Redacting already-redacted text must change nothing — the
+    invariant that lets the scrub re-run safely over partial outputs."""
+    raw = f"Contact user{n}@example.com or call 555-01{n % 100}. {text}"
+    scrub = lambda s: re.sub(
+        _PII_PHONE, "<PHONE>", re.sub(_PII_EMAIL, "<EMAIL>", s)
+    )
+    once = scrub(raw)
+    assert scrub(once) == once
+    assert "@example.com" not in once
+    assert re.search(_PII_PHONE, once) is None
+
+
+@given(_WORDS, st.integers(min_value=0, max_value=10**9))
+def test_pii_patterns_find_injected_contacts(text, n):
+    raw = f"Contact user{n}@example.com or call 555-01{n % 100}. {text}"
+    assert len(re.findall(_PII_EMAIL, raw)) >= 1
+    assert len(re.findall(_PII_PHONE, raw)) >= 1
+
+
+# ---------------------------------------------------------------------------
+# t18 entropy: bounds replayed on the exact formula both engines use
+# ---------------------------------------------------------------------------
+
+import math
+
+
+@given(st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=30))
+def test_token_entropy_formula_bounds(counts):
+    """H = log2(N) - sum(c log2 c)/N must sit in [0, log2(#distinct)]
+    for any count multiset — uniform maximizes, single-token zeroes."""
+    n = sum(counts)
+    h = math.log2(n) - sum(c * math.log2(c) for c in counts) / n
+    assert -1e-9 <= h <= math.log2(len(counts)) + 1e-9
+    if len(counts) == 1:
+        assert abs(h) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# sk7 bottom-k: mergeability of the hash sample (the distributed claim)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=200),
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=200),
+)
+def test_bottomk_sample_is_mergeable(shard_a, shard_b):
+    """bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B)) under the
+    deterministic md5 order — the property that makes the sk7 sample a
+    sketch (per-shard bottom-k's merge losslessly), mirroring the
+    Spark plan's partial WindowGroupLimit before the exchange."""
+    k = 16
+    key = lambda x: (hashlib.md5(f"7:{x}".encode()).hexdigest()[:8], x)
+    bottomk = lambda xs: sorted(xs, key=key)[:k]
+    direct = bottomk(shard_a + shard_b)
+    merged = bottomk(bottomk(shard_a) + bottomk(shard_b))
+    assert direct == merged
