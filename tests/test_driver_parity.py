@@ -57,6 +57,14 @@ PARITY_QUERIES = [
     "ts1_gap_fill",
     "st7_stream_static_join",
     "w3_trailing_hour_range",
+    # round-5 third-session additions touching seam-prone surfaces:
+    # e14 (VARIANT parse on the events scan), ts3/dq4 (unix_micros /
+    # MAX over the normalized ts), sql5 (recursive-CTE executor conf
+    # defaults on a vanilla session)
+    "e14_variant_props",
+    "ts3_ohlc_bars",
+    "dq4_event_freshness",
+    "sql5_recursive_spine",
 ]
 
 _SUBPROCESS_PROG = """
