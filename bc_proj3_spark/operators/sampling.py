@@ -352,3 +352,90 @@ def sp6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(WEIGHTED_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# sp7 — rendezvous (highest-random-weight) shard assignment
+# ---------------------------------------------------------------------------
+
+SHARDS_OLD = 8
+SHARDS_NEW = 9
+
+_SP7_ORACLE = f"""
+WITH nodes AS (
+  SELECT unnest(generate_series(0, {SHARDS_NEW - 1})) AS node
+),
+weights AS (
+  SELECT d.doc_id, n.node,
+         {sql_hash60(_sql_seeded('rdv', 'CAST(d.doc_id AS VARCHAR)', 'CAST(n.node AS VARCHAR)'))} AS w
+  FROM documents d CROSS JOIN nodes n
+),
+pick8 AS (
+  SELECT doc_id, node AS shard8 FROM (
+    SELECT doc_id, node,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, node) AS rn
+    FROM weights WHERE node < {SHARDS_OLD}
+  ) t WHERE rn = 1
+),
+pick9 AS (
+  SELECT doc_id, node AS shard9 FROM (
+    SELECT doc_id, node,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, node) AS rn
+    FROM weights
+  ) t WHERE rn = 1
+)
+SELECT p8.doc_id, shard8, shard9, shard8 <> shard9 AS moved
+FROM pick8 p8 JOIN pick9 p9 ON p8.doc_id = p9.doc_id
+"""
+
+
+@register("sp7_rendezvous_assign", _SP7_ORACLE)
+def sp7_rendezvous_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing: each document goes
+    to the shard with the max seeded hash(doc, shard) — the assignment
+    scheme whose defining property is MINIMAL MOVEMENT on resize
+    (growing 8→9 shards relocates only ~1/9 of documents, exactly the
+    ones whose new shard wins their rendezvous; modulo hashing would
+    relocate ~8/9). The query computes both the 8-shard and 9-shard
+    assignments and flags the moved docs, so the invariant is IN the
+    verified values. Shape: docs × shard-count explode (a constant ≤9×
+    fan-out, map-side), then one doc-keyed WindowGroupLimit pick —
+    the weights never shuffle wider than the doc key. This is how a
+    100 TB corpus is spread over ingestion workers/cache nodes without
+    a coordination service."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    weights = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(SHARDS_NEW - 1))
+        ).alias("node"),
+    ).withColumn(
+        "w",
+        hash60(
+            _seeded(
+                "rdv",
+                F.col("doc_id").cast("string"),
+                F.col("node").cast("string"),
+            )
+        ),
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "node")
+    pick9 = (
+        weights.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("node").alias("shard9"))
+    )
+    pick8 = (
+        weights.filter(F.col("node") < SHARDS_OLD)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("node").alias("shard8"))
+    )
+    return pick8.join(pick9, "doc_id").select(
+        "doc_id",
+        "shard8",
+        "shard9",
+        (F.col("shard8") != F.col("shard9")).alias("moved"),
+    )

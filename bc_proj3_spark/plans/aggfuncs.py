@@ -564,3 +564,57 @@ def a9_vector_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("l1_norm"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("max_dim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mb1 — market-basket co-occurrence: top co-purchased part pairs
+# ---------------------------------------------------------------------------
+
+MB1_TOP_K = 50
+
+_MB1_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, COUNT(*) AS n_orders
+FROM pairs GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {MB1_TOP_K}
+"""
+
+
+@register("mb1_copurchase_pairs", _MB1_ORACLE)
+def mb1_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the most frequently co-purchased
+    part pairs. The self-join on the basket key is the textbook
+    quadratic trap; here it is safe BY DATA CONTRACT — baskets are
+    bounded (TPC-H orders carry ≤7 lines), so per-key fan-out is ≤ 21
+    pairs regardless of table size, and the join is a plain key-hash
+    shuffle. (Unbounded baskets would need the d3-style hot-key cap
+    first — the same pattern, which is why the shingle index caps
+    document frequency.) DISTINCT first so quantity re-lines don't
+    double-count; top-k through TakeOrderedAndProject, never a global
+    sort. Deterministic tiebreak on the pair key."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(MB1_TOP_K)
+    )
