@@ -507,3 +507,74 @@ def t16_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             SCORE_SCALE,
         ).alias("mean_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hs1 — hybrid search: BM25 ∪ vector KNN fused by reciprocal rank
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+
+
+def _hs1_oracle() -> str:
+    from bc_proj3_spark.operators.similarity import _S1_ORACLE
+
+    return f"""
+WITH bm AS (SELECT * FROM ({_bm1_oracle()}) b),
+kn AS (SELECT * FROM ({_S1_ORACLE}) k WHERE query_id = 0),
+rb AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM bm
+),
+rk AS (
+  SELECT vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS r
+  FROM kn
+)
+SELECT COALESCE(rb.doc_id, rk.doc_id) AS doc_id,
+       ROUND(COALESCE(1.0 / ({RRF_K} + rb.r), 0)
+             + COALESCE(1.0 / ({RRF_K} + rk.r), 0), 9) AS rrf
+FROM rb FULL JOIN rk ON rb.doc_id = rk.doc_id
+"""
+
+
+@register("hs1_hybrid_rrf", _hs1_oracle())
+def hs1_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the keyword result list (bm1's BM25 top-20)
+    and the dense-vector result list (s1's cosine top-10 for query
+    vector 0) fused by reciprocal-rank fusion — rrf(d) = Σ 1/(60+rank)
+    over the lists containing d. RRF is the production-standard fusion
+    because it needs no score calibration between incomparable scales
+    (BM25 vs cosine), only ranks. Built by CALLING the registered
+    stage operators (bm1, s1) and full-outer-joining their rank
+    columns; the oracle embeds the stage oracles as subqueries — one
+    source of truth per stage, composed identically on both engines.
+    Both input lists are K-sized, so everything after the stage
+    queries is driver-trivial at any corpus scale."""
+    from pyspark.sql.window import Window
+
+    from bc_proj3_spark.operators.similarity import s1_knn_bruteforce
+
+    bm = bm1_bm25_topk(spark, sf_dir)
+    rb = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("r_bm"),
+    )
+    kn = s1_knn_bruteforce(spark, sf_dir).filter(F.col("query_id") == 0)
+    rk = kn.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), "vec_id"))
+        .alias("r_kn"),
+    )
+    fused = rb.join(rk, "doc_id", "full_outer")
+    one = F.lit(1.0)
+    return fused.select(
+        "doc_id",
+        F.round(
+            F.coalesce(one / (F.lit(RRF_K) + F.col("r_bm")), F.lit(0.0))
+            + F.coalesce(one / (F.lit(RRF_K) + F.col("r_kn")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
