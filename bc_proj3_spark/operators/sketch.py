@@ -613,3 +613,127 @@ def sk7_bottomk_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_err"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# sk8 — HLL shard merge: daily register files → whole-range estimate
+# ---------------------------------------------------------------------------
+
+_SK8_ORACLE = f"""
+WITH hashes AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+),
+shard_regs AS (
+  SELECT event_type, day,
+         CAST(h & {HLL_M - 1} AS BIGINT) AS register_id,
+         MAX(CASE WHEN (h >> {HLL_P}) = 0 THEN {HLL_W_BITS + 1}
+                  ELSE {HLL_W_BITS + 1} - length(bin(h >> {HLL_P})) END) AS max_rho
+  FROM hashes
+  GROUP BY event_type, day, h & {HLL_M - 1}
+),
+merged AS (
+  SELECT event_type, register_id, MAX(max_rho) AS max_rho
+  FROM shard_regs GROUP BY event_type, register_id
+),
+days AS (
+  SELECT event_type, COUNT(DISTINCT day) AS n_shards
+  FROM shard_regs GROUP BY event_type
+),
+folded AS (
+  SELECT event_type,
+         COUNT(*) AS n_present,
+         SUM(1::BIGINT << ({HLL_W_BITS + 1} - max_rho)) AS s_present
+  FROM merged GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         {HLL_M} - n_present AS v_zero,
+         {HLL_ALPHA_NUM!r} / CAST(
+           s_present + ({HLL_M} - n_present) * (1::BIGINT << {HLL_W_BITS})
+           AS DOUBLE) AS raw
+  FROM folded
+),
+corrected AS (
+  SELECT event_type,
+         CASE WHEN raw <= {2.5 * HLL_M} AND v_zero > 0
+              THEN {float(HLL_M)!r} * LN({float(HLL_M)!r} / v_zero)
+              ELSE raw END AS hll_est
+  FROM est
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT c.event_type, d.n_shards, x.exact_distinct, c.hll_est
+FROM corrected c
+JOIN days d ON d.event_type = c.event_type
+JOIN exact x ON x.event_type = c.event_type
+"""
+
+
+@register("sk8_hll_shard_merge", _SK8_ORACLE)
+def sk8_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes HLL the distributed distinct-counter:
+    per-DAY register files (the unit a streaming job or daily batch
+    would persist) merge by cell-wise MAX into exactly the register
+    file of the whole range, and the estimate is computed from the
+    MERGED file — never from re-reading raw history. sk3/sk4 build one
+    file over all input; this operator builds the per-shard files
+    first and exercises the merge in the verified values (same
+    estimator constants and correction as sk4, cited there). Scale
+    shape: shard files are ≤ m rows per (type, day) however large the
+    day is, so the merge input grows with days, not events — the
+    incremental-rollup pattern for distinct counts at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    w = F.shiftright(F.col("h"), HLL_P)
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    shard_regs = (
+        ev.select("event_type", F.col("ts").cast("date").alias("day"), h)
+        .groupBy(
+            "event_type",
+            "day",
+            (F.col("h") % F.lit(HLL_M)).cast("bigint").alias("register_id"),
+        )
+        .agg(F.max(rho).alias("max_rho"))
+    )
+    merged = shard_regs.groupBy("event_type", "register_id").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    days = shard_regs.groupBy("event_type").agg(
+        F.count_distinct("day").alias("n_shards")
+    )
+    folded = merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W_BITS + 1} - max_rho)")
+        ).alias("s_present"),
+    )
+    v_zero = F.lit(HLL_M) - F.col("n_present")
+    s_total = F.col("s_present") + v_zero.cast("bigint") * F.lit(1 << HLL_W_BITS)
+    raw = F.lit(HLL_ALPHA_NUM) / s_total.cast("double")
+    corrected = folded.select(
+        "event_type",
+        F.when(
+            (raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero),
+        )
+        .otherwise(raw)
+        .alias("hll_est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        corrected.join(days, "event_type")
+        .join(exact, "event_type")
+        .select("event_type", "n_shards", "exact_distinct", "hll_est")
+    )

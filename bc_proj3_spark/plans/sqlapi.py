@@ -200,3 +200,44 @@ def sql5_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     per the repo's cross-engine float convention."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v5")
     return spark.sql(_SQL5.format(orders="orders_v5"))
+
+
+# ---------------------------------------------------------------------------
+# sql6 — null-aware NOT IN (the ANSI three-valued-logic trap)
+# ---------------------------------------------------------------------------
+
+#: Identical statement text on both engines. A NULL in the NOT IN list
+#: makes the predicate UNKNOWN for every row — the classic silent-empty
+#: result. Both engines must agree on both branches.
+_SQL6 = """
+SELECT
+  (SELECT COUNT(*) FROM {customer}
+   WHERE c_nationkey NOT IN (SELECT nullif(n_nationkey, 3) FROM {nation}))
+    AS n_with_null_list,
+  (SELECT COUNT(*) FROM {customer}
+   WHERE c_nationkey NOT IN (SELECT nullif(n_nationkey, 3) FROM {nation}
+                             WHERE nullif(n_nationkey, 3) IS NOT NULL))
+    AS n_null_filtered_list
+"""
+
+
+@register(
+    "sql6_null_aware_notin",
+    _SQL6.format(customer="customer", nation="nation"),
+)
+def sql6_null_aware_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN against a subquery CONTAINING a NULL is the ANSI
+    three-valued-logic trap: the predicate is never TRUE, so the first
+    count must be 0 — a plain anti-join rewrite would get this wrong,
+    which is why Spark plans a null-aware anti join for it. The second
+    branch filters the NULL out and must count exactly the nation-3
+    customers. Registering both branches side by side pins that the
+    engine's NOT-IN → anti-join rewrite (SURVEY §2 P7) stays
+    null-AWARE, and that both engines agree on the semantics from the
+    same statement text. The nation list is dimension-sized, so the
+    null-aware join broadcasts it — the only safe shape for null-aware
+    anti at scale (it cannot shuffle-partition, a Spark planning
+    constraint worth pinning here)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v6")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v6")
+    return spark.sql(_SQL6.format(customer="customer_v6", nation="nation_v6"))

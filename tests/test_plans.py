@@ -243,3 +243,14 @@ def test_ts3_ohlc_is_single_exchange(spark):
     shuffle of the raw stream."""
     plan = _physical(spark, "ts3_ohlc_bars")
     assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_sql6_notin_is_broadcast_anti_join(spark):
+    """Both NOT-IN branches must plan as broadcast LeftAnti joins of
+    the dimension-sized list (the null-aware variant cannot shuffle-
+    partition, so broadcast is the only scalable shape) — and never a
+    nested-loop fallback."""
+    plan = _physical(spark, "sql6_null_aware_notin")
+    assert "LeftAnti" in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
