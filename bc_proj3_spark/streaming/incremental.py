@@ -745,3 +745,67 @@ def _st8_same_cols():
     for c in _VALUE_COLS:
         same = same & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
     return same
+
+
+# ---------------------------------------------------------------------------
+# st9 — streaming HLL register maintenance (sketch state in the stream)
+# ---------------------------------------------------------------------------
+
+from bc_proj3_spark.operators.sketch import (  # noqa: E402
+    _SK3_ORACLE,
+    HLL_M,
+    HLL_P,
+    HLL_W_BITS,
+)
+
+
+@register("st9_stream_hll_registers", _SK3_ORACLE)
+def st9_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL register file (sk3) maintained BY A STREAM: the same
+    md5-family hash → register/rho mapping runs inside a streaming
+    groupBy-MAX whose state IS the sketch (one bounded row per
+    (event_type, register) — ≤ m rows/group forever, the whole point
+    of sketch-shaped streaming state vs unbounded distinct sets).
+    Drained with AvailableNow in complete mode, the emitted register
+    file must equal the batch-built file bit for bit — so this
+    streaming query is held to sk3's EXACT value-hash oracle, not a
+    rows-only check. At 100 TB/day the same topology runs unbounded:
+    partial MAX absorbs upstream, state stays m-bounded, and any
+    snapshot of the sink is a mergeable shard (sk8's merge law)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    src = _normalize_event_ts(src)
+
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    w = F.shiftright(F.col("h"), HLL_P)
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        src.select("event_type", h)
+        .groupBy(
+            "event_type",
+            (F.col("h") % F.lit(HLL_M)).cast("bigint").alias("register_id"),
+        )
+        .agg(F.max(rho).cast("int").alias("max_rho"))
+    )
+    sink = f"st9_sink_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="st9-ckpt-") as ckpt, _stream_shuffle(spark):
+        query = (
+            regs.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(sink)
