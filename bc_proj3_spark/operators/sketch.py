@@ -737,3 +737,103 @@ def sk8_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, "event_type")
         .select("event_type", "n_shards", "exact_distinct", "hll_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# bmp1 — bitmap-word set intersection (exact distinct-user overlap)
+# ---------------------------------------------------------------------------
+
+BMP_WORD = 63  # bits used per bigint word (bit 63 avoided: no sign games)
+
+_BMP1_ORACLE = f"""
+WITH words AS (
+  SELECT event_type,
+         user_id // {BMP_WORD} AS word_id,
+         bit_or(1::BIGINT << CAST(user_id % {BMP_WORD} AS INTEGER)) AS w
+  FROM events
+  GROUP BY event_type, user_id // {BMP_WORD}
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         SUM(bit_count(a.w & b.w)) AS n_both
+  FROM words a JOIN words b
+    ON a.word_id = b.word_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+),
+exact AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         COUNT(*) AS n_both_exact
+  FROM (SELECT DISTINCT event_type, user_id FROM events) x
+  JOIN (SELECT DISTINCT event_type, user_id FROM events) y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY x.event_type, y.event_type
+)
+SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both,
+       e.n_both_exact
+FROM pairs p JOIN exact e
+  ON e.type_a = p.type_a AND e.type_b = p.type_b
+"""
+
+
+@register("bmp1_bitmap_intersect", _BMP1_ORACLE)
+def bmp1_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index set intersection: per event type, pack the distinct
+    user set into 63-bit bigint words (bit_or aggregate keyed by
+    user_id div 63), then count users active in BOTH of every type
+    pair as Σ bit_count(a & b) over aligned words — the OLAP bitmap
+    technique that turns set intersection into word-wise integer ops.
+    The bitmap table is |users|/63 rows per type (≈ 16× smaller than
+    the distinct pair list), the pair join is word-aligned equi-join,
+    and — unlike HLL — the answer is EXACT, which the query proves by
+    carrying the naive distinct-self-join count alongside. Dense
+    integer user ids make the fixed-word layout optimal; sparse id
+    spaces are what roaring-style containers add at 100 TB, same
+    algebra. Bit 63 is left unused so no sign-extension semantics can
+    diverge between engines."""
+    ev = table(spark, sf_dir, "events")
+    words = (
+        ev.groupBy(
+            "event_type",
+            F.expr(f"user_id div {BMP_WORD}").alias("word_id"),
+        )
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(user_id % {BMP_WORD} AS INT)))"
+            ).alias("w")
+        )
+    )
+    a = words.alias("a")
+    b = words.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.word_id") == F.col("b.word_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.sum(F.expr("bit_count(a.w & b.w)")).cast("bigint").alias("n_both")
+        )
+    )
+    dt = ev.select("event_type", "user_id").distinct()
+    x = dt.alias("x")
+    y = dt.alias("y")
+    exact = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both_exact"))
+    )
+    return pairs.join(exact, ["type_a", "type_b"]).select(
+        "type_a", "type_b", "n_both", "n_both_exact"
+    )
