@@ -46,6 +46,7 @@ _BNLJ_OK = {
     "dq3_benford_digits",  # 1-row grand total into the 9-digit table
     "d9_dedup_report",  # three 1-row stage counts crossed into one row
     "dq4_event_freshness",  # 1-row global-max timestamp crossed in
+    "dq2_referential_integrity",  # 1-row child-count × 1-row orphan-count
 }
 
 #: streaming queries — their builders execute a full streaming job;
