@@ -1013,3 +1013,56 @@ def d9_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# t20 — shingle novelty: how much of each doc the corpus hasn't seen
+# ---------------------------------------------------------------------------
+
+_T20_ORACLE = f"""
+WITH {_sql_shingles()},
+firsts AS (
+  SELECT k, MIN(doc_id) AS first_doc FROM sh GROUP BY k
+)
+SELECT sh.doc_id,
+       COUNT(*) AS n_shingles,
+       SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 9) AS novelty
+FROM sh JOIN firsts f USING (k)
+GROUP BY sh.doc_id
+"""
+
+
+@register("t20_shingle_novelty", _T20_ORACLE)
+def t20_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order novelty: the fraction of a document's shingles
+    whose FIRST corpus appearance (min doc_id) is this document —
+    near-zero for rehashes/templates of earlier content, high for
+    genuinely new text. The incremental-crawl curation signal: ingest
+    order is doc_id order, so 'seen before' is exact, not
+    probabilistic. Reuses the session-shared DF-capped shingle index
+    (one build amortized across the whole d-family), adds one
+    (k → min doc_id) map-side-combinable aggregate — shingle-keyed,
+    the same shuffle key the index's self-joins use — and a per-doc
+    roll-up. Mirrors MinHash novelty at 100 TB without any sketch
+    error."""
+    sh, _sizes = _documents_shingle_index(spark, sf_dir)
+    firsts = sh.groupBy("k").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(firsts, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 9
+            ).alias("novelty"),
+        )
+    )
