@@ -102,3 +102,67 @@ def prof1_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS (column_name, n_nulls, n_distinct, min_v, max_v)",
         "n_rows",
     ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v")
+
+
+# ---------------------------------------------------------------------------
+# prof2 — functional-dependency discovery (A → B candidate audit)
+# ---------------------------------------------------------------------------
+
+#: candidate determinant → dependent pairs over lineitem; real FD
+#: miners enumerate the lattice — the per-candidate check below is the
+#: primitive they repeat.
+FD_CANDIDATES: tuple[tuple[str, str], ...] = (
+    ("l_orderkey", "l_returnflag"),
+    ("l_orderkey", "l_shipdate"),
+    ("l_partkey", "l_returnflag"),
+    ("l_suppkey", "l_linestatus"),
+)
+
+
+def _prof2_oracle() -> str:
+    parts = []
+    for a, b in FD_CANDIDATES:
+        parts.append(f"""
+SELECT '{a}' AS determinant, '{b}' AS dependent,
+       COUNT(*) AS n_keys,
+       SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS n_violating_keys,
+       SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+FROM (SELECT {a}, COUNT(DISTINCT {b}) AS ndv FROM lineitem GROUP BY {a}) g
+""")
+    return " UNION ALL ".join(parts)
+
+
+@register("prof2_functional_deps", _prof2_oracle())
+def prof2_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate A → B, how many
+    A-groups carry more than one distinct B — zero violations means
+    the dependency holds, and a dependency that HELD last month but
+    breaks today is a schema-semantics regression no type check
+    catches (the profiling complement to dq2's referential check; FD
+    discovery is also how normalization candidates and denormalized
+    duplication are found in a warehouse). Each candidate is one
+    combiner-absorbed (A, distinct-B) aggregate folded to a single
+    row; candidates union into a fixed-size report. Per-candidate cost
+    is one key shuffle — the lattice miner repeats this primitive,
+    it never gets worse than this per edge."""
+    li = table(spark, sf_dir, "lineitem")
+    outs = []
+    for a, b in FD_CANDIDATES:
+        g = li.groupBy(a).agg(F.count_distinct(b).alias("ndv"))
+        viol = F.sum(F.when(F.col("ndv") > 1, 1).otherwise(0))
+        outs.append(
+            g.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                viol.alias("n_violating_keys"),
+            ).select(
+                F.lit(a).alias("determinant"),
+                F.lit(b).alias("dependent"),
+                "n_keys",
+                "n_violating_keys",
+                (F.col("n_violating_keys") == 0).alias("fd_holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

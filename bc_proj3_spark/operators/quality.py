@@ -431,3 +431,91 @@ def dq5_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.count(F.lit(1)) >= K_ANON).alias("meets_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq6 — population-stability drift (PSI) between time halves
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 10
+
+_DQ6_ORACLE = f"""
+WITH rng AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi,
+         (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us
+  FROM events
+),
+binned AS (
+  SELECT LEAST({PSI_BINS - 1},
+               CAST(FLOOR((value - lo) / (hi - lo) * {PSI_BINS}) AS INTEGER))
+           AS bin,
+         CASE WHEN epoch_us(ts) < mid_us THEN 1 ELSE 0 END AS is_base
+  FROM events, rng
+),
+counts AS (
+  SELECT bin,
+         SUM(is_base) AS n_base,
+         SUM(1 - is_base) AS n_cur
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(n_base) AS t_base, SUM(n_cur) AS t_cur FROM counts)
+SELECT bin, n_base, n_cur,
+       ROUND(
+         ((n_cur + 1.0) / (t_cur + {PSI_BINS})
+          - (n_base + 1.0) / (t_base + {PSI_BINS}))
+         * LN(((n_cur + 1.0) / (t_cur + {PSI_BINS}))
+              / ((n_base + 1.0) / (t_base + {PSI_BINS}))), 9) AS psi_contrib
+FROM counts, tot
+"""
+
+
+@register("dq6_psi_drift", _DQ6_ORACLE)
+def dq6_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second time
+    halves of the value stream — the standard input-drift monitor for
+    a model or pipeline fed by this table (PSI > 0.2 is the
+    conventional retrain/alert line; Σ psi_contrib over these rows is
+    the index). Bins are equal-width over the GLOBAL min-max (one
+    1-row aggregate broadcast), membership add-one smoothed so empty
+    bins stay finite, the time midpoint integer-µs exact — every
+    choice replayed identically in the oracle. One scan + one bin
+    aggregate; the report is PSI_BINS rows at any scale."""
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        (
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts")))
+            / F.lit(2)
+        ).cast("bigint").alias("mid_us"),
+    )
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * PSI_BINS
+            ).cast("int"),
+        ).alias("bin"),
+        F.when(F.unix_micros("ts") < F.col("mid_us"), 1)
+        .otherwise(0)
+        .alias("is_base"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("is_base").alias("n_base"),
+        F.sum(F.lit(1) - F.col("is_base")).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_cur").alias("t_cur")
+    )
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("t_cur") + PSI_BINS)
+    p_base = (F.col("n_base") + 1.0) / (F.col("t_base") + PSI_BINS)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_base",
+        "n_cur",
+        F.round((p_cur - p_base) * F.log(p_cur / p_base), 9).alias(
+            "psi_contrib"
+        ),
+    )

@@ -47,6 +47,7 @@ _BNLJ_OK = {
     "d9_dedup_report",  # three 1-row stage counts crossed into one row
     "dq4_event_freshness",  # 1-row global-max timestamp crossed in
     "dq2_referential_integrity",  # 1-row child-count × 1-row orphan-count
+    "dq6_psi_drift",  # 1-row global range + 1-row totals crossed in
 }
 
 #: streaming queries — their builders execute a full streaming job;
