@@ -48,6 +48,9 @@ _BNLJ_OK = {
     "dq4_event_freshness",  # 1-row global-max timestamp crossed in
     "dq2_referential_integrity",  # 1-row child-count × 1-row orphan-count
     "dq6_psi_drift",  # 1-row global range + 1-row totals crossed in
+    "stat1_chi2_cells",  # 1-row grand total crossed into the cell table
+    "hs1_hybrid_rrf",  # inherits bm1's 1-row corpus-stats cross
+    "pipe1_corpus_build",  # inherits f1's 1-row corpus-total cross
 }
 
 #: streaming queries — their builders execute a full streaming job;
