@@ -519,3 +519,70 @@ def dq6_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_contrib"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq7 — cross-table value reconciliation (order totals vs line items)
+# ---------------------------------------------------------------------------
+
+RECON_TOL = 0.01  # cents tolerance on the recomputed total
+
+_DQ7_ORACLE = f"""
+WITH recomputed AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS line_total
+  FROM lineitem GROUP BY l_orderkey
+),
+joined AS (
+  SELECT o.o_orderstatus,
+         CASE
+           WHEN r.l_orderkey IS NULL THEN 'no_lines'
+           WHEN ABS(CAST(o.o_totalprice AS DECIMAL(18,2)) - r.line_total)
+                <= {RECON_TOL} THEN 'reconciled'
+           ELSE 'mismatch'
+         END AS recon
+  FROM orders o LEFT JOIN recomputed r ON r.l_orderkey = o.o_orderkey
+)
+SELECT o_orderstatus, recon, COUNT(*) AS n_orders
+FROM joined GROUP BY o_orderstatus, recon
+"""
+
+
+@register("dq7_order_reconciliation", _DQ7_ORACLE)
+def dq7_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table money reconciliation: every order's stored total
+    versus the sum of its line items, bucketed reconciled / mismatch /
+    no-lines per order status — the financial-close audit that catches
+    partial loads and double-applied updates (dq2 checks that children
+    HAVE parents; this checks the parents' VALUES against their
+    children). Sums accumulate in DECIMAL(18,2), not doubles, so the
+    comparison is exact cents in both engines and association order
+    cannot leak in. One key shuffle for the per-order sum + one
+    broadcast-or-shuffle join; the report is |status|×3 rows at any
+    scale."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    recomputed = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+            "line_total"
+        )
+    )
+    joined = orders.join(
+        recomputed, orders.o_orderkey == recomputed.l_orderkey, "left"
+    ).select(
+        "o_orderstatus",
+        F.when(F.col("l_orderkey").isNull(), "no_lines")
+        .when(
+            F.abs(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                - F.col("line_total")
+            )
+            <= RECON_TOL,
+            "reconciled",
+        )
+        .otherwise("mismatch")
+        .alias("recon"),
+    )
+    return joined.groupBy("o_orderstatus", "recon").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )

@@ -618,3 +618,40 @@ def mb1_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(MB1_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# a10 — map-column round trip (map_from_entries → explode → re-aggregate)
+# ---------------------------------------------------------------------------
+
+_A10_ORACLE = """
+SELECT user_id, event_type, COUNT(*) AS n
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+@register("a10_map_roundtrip", _A10_ORACLE)
+def a10_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MapType surface exercised end-to-end: per-user event-type
+    counts are packed into ONE map column per user
+    (map_from_entries over collect_list of structs — the "profile
+    row" layout a serving store wants), then unpacked with explode
+    back to relational rows. The oracle is the direct flat aggregate,
+    so the value-hash gate proves the pack→unpack round trip is
+    lossless — the property that lets a pipeline switch between
+    row-per-fact and map-per-entity layouts without corruption. The
+    map is bounded (≤ |event types| entries per user), so the packed
+    row is small at any scale; one user-keyed shuffle builds it."""
+    ev = table(spark, sf_dir, "events")
+    flat = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    packed = flat.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("type_counts")
+    )
+    return packed.select(
+        "user_id", F.explode("type_counts").alias("event_type", "n")
+    )
