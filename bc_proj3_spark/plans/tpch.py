@@ -1387,3 +1387,75 @@ def r3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", "o_orderpriority", "gid", "sum_price", "n_orders"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# w4 — gaps and islands: longest consecutive-month purchase streak
+# ---------------------------------------------------------------------------
+
+W4_TOP_CUSTOMERS = 20
+
+_W4_ORACLE = f"""
+WITH months AS (
+  SELECT DISTINCT o_custkey,
+         EXTRACT(YEAR FROM o_orderdate) * 12
+           + EXTRACT(MONTH FROM o_orderdate) AS m
+  FROM orders
+),
+islands AS (
+  SELECT o_custkey, m,
+         m - DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY m)
+           AS island
+  FROM months
+),
+streaks AS (
+  SELECT o_custkey, island, COUNT(*) AS streak_months
+  FROM islands GROUP BY o_custkey, island
+),
+best AS (
+  SELECT o_custkey, MAX(streak_months) AS longest_streak,
+         COUNT(*) AS n_streaks
+  FROM streaks GROUP BY o_custkey
+)
+SELECT o_custkey, longest_streak, n_streaks
+FROM best
+ORDER BY longest_streak DESC, o_custkey
+LIMIT {W4_TOP_CUSTOMERS}
+"""
+
+
+@register("w4_purchase_streaks", _W4_ORACLE)
+def w4_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over DISCRETE periods: each customer's longest
+    run of consecutive purchase months, via the classic
+    month-number-minus-dense-rank island key (consecutive months share
+    a constant difference; a gap starts a new island). The discrete
+    sibling of e2's time-gap sessionization — retention analytics
+    ("how long do customers stay active month over month") reduce to
+    exactly this. One customer-keyed shuffle serves the distinct, the
+    rank window and both aggregates (same partitioning throughout);
+    the final top-20 compiles to TakeOrderedAndProject. Deterministic
+    tiebreak on customer key."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    months = orders.select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate")
+        ).alias("m"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    islands = months.withColumn(
+        "island", F.col("m") - F.dense_rank().over(w)
+    )
+    streaks = islands.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).alias("streak_months")
+    )
+    best = streaks.groupBy("o_custkey").agg(
+        F.max("streak_months").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+    return best.orderBy(F.col("longest_streak").desc(), "o_custkey").limit(
+        W4_TOP_CUSTOMERS
+    )
