@@ -586,3 +586,63 @@ def dq7_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderstatus", "recon").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# o7 — grid-density outliers (the DBSCAN-flavored density screen)
+# ---------------------------------------------------------------------------
+
+GRID_VALUE_WIDTH = 50.0  # fixed bin width: no global-stats pass needed
+GRID_SPARSE_MAX = 20  # a cell this thin is a sparse region
+
+_O7_ORACLE = f"""
+WITH cells AS (
+  SELECT CAST(FLOOR(value / {GRID_VALUE_WIDTH}) AS BIGINT) AS value_bin,
+         EXTRACT(HOUR FROM ts) AS hour,
+         COUNT(*) AS n_events,
+         SUM(CAST(user_id AS DECIMAL(18,0))) AS user_id_sum
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT value_bin, hour, n_events,
+       CAST(user_id_sum AS BIGINT) AS user_id_sum,
+       n_events <= {GRID_SPARSE_MAX} AS is_sparse
+FROM cells
+"""
+
+
+@register("o7_grid_density", _O7_ORACLE)
+def o7_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-grid outlier screen: bucket every event into a fixed 2-D
+    cell (value band × hour-of-day) and flag thin cells — points in
+    sparse regions of feature space are the anomalies distance-based
+    methods (o5's z-score) miss when the distribution is multimodal.
+    This is the grid phase of grid-DBSCAN: at 100 TB you never compute
+    point-to-point distances; you count cells (one combiner-absorbed
+    aggregate, output bounded by the grid size) and only ever join
+    points back to their own cell's label. FIXED bin widths mean no
+    global min/max pre-pass — zero extra scans, zero 1-row broadcasts.
+    The integer user_id checksum per cell pins membership, not just
+    counts."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / GRID_VALUE_WIDTH)
+            .cast("bigint")
+            .alias("value_bin"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("user_id").cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("user_id_sum"),
+        )
+        .select(
+            "value_bin",
+            "hour",
+            "n_events",
+            "user_id_sum",
+            (F.col("n_events") <= GRID_SPARSE_MAX).alias("is_sparse"),
+        )
+    )
