@@ -142,10 +142,57 @@ _VERIFIED_ROUND: dict[str, int] = {
 }
 
 
+#: Tie-break within the never-verified (round-0) block: one
+#: representative of each operator CLASS new this round, so the
+#: driver's bounded prefix spends its round-0 slots across distinct
+#: capabilities (native recursion, variant, streaming-sketch, bitmap,
+#: temporal join, sketch merge, PII, fusion, PIT, rendezvous, the
+#: flagship manifest) instead of whichever module happens to register
+#: first. Names absent from the registry are ignored.
+_SHOWCASE_FIRST: tuple[str, ...] = (
+    "pipe1_corpus_build",
+    "sql5_recursive_spine",
+    "e14_variant_props",
+    "st9_stream_hll_registers",
+    "bmp1_bitmap_intersect",
+    "cdc5_pointintime_join",
+    "sk8_hll_shard_merge",
+    "t17_pii_scrub",
+    "hs1_hybrid_rrf",
+    "sp7_rendezvous_assign",
+    "sql4_lateral_topk",
+    "sql6_null_aware_notin",
+    "sk7_bottomk_quantile",
+    "t18_token_entropy",
+    "t19_oov_rate",
+    "t20_shingle_novelty",
+    "d9_dedup_report",
+    "ts3_ohlc_bars",
+    "mb1_copurchase_pairs",
+    "w4_purchase_streaks",
+    "dq6_psi_drift",
+    "dq7_order_reconciliation",
+    "prof2_functional_deps",
+    "o7_grid_density",
+    "a9_vector_hof",
+    "a10_map_roundtrip",
+    "dq4_event_freshness",
+    "dq5_k_anonymity",
+)
+_SHOWCASE_RANK = {n: i for i, n in enumerate(_SHOWCASE_FIRST)}
+
+
 def _ordered(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
-    """Stalest verification evidence first; registration order breaks
-    ties (stable: dicts preserve insertion order)."""
-    names = sorted(reg, key=lambda n: _VERIFIED_ROUND.get(n, 0))
+    """Stalest verification evidence first; within the round-0 block
+    the showcase list leads, then registration order (stable: dicts
+    preserve insertion order)."""
+    names = sorted(
+        reg,
+        key=lambda n: (
+            _VERIFIED_ROUND.get(n, 0),
+            _SHOWCASE_RANK.get(n, len(_SHOWCASE_FIRST)),
+        ),
+    )
     return {n: reg[n] for n in names}
 
 
