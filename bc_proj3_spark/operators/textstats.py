@@ -933,3 +933,84 @@ def t19_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t21 — Zipf slope of the corpus token-frequency distribution
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_N = 100
+
+_T21_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
+),
+cf AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+top AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rnk
+  FROM cf ORDER BY c DESC, t LIMIT {ZIPF_TOP_N}
+),
+pts AS (
+  SELECT CAST(ROUND(LN(rnk), 9) AS DECIMAL(28,10)) AS x,
+         CAST(ROUND(LN(c), 9) AS DECIMAL(28,10)) AS y,
+         CAST(ROUND(LN(rnk) * LN(rnk), 9) AS DECIMAL(28,10)) AS xx,
+         CAST(ROUND(LN(rnk) * LN(c), 9) AS DECIMAL(28,10)) AS xy
+  FROM top
+)
+SELECT COUNT(*) AS n_terms,
+       ROUND(
+         (COUNT(*) * CAST(SUM(xy) AS DOUBLE)
+          - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+         / (COUNT(*) * CAST(SUM(xx) AS DOUBLE)
+            - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6)
+         AS zipf_slope
+FROM pts
+"""
+
+
+@register("t21_zipf_slope", _T21_ORACLE)
+def t21_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Zipf exponent of the corpus: OLS slope of log-frequency on
+    log-rank over the top-{N} tokens — natural language sits near −1,
+    and a corpus that drifts far from its historical slope has changed
+    composition (template flooding pushes it flatter, dedup failures
+    steeper); a one-number corpus-health tile next to prof1. Token
+    counts reduce map-side; the top-N ranking is a TakeOrdered of the
+    vocab (N rows to one partition — constant work); regression moments
+    follow the repo's exact-decimal convention (each per-point term is
+    one rounded double op, then DECIMAL sums, so association order
+    cannot leak into the slope)."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = fanout(docs).select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    cf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        cf.orderBy(F.col("c").desc(), "t")
+        .limit(ZIPF_TOP_N)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), "t")),
+        )
+    )
+    dec = "decimal(28,10)"
+    lx, ly = F.log(F.col("rnk")), F.log(F.col("c"))
+    pts = top.select(
+        F.round(lx, 9).cast(dec).alias("x"),
+        F.round(ly, 9).cast(dec).alias("y"),
+        F.round(lx * lx, 9).cast(dec).alias("xx"),
+        F.round(lx * ly, 9).cast(dec).alias("xy"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxx = F.sum("xx").cast("double")
+    sxy = F.sum("xy").cast("double")
+    return pts.agg(
+        n.alias("n_terms"),
+        F.round(
+            (n * sxy - sx * sy) / (n * sxx - sx * sx), 6
+        ).alias("zipf_slope"),
+    )

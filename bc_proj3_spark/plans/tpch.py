@@ -1459,3 +1459,72 @@ def w4_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.orderBy(F.col("longest_streak").desc(), "o_custkey").limit(
         W4_TOP_CUSTOMERS
     )
+
+
+# ---------------------------------------------------------------------------
+# u3 — bag (multiset) set operations: INTERSECT ALL / EXCEPT ALL
+# ---------------------------------------------------------------------------
+
+_U3_ORACLE = """
+WITH y96 AS (
+  SELECT l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+),
+y97 AS (
+  SELECT l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+),
+surplus AS (SELECT l_partkey FROM y96 EXCEPT ALL SELECT l_partkey FROM y97),
+common  AS (SELECT l_partkey FROM y96 INTERSECT ALL SELECT l_partkey FROM y97)
+SELECT l_partkey,
+       SUM(CASE WHEN src = 's' THEN 1 ELSE 0 END) AS surplus_96_over_97,
+       SUM(CASE WHEN src = 'c' THEN 1 ELSE 0 END) AS common_multiplicity
+FROM (
+  SELECT l_partkey, 's' AS src FROM surplus
+  UNION ALL
+  SELECT l_partkey, 'c' AS src FROM common
+) u
+GROUP BY l_partkey
+"""
+
+
+@register("u3_bag_set_ops", _U3_ORACLE)
+def u3_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset semantics: EXCEPT ALL (how many MORE times was this
+    part shipped in 1996 than 1997 — multiplicity subtraction, not
+    membership) and INTERSECT ALL (the shared multiplicity), folded to
+    per-part counts so the result is bounded by the part domain. Bag
+    semantics are what inventory/ledger reconciliation actually needs
+    — distinct set ops erase the quantities — and u2 covers only the
+    distinct flavors. Catalyst plans both as count-compare aggregates
+    (generate rows min/max-diff per key): one key shuffle per side,
+    no row-by-row anti join. Year filters push to the scan."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def year(y: int) -> DataFrame:
+        return li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("l_partkey")
+
+    y96, y97 = year(1996), year(1997)
+    surplus = y96.exceptAll(y97).select(
+        "l_partkey", F.lit("s").alias("src")
+    )
+    common = y96.intersectAll(y97).select(
+        "l_partkey", F.lit("c").alias("src")
+    )
+    return (
+        surplus.unionAll(common)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(F.col("src") == "s", 1).otherwise(0)).alias(
+                "surplus_96_over_97"
+            ),
+            F.sum(F.when(F.col("src") == "c", 1).otherwise(0)).alias(
+                "common_multiplicity"
+            ),
+        )
+    )
