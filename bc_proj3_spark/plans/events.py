@@ -1158,3 +1158,75 @@ def ts3_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("volume"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts4 — time-weighted average over irregular samples (TWAP)
+# ---------------------------------------------------------------------------
+
+_TS4_ORACLE = """
+WITH seq AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value,
+         epoch_us(ts) AS t_us,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY user_id, CAST(ts AS DATE)
+           ORDER BY ts, event_id
+         ) AS next_us
+  FROM events
+),
+seg AS (
+  SELECT user_id, day,
+         CAST(ROUND(value * (next_us - t_us), 3) AS DECIMAL(38,6)) AS vw,
+         next_us - t_us AS w_us
+  FROM seq WHERE next_us IS NOT NULL
+)
+SELECT user_id, day,
+       COUNT(*) AS n_segments,
+       SUM(w_us) AS span_us,
+       ROUND(CAST(SUM(vw) AS DOUBLE) / SUM(w_us), 9) AS twap
+FROM seg
+GROUP BY user_id, day
+"""
+
+
+@register("ts4_twap", _TS4_ORACLE)
+def ts4_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-WEIGHTED average of an irregularly-sampled signal — the
+    metric plain AVG gets wrong whenever sampling density correlates
+    with the value (a sensor that reports more often when busy): hold
+    each observation until the next one (last-observation-carried-
+    forward) and integrate, per user-day. Each segment's weight is its
+    exact integer-µs duration; the value×duration product is ONE
+    double op rounded then summed in DECIMAL (the repo's
+    association-order-proof convention), so both engines integrate
+    identically. One (user, day) shuffle serves the ordering window
+    and the aggregate — single exchange, the ts3 property. Days with
+    one lone observation have no segments and drop, matching the
+    oracle's inner WHERE."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w = Window.partitionBy("user_id", "day").orderBy("t_us", "event_id")
+    seq = ev.select(
+        "user_id",
+        day.alias("day"),
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+    ).withColumn("next_us", F.lead("t_us").over(w))
+    seg = seq.filter(F.col("next_us").isNotNull()).select(
+        "user_id",
+        "day",
+        F.round(F.col("value") * (F.col("next_us") - F.col("t_us")), 3)
+        .cast("decimal(38,6)")
+        .alias("vw"),
+        (F.col("next_us") - F.col("t_us")).alias("w_us"),
+    )
+    return seg.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("w_us").alias("span_us"),
+        F.round(
+            F.sum("vw").cast("double") / F.sum("w_us"), 9
+        ).alias("twap"),
+    )

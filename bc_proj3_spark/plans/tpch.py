@@ -1528,3 +1528,67 @@ def u3_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# h1 — hierarchical revenue shares: percent-of-parent at two levels
+# ---------------------------------------------------------------------------
+
+_H1_ORACLE = f"""
+WITH nat_rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         {sql_dec_sum("o.o_totalprice", "revenue")}
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation, revenue,
+       ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 9)
+         AS share_of_region,
+       ROUND(revenue / SUM(revenue) OVER (), 9) AS share_of_total
+FROM nat_rev
+"""
+
+
+@register("h1_hierarchy_shares", _H1_ORACLE)
+def h1_hierarchy_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels: each nation's revenue
+    as a share of its region and of the world — the ratio-to-report
+    shape every BI drill-down needs, which plain ROLLUP subtotals (r1)
+    don't give you (they add parent ROWS; this adds parent RATIOS per
+    child row). Base revenue is one exact-decimal aggregate over the
+    dimension-broadcast join chain; both shares are window sums over
+    the already nation-sized result (≤ |nations| rows), so the windows
+    cost nothing at any fact-table scale. Numerator and denominator
+    come from the SAME decimal sums, so the one rounded double
+    division is bit-identical across engines."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    nat_rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(dec_sum("o_totalprice", "revenue"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return nat_rev.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(w_region), 9
+        ).alias("share_of_region"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 9).alias(
+            "share_of_total"
+        ),
+    )
