@@ -241,3 +241,39 @@ def sql6_null_aware_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v6")
     table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v6")
     return spark.sql(_SQL6.format(customer="customer_v6", nation="nation_v6"))
+
+
+# ---------------------------------------------------------------------------
+# sql7 — correlated scalar subqueries in the SELECT list
+# ---------------------------------------------------------------------------
+
+_SQL7 = """
+SELECT c.c_custkey, c.c_name,
+       (SELECT COUNT(*) FROM {orders} o WHERE o.o_custkey = c.c_custkey)
+         AS n_orders,
+       (SELECT MAX(o_totalprice) FROM {orders} o
+        WHERE o.o_custkey = c.c_custkey) AS max_order
+FROM {customer} c
+WHERE c.c_mktsegment = 'MACHINERY'
+"""
+
+
+@register(
+    "sql7_scalar_subqueries",
+    _SQL7.format(customer="customer", orders="orders"),
+)
+def sql7_scalar_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subqueries in the projection — the way a SQL
+    user asks "each customer, with their order count and largest
+    order" without writing a join. The naive reading re-runs an
+    aggregate per outer row; Catalyst decorrelates each subquery into
+    ONE grouped aggregate left-joined on the correlation key, so the
+    cost is two key-shuffled aggregates however many customers there
+    are — and customers with no orders surface NULL max / 0 count
+    exactly as the ANSI scalar-subquery contract requires (a plain
+    inner-join rewrite silently drops them; the segment filter still
+    pushes to the customer scan). Same statement text on both
+    engines."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v7")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v7")
+    return spark.sql(_SQL7.format(customer="customer_v7", orders="orders_v7"))

@@ -1592,3 +1592,45 @@ def h1_hierarchy_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# w5 — nth_value: the runner-up order per customer
+# ---------------------------------------------------------------------------
+
+_W5_ORACLE = """
+SELECT DISTINCT o_custkey,
+       nth_value(o_totalprice, 1) OVER w AS top_order,
+       nth_value(o_totalprice, 2) OVER w AS runner_up
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
+@register("w5_runner_up_order", _W5_ORACLE)
+def w5_runner_up_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value with a full-partition frame: each customer's largest
+    and second-largest order side by side on one row — the "gap to the
+    runner-up" shape (price-ladder, silver-medal analytics) that
+    rank-and-filter needs a self-join to produce. Single-order
+    customers get a NULL runner-up, exactly the ANSI nth_value
+    contract. One customer-keyed shuffle serves the window; DISTINCT
+    collapses the per-row window output to one row per customer and
+    reuses the same partitioning. Unique (price, orderkey) ordering
+    makes both values deterministic."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        F.nth_value("o_totalprice", 1).over(w).alias("top_order"),
+        F.nth_value("o_totalprice", 2).over(w).alias("runner_up"),
+    ).distinct()
