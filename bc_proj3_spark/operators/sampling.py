@@ -439,3 +439,49 @@ def sp7_rendezvous_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard9",
         (F.col("shard8") != F.col("shard9")).alias("moved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# gen1 — the generator source: derive a table from range(), no input files
+# ---------------------------------------------------------------------------
+
+GEN_N = 100_000
+GEN_BUCKETS = 100
+
+_GEN1_ORACLE = f"""
+SELECT
+  {sql_hash60(_sql_seeded('gen', 'CAST(i AS VARCHAR)'))} % {GEN_BUCKETS}
+    AS bucket,
+  COUNT(*) AS n,
+  SUM({sql_hash60(_sql_seeded('gen', 'CAST(i AS VARCHAR)'))} % 1000000)
+    AS checksum
+FROM range(0, {GEN_N}) t(i)
+GROUP BY 1
+"""
+
+
+@register("gen1_range_source", _GEN1_ORACLE)
+def gen1_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generator SOURCE: a table derived from ``spark.range`` (the
+    parallelized integer generator — Spark's no-input relation) with
+    content-addressed derived columns, reduced to a bucketed checksum
+    that DuckDB reproduces from its own ``range()``. This is how
+    synthetic benchmark/test data is produced INSIDE the engine at any
+    scale — range splits across executors, every derived value is a
+    pure function of the row index (no RNG), so a 10^12-row generation
+    is embarrassingly parallel and reproducible across engines and
+    cluster sizes. The only registered query that reads no files at
+    all: sf_dir is ignored."""
+    rows = spark.range(0, GEN_N).select(F.col("id").cast("string").alias("i"))
+    k = hash60(_seeded("gen", F.col("i")))
+    return (
+        rows.select(
+            (k % GEN_BUCKETS).alias("bucket"),
+            (k % 1_000_000).alias("v"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("checksum"),
+        )
+    )
