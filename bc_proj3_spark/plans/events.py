@@ -1230,3 +1230,55 @@ def ts4_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vw").cast("double") / F.sum("w_us"), 9
         ).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e15 — threshold-crossing detector (rising edges, not levels)
+# ---------------------------------------------------------------------------
+
+CROSS_THRESHOLD = 300.0
+
+_E15_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, value,
+         lag(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_value
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_crossings,
+       MIN(ts) AS first_crossing,
+       MAX(ts) AS last_crossing
+FROM seq
+WHERE prev_value IS NOT NULL
+  AND prev_value <= {CROSS_THRESHOLD}
+  AND value > {CROSS_THRESHOLD}
+GROUP BY user_id
+"""
+
+
+@register("e15_threshold_crossings", _E15_ORACLE)
+def e15_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rising-EDGE detection: count the moments each user's value
+    series crosses above the threshold, not the samples sitting above
+    it — the distinction that separates an alerting system from a
+    filter (a series hovering at 350 alerts once, not a thousand
+    times; o5/e12 flag levels, this flags transitions). One lag window
+    over the (user, time) order, then a filter on the
+    (prev ≤ T < curr) conjunction and a per-user roll-up — the window
+    and the aggregate share the user-key exchange. First/last crossing
+    timestamps bound the episode for the responder."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_value", F.lag("value").over(w))
+    crossings = seq.filter(
+        F.col("prev_value").isNotNull()
+        & (F.col("prev_value") <= CROSS_THRESHOLD)
+        & (F.col("value") > CROSS_THRESHOLD)
+    )
+    return crossings.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_crossings"),
+        F.min("ts").alias("first_crossing"),
+        F.max("ts").alias("last_crossing"),
+    )
