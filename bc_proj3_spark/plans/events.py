@@ -1282,3 +1282,79 @@ def e15_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_crossing"),
         F.max("ts").alias("last_crossing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e16 — behavioral regularity: bot-like inter-event timing
+# ---------------------------------------------------------------------------
+
+BOT_MIN_EVENTS = 20
+
+_E16_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+),
+mom AS (
+  SELECT user_id,
+         COUNT(*) AS n_gaps,
+         SUM(CAST(gap_us AS DECIMAL(28,0))) AS s1,
+         SUM(CAST(gap_us AS DECIMAL(38,0)) * gap_us) AS s2
+  FROM gaps WHERE gap_us IS NOT NULL
+  GROUP BY user_id
+  HAVING COUNT(*) >= {BOT_MIN_EVENTS}
+)
+SELECT user_id, n_gaps,
+       CAST(s1 AS DOUBLE) / n_gaps / 1000000 AS mean_gap_s,
+       ROUND(
+         SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_gaps)
+              / n_gaps) / (CAST(s1 AS DOUBLE) / n_gaps), 9)
+         AS gap_cv
+FROM mom
+"""
+
+
+@register("e16_bot_regularity", _E16_ORACLE)
+def e16_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-regularity screen: the coefficient of variation of
+    each user's inter-event gaps — humans are bursty (CV near or above
+    1), schedulers and scrapers are metronomic (CV near 0), which makes
+    this the first-pass bot filter in traffic analytics and a data-
+    curation signal (machine-generated event streams poison behavioral
+    models). Gaps are exact integer µs; both moment sums accumulate in
+    DECIMAL (gap² ≈ 10^19 overflows BIGINT — the reason s2 is
+    DECIMAL(38)), so the one double std/mean division is bit-identical
+    across engines. Window and both aggregates ride one user-key
+    exchange."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    mom = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum(F.col("gap_us").cast("decimal(28,0)")).alias("s1"),
+            F.sum(
+                F.col("gap_us").cast("decimal(38,0)") * F.col("gap_us")
+            ).alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= BOT_MIN_EVENTS)
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    n = F.col("n_gaps")
+    mean = s1d / n
+    return mom.select(
+        "user_id",
+        "n_gaps",
+        (mean / F.lit(1_000_000)).alias("mean_gap_s"),
+        F.round(F.sqrt((s2d - s1d * s1d / n) / n) / mean, 9).alias("gap_cv"),
+    )

@@ -1634,3 +1634,49 @@ def w5_runner_up_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 1).over(w).alias("top_order"),
         F.nth_value("o_totalprice", 2).over(w).alias("runner_up"),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# w6 — top-k WITH TIES: rank() vs row_number() semantics
+# ---------------------------------------------------------------------------
+
+_W6_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(rank() OVER (
+           PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC
+         ) AS INTEGER) AS rnk
+  FROM orders
+) t
+WHERE rnk <= 2
+"""
+
+
+@register("w6_topk_with_ties", _W6_ORACLE)
+def w6_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer WITH TIES: ``rank()`` over the price
+    alone (no unique tiebreak), so equal-priced orders share a rank
+    and a tie at rank 2 returns MORE than two rows — the ANSI
+    FETCH ... WITH TIES semantics, and the exact opposite contract
+    from w1's row_number (which must pick arbitrarily and therefore
+    carries a unique tiebreak). The ordering key is cast to exact
+    DECIMAL so both engines agree on which doubles are "equal" —
+    the subtlety this query exists to pin. Same single key-shuffle
+    WindowGroupLimit shape as every top-k here; the output is only
+    nondeterministic in SIZE if ties exist, never in content."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)").desc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 2)
+    )
