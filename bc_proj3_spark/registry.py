@@ -178,6 +178,16 @@ _SHOWCASE_FIRST: tuple[str, ...] = (
     "a10_map_roundtrip",
     "dq4_event_freshness",
     "dq5_k_anonymity",
+    "ts4_twap",
+    "h1_hierarchy_shares",
+    "u3_bag_set_ops",
+    "t21_zipf_slope",
+    "sql7_scalar_subqueries",
+    "w5_runner_up_order",
+    "gen1_range_source",
+    "e15_threshold_crossings",
+    "w6_topk_with_ties",
+    "e16_bot_regularity",
 )
 _SHOWCASE_RANK = {n: i for i, n in enumerate(_SHOWCASE_FIRST)}
 
