@@ -723,3 +723,49 @@ def cc4_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, seeds).select(
         "doc_id", F.col("dist").cast("int").alias("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# cc5 — cluster-size distribution of the near-dup components
+# ---------------------------------------------------------------------------
+
+
+def _cc5_oracle() -> str:
+    base = _cc_oracle().rstrip()
+    return f"""
+WITH assign AS (
+{base}
+),
+sizes AS (
+  SELECT component_id, COUNT(*) AS cluster_size
+  FROM assign GROUP BY component_id
+)
+SELECT cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
+@register("cc5_cluster_sizes", _cc5_oracle())
+def cc5_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-cluster size distribution: how many near-dup clusters
+    exist at each size — the histogram a corpus curator reads before
+    choosing a dedup policy (a fat tail of large clusters means
+    template flooding and argues for keep-one; all-singletons means
+    the threshold is too tight to matter). Reuses cc1's full component
+    assignment verbatim, then two bounded aggregates: sizes are
+    component-keyed, the histogram is size-keyed — output rows ≤
+    max cluster size, trivially small at any corpus scale. n_docs per
+    row cross-checks the histogram against the corpus total
+    (Σ n_docs = |documents|)."""
+    assign = cc1_dedup_components(spark, sf_dir)
+    sizes = assign.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
+    )

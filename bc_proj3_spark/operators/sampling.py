@@ -485,3 +485,47 @@ def gen1_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").alias("checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sp8 — k-fold cross-validation assignment with balance audit
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+_SP8_ORACLE = f"""
+WITH assign AS (
+  SELECT doc_id,
+         {sql_hash60(_sql_seeded('fold', 'CAST(doc_id AS VARCHAR)'))}
+           % {KFOLD_K} AS fold
+  FROM documents
+)
+SELECT fold,
+       COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(SUM(doc_id) AS DECIMAL(28,0)) AS doc_id_sum
+FROM assign GROUP BY fold
+"""
+
+
+@register("sp8_kfold_assign", _SP8_ORACLE)
+def sp8_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment, content-addressed like sp1:
+    fold = hash(doc_id) % K, so folds are stable under corpus growth
+    (new docs never reshuffle old folds — the property RNG-based
+    splits lack) and identical on any engine or cluster size. Reported
+    per fold with its size and an id checksum, so the verified values
+    pin both the BALANCE (sizes within hash-uniformity bounds) and the
+    exact MEMBERSHIP of every fold. Map-side hash + one K-row
+    aggregate; zero data movement beyond the count."""
+    docs = table(spark, sf_dir, "documents")
+    fold = hash60(_seeded("fold", F.col("doc_id").cast("string"))) % KFOLD_K
+    return (
+        docs.select("doc_id", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.sum("doc_id").cast("decimal(28,0)").alias("doc_id_sum"),
+        )
+    )
