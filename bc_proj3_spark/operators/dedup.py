@@ -1066,3 +1066,70 @@ def t20_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d10 — containment pairs: asymmetric near-dup (quotes / subsets)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.5
+
+_D10_ORACLE = f"""
+WITH {_sql_shingles()},
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.k = b.k AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / za.n, 9) AS containment,
+       ROUND(CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common), 9)
+         AS jaccard
+FROM common
+JOIN sizes za ON doc_a = za.doc_id
+JOIN sizes zb ON doc_b = zb.doc_id
+WHERE CAST(n_common AS DOUBLE) / za.n >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("d10_containment_pairs", _D10_ORACLE)
+def d10_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: containment |A∩B| / |A| — the measure that
+    catches a short document quoted or embedded inside a long one,
+    where symmetric Jaccard stays low because the union is dominated
+    by the long side (the quote/boilerplate/subset case every corpus
+    dedup misses if it only runs d3/d4). Pairs are DIRECTED
+    (containment of a in b ≠ b in a), so the self-join keeps both
+    orders; same capped inverted-index machinery and session-shared
+    shingle cache as d3 — one shuffle on the shingle key, never
+    doc×doc. Jaccard is carried alongside so the asymmetry is visible
+    in the verified values (high containment, low jaccard = the
+    subset case)."""
+    sh, sizes = _documents_shingle_index(spark, sf_dir)
+    common = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common").cast("double") / F.col("za.n")
+    jac = F.col("n_common").cast("double") / (
+        F.col("za.n") + F.col("zb.n") - F.col("n_common")
+    )
+    return (
+        common.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 9).alias("containment"),
+            F.round(jac, 9).alias("jaccard"),
+        )
+    )

@@ -837,3 +837,88 @@ def bmp1_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(exact, ["type_a", "type_b"]).select(
         "type_a", "type_b", "n_both", "n_both_exact"
     )
+
+
+# ---------------------------------------------------------------------------
+# sk9 — AMS (tug-of-war) sketch: second frequency moment F2
+# ---------------------------------------------------------------------------
+
+AMS_K = 16  # independent ±1 estimators, averaged
+
+_SK9_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM documents
+),
+cf AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+signs AS (
+  SELECT c, {', '.join(
+      f"CASE WHEN ('0x' || substr(md5('{j}:' || t), 1, 1))::INTEGER % 2 = 0 "
+      f"THEN 1 ELSE -1 END AS s{j}" for j in range(AMS_K)
+  )}
+  FROM cf
+),
+est AS (
+  SELECT {', '.join(f"SUM(s{j} * c) AS z{j}" for j in range(AMS_K))},
+         SUM(CAST(c AS DECIMAL(28,0)) * c) AS f2_exact
+  FROM signs
+)
+SELECT
+  CAST(f2_exact AS BIGINT) AS f2_exact,
+  CAST(({' + '.join(f"z{j} * z{j}" for j in range(AMS_K))})
+       // {AMS_K} AS BIGINT) AS f2_estimate
+FROM est
+"""
+
+
+@register("sk9_ams_f2", _SK9_ORACLE)
+def sk9_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AMS tug-of-war sketch: F2 = Σ c² (the self-join size of the
+    token stream — the quantity that predicts whether a key-join will
+    blow up, and the repetitiveness moment behind skew planning),
+    estimated from K random-sign projections z_j = Σ ±c whose squares
+    are unbiased F2 estimators. Signs come from the seeded md5 family
+    (one hex digit's parity per estimator), so DuckDB derives the
+    IDENTICAL sketch and the value-hash gate covers it — and the exact
+    F2 sits in the same row, making the estimator's error part of the
+    verified values. Sketch state is K integers however large the
+    stream: mergeable across shards by summing z vectors (sign
+    functions are content-addressed, so shards agree). All integer
+    arithmetic; zero float divergence."""
+    docs = table(spark, sf_dir, "documents")
+    tok = fanout(docs).select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("t")
+    )
+    cf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    sign_cols = []
+    for j in range(AMS_K):
+        parity = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("t"))), 1, 1),
+                16,
+                10,
+            ).cast("int")
+            % 2
+        )
+        sign_cols.append(
+            F.when(parity == 0, F.lit(1)).otherwise(F.lit(-1)).alias(f"s{j}")
+        )
+    signs = cf.select("c", *sign_cols)
+    aggs = [
+        F.sum(F.col(f"s{j}") * F.col("c")).alias(f"z{j}") for j in range(AMS_K)
+    ] + [
+        F.sum(F.col("c").cast("decimal(28,0)") * F.col("c")).alias("f2_exact")
+    ]
+    est = signs.agg(*aggs)
+    sq = sum(
+        (F.col(f"z{j}") * F.col(f"z{j}") for j in range(1, AMS_K)),
+        F.col("z0") * F.col("z0"),
+    )
+    return est.select(
+        F.col("f2_exact").cast("bigint").alias("f2_exact"),
+        # floor division in BOTH engines (DuckDB `//`): a double cast
+        # would round in DuckDB but truncate in Spark at *.5
+        F.floor(sq / AMS_K).cast("bigint").alias("f2_estimate"),
+    )
