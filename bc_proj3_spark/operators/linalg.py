@@ -207,3 +207,59 @@ def pi1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").cast("double").alias("loading"),
         F.round(F.col("nrm"), 6).alias("eigenvalue_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g1 — the Gram matrix X^T X of the embedding corpus
+# ---------------------------------------------------------------------------
+
+GRAM_DIM = 64
+
+_G1_ORACLE = f"""
+SELECT i, j,
+       ROUND(CAST(SUM(CAST(ROUND(
+         CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE), 9)
+         AS DECIMAL(28,10))) AS DOUBLE), 6) AS g
+FROM embeddings
+CROSS JOIN generate_series(1, {GRAM_DIM}) t1(i)
+CROSS JOIN generate_series(1, {GRAM_DIM}) t2(j)
+WHERE j >= i
+GROUP BY i, j
+"""
+
+
+@register("g1_gram_matrix", _G1_ORACLE)
+def g1_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X^T X over the embedding corpus (upper triangle) — the batch
+    primitive under PCA/whitening/ridge: a d×d summary however many
+    vectors feed it, which is why it is THE distributed shape for
+    second-order statistics (pi1 iterates toward one eigenvector; this
+    materializes the full matrix in one pass). Each vector fans out to
+    its d(d+1)/2 upper-triangle products map-side (two chained
+    explodes — never a vector×vector join), partial aggregation
+    absorbs the fan-out before the only exchange, and the output is
+    2,080 cells at ANY corpus size. Products are float→double, one
+    rounded op each, decimal-summed per the association-order
+    convention; the deliberate d² row fan-out is the standard
+    compute-for-shuffle trade (the alternative — collecting vectors —
+    doesn't distribute)."""
+    emb = table(spark, sf_dir, "embeddings")
+    with_i = fanout(emb).select(
+        "embedding",
+        F.explode(F.sequence(F.lit(1), F.lit(GRAM_DIM))).alias("i"),
+    )
+    with_ij = with_i.select(
+        "embedding",
+        "i",
+        F.explode(F.sequence(F.col("i"), F.lit(GRAM_DIM))).alias("j"),
+    )
+    prod = F.round(
+        F.element_at("embedding", F.col("i")).cast("double")
+        * F.element_at("embedding", F.col("j")).cast("double"),
+        9,
+    ).cast("decimal(28,10)")
+    return (
+        with_ij.select("i", "j", prod.alias("p"))
+        .groupBy("i", "j")
+        .agg(F.round(F.sum("p").cast("double"), 6).alias("g"))
+    )
