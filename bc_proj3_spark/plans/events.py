@@ -1358,3 +1358,84 @@ def e16_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mean / F.lit(1_000_000)).alias("mean_gap_s"),
         F.round(F.sqrt((s2d - s1d * s1d / n) / n) / mean, 9).alias("gap_cv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e17 — linear multi-touch attribution (credit split across views)
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_US = 3_600 * 1_000_000  # views within 1h before the purchase
+
+_E17_ORACLE = f"""
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us, value
+  FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT event_id AS v_id, user_id, epoch_us(ts) AS v_us
+  FROM events WHERE event_type = 'view'
+),
+touched AS (
+  SELECT p.p_id, p.user_id, p.value, v.v_id
+  FROM purchases p JOIN views v
+    ON v.user_id = p.user_id
+   AND v.v_us < p.p_us
+   AND v.v_us >= p.p_us - {ATTR_WINDOW_US}
+),
+credits AS (
+  SELECT user_id, v_id,
+         CAST(ROUND(value / (COUNT(*) OVER (PARTITION BY p_id)), 9)
+              AS DECIMAL(28,10)) AS credit
+  FROM touched
+)
+SELECT user_id,
+       COUNT(*) AS n_credited_views,
+       ROUND(CAST(SUM(credit) AS DOUBLE), 6) AS attributed_value
+FROM credits
+GROUP BY user_id
+"""
+
+
+@register("e17_linear_attribution", _E17_ORACLE)
+def e17_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: each purchase's value is split
+    equally across every view in the preceding hour, then rolled up
+    per user — the adtech counterpart to e3's winner-takes-all last
+    touch (last-touch over-credits the final ad; linear is the
+    standard first corrective). The touch join is an equi-join on
+    user_id with the time window as a residual predicate (per-user
+    event counts bound the fan-out — the cdc5/e8 discipline: never a
+    time-range cross join); the per-purchase touch count is a window
+    over the purchase key sharing that exchange. Each credit is ONE
+    rounded double division, decimal-summed, so equal splits
+    reassemble bit-identically in both engines."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        "value",
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.unix_micros("ts").alias("v_us"),
+    )
+    touched = purchases.join(
+        views,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_us") < F.col("p_us"))
+        & (F.col("v_us") >= F.col("p_us") - ATTR_WINDOW_US),
+    )
+    w = Window.partitionBy("p_id")
+    credits = touched.select(
+        "user_id",
+        "v_id",
+        F.round(F.col("value") / F.count(F.lit(1)).over(w), 9)
+        .cast("decimal(28,10)")
+        .alias("credit"),
+    )
+    return credits.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_credited_views"),
+        F.round(F.sum("credit").cast("double"), 6).alias("attributed_value"),
+    )
