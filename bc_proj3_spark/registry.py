@@ -188,6 +188,12 @@ _SHOWCASE_FIRST: tuple[str, ...] = (
     "e15_threshold_crossings",
     "w6_topk_with_ties",
     "e16_bot_regularity",
+    "cc5_cluster_sizes",
+    "sp8_kfold_assign",
+    "d10_containment_pairs",
+    "sk9_ams_f2",
+    "g1_gram_matrix",
+    "e17_linear_attribution",
 )
 _SHOWCASE_RANK = {n: i for i, n in enumerate(_SHOWCASE_FIRST)}
 
