@@ -1014,3 +1014,84 @@ def t21_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * sxy - sx * sy) / (n * sxx - sx * sx), 6
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t22 — Flesch-style readability (vowel-run syllable proxy)
+# ---------------------------------------------------------------------------
+
+_T22_ORACLE = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+),
+syl AS (
+  SELECT doc_id,
+         COUNT(*) AS n_words,
+         SUM(greatest(1, len(regexp_extract_all(w, '[aeiou]+'))))
+           AS n_syllables
+  FROM words GROUP BY doc_id
+),
+sent AS (
+  SELECT doc_id,
+         greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS n_sentences
+  FROM documents
+)
+SELECT s.doc_id, n_words, CAST(n_syllables AS BIGINT) AS n_syllables,
+       n_sentences,
+       ROUND(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+         AS flesch
+FROM syl s JOIN sent USING (doc_id)
+"""
+
+
+@register("t22_readability", _T22_ORACLE)
+def t22_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease with a vowel-run syllable proxy (each
+    maximal [aeiou]+ run counts one syllable, minimum one per word) —
+    the classic readability screen corpus curation uses to route text
+    to grade-level buckets; exact syllabification is dictionary work,
+    but the proxy preserves the ranking, and at 100 TB ranking is what
+    the filter consumes. Integer counts all the way (explode → two
+    combiner-absorbed aggregates sharing the doc key); the Flesch
+    formula is a single chain of double ops on those integers, rounded
+    at 6 — no accumulation-order exposure at all."""
+    docs = table(spark, sf_dir, "documents")
+    words = fanout(docs).select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("w"),
+    )
+    syl = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(
+            F.greatest(
+                F.lit(1),
+                F.size(F.regexp_extract_all(F.col("w"), F.lit("[aeiou]+"), 0)),
+            )
+        ).alias("n_syllables"),
+    )
+    sent = docs.select(
+        "doc_id",
+        F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]"), 0)),
+        ).alias("n_sentences"),
+    )
+    return syl.join(sent, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.col("n_syllables").cast("bigint").alias("n_syllables"),
+        "n_sentences",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - F.lit(84.6)
+            * (F.col("n_syllables").cast("double") / F.col("n_words")),
+            6,
+        ).alias("flesch"),
+    )
