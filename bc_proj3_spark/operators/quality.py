@@ -646,3 +646,123 @@ def o7_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_events") <= GRID_SPARSE_MAX).alias("is_sparse"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# imp1 — median imputation of deterministically-masked values
+# ---------------------------------------------------------------------------
+
+IMPUTE_MASK_MOD = 10  # every 10th event plays the missing-value role
+
+_IMP1_ORACLE = f"""
+WITH masked AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % {IMPUTE_MASK_MOD} = 0 THEN NULL
+              ELSE value END AS value
+  FROM events
+),
+med AS (
+  SELECT event_type,
+         ROUND(quantile_cont(value, 0.5), 6) AS group_median
+  FROM masked WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT m.event_id,
+       m.value IS NULL AS was_missing,
+       ROUND(COALESCE(m.value, d.group_median), 6) AS imputed_value
+FROM masked m JOIN med d USING (event_type)
+"""
+
+
+@register("imp1_median_impute", _IMP1_ORACLE)
+def imp1_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation — the ML-prep staple for filling missing
+    numerics without letting outliers leak in (mean imputation's
+    failure mode). The synthetic table has no NULLs, so missingness is
+    injected deterministically (every 10th event id) IDENTICALLY in
+    both engines; the operator under test is the fill: per-type exact
+    median over the observed values (Spark ``percentile`` / DuckDB
+    ``quantile_cont`` — same interpolation), broadcast back as a
+    |types|-row table, COALESCE at scan speed. The was_missing flag
+    keeps provenance in the output — the auditability rule every
+    imputation pipeline should follow."""
+    ev = table(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % IMPUTE_MASK_MOD == 0, None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    med = (
+        masked.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.round(F.percentile("value", 0.5), 6).alias("group_median"))
+    )
+    return masked.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        F.col("value").isNull().alias("was_missing"),
+        F.round(F.coalesce("value", "group_median"), 6).alias(
+            "imputed_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fe1 — feature-vector assembly (one-hot + scaled numerics, as SQL)
+# ---------------------------------------------------------------------------
+
+#: categorical domain pinned at plan time — the feature contract. A
+#: drifted category shows up as an all-zero one-hot block, not a
+#: silent schema change.
+FE_TYPES = ("click", "error", "purchase", "signup", "view")
+FE_VALUE_SCALE = 400.0  # value / scale ≈ [0, 1] at any SF
+FE_DIM = len(FE_TYPES) + 2  # one-hot + scaled value + scaled hour
+
+
+def _fe1_oracle() -> str:
+    onehot = ", ".join(
+        f"CASE WHEN event_type = '{t}' THEN 1.0 ELSE 0.0 END" for t in FE_TYPES
+    )
+    return f"""
+WITH vec AS (
+  SELECT event_id,
+         [{onehot},
+          ROUND(value / {FE_VALUE_SCALE}, 9),
+          ROUND(EXTRACT(HOUR FROM ts) / 24.0, 9)] AS features
+  FROM events
+)
+SELECT event_id, CAST(idx AS INTEGER) AS idx, features[idx] AS feature
+FROM vec CROSS JOIN generate_series(1, {FE_DIM}) t(idx)
+"""
+
+
+@register("fe1_feature_vector", _fe1_oracle())
+def fe1_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-vector assembly as pure relational expressions — the
+    VectorAssembler/one-hot stage of an ML pipeline without MLlib's
+    engine-private vector type (which no oracle could read): a
+    plan-time-pinned category domain one-hot block plus two scaled
+    numerics, packed into an array column and verified element-wise
+    via posexplode. Zero shuffles — this runs at scan speed and writes
+    straight to a training shard; the pinned FE_TYPES tuple is the
+    feature CONTRACT, so category drift surfaces as an all-zero block
+    in monitoring (dq-family) instead of silently renumbering
+    downstream model inputs."""
+    ev = table(spark, sf_dir, "events")
+    onehot = [
+        F.when(F.col("event_type") == t, 1.0).otherwise(0.0) for t in FE_TYPES
+    ]
+    features = F.array(
+        *onehot,
+        F.round(F.col("value") / FE_VALUE_SCALE, 9),
+        F.round(F.hour("ts") / F.lit(24.0), 9),
+    )
+    vec = ev.select("event_id", features.alias("features"))
+    return vec.select(
+        "event_id",
+        F.posexplode("features").alias("pos", "feature"),
+    ).select(
+        "event_id",
+        (F.col("pos") + 1).cast("int").alias("idx"),
+        "feature",
+    )

@@ -655,3 +655,45 @@ def a10_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "user_id", F.explode("type_counts").alias("event_type", "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# a12 — deterministic mode (modal value per group)
+# ---------------------------------------------------------------------------
+
+_A12_ORACLE = """
+SELECT user_id, event_type AS modal_type, n
+FROM (
+  SELECT user_id, event_type, COUNT(*) AS n,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type
+         ) AS rn
+  FROM events GROUP BY user_id, event_type
+) t WHERE rn = 1
+"""
+
+
+@register("a12_mode_per_group", _A12_ORACLE)
+def a12_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's modal event type — the categorical summary behind
+    modal imputation and segment labeling. Built as count + rank with
+    a LEXICOGRAPHIC tiebreak rather than the engine's ``mode()``
+    aggregate, because ANSI leaves mode's tie choice implementation-
+    defined (Spark and DuckDB may disagree on the same data — the
+    kind of nondeterminism a cross-engine result contract cannot
+    contain). Two stages on one user-keyed exchange: the (user, type)
+    count and the WindowGroupLimit top-1."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n")
+    )
