@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bc_proj3_spark.functions.hashing import sql_hash60
+from bc_proj3_spark.operators.sampling import _sql_seeded
 from bc_proj3_spark.plans.tables import table
 from bc_proj3_spark.registry import register
 
@@ -765,4 +767,80 @@ def fe1_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.col("pos") + 1).cast("int").alias("idx"),
         "feature",
+    )
+
+
+# ---------------------------------------------------------------------------
+# fe2 — leakage-safe standard scaling (train-split statistics only)
+# ---------------------------------------------------------------------------
+
+_FE2_ORACLE = f"""
+WITH tagged AS (
+  SELECT event_id, value,
+         {sql_hash60(_sql_seeded('split', 'CAST(event_id AS VARCHAR)'))}
+           % 100 < 90 AS is_train
+  FROM events
+),
+mom AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(28,10))) AS s1,
+         SUM(CAST(value AS DECIMAL(28,10)) * CAST(value AS DECIMAL(28,10)))
+           AS s2
+  FROM tagged WHERE is_train
+),
+stats AS (
+  SELECT CAST(s1 AS DOUBLE) / n AS mu,
+         SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+              / n) AS sigma
+  FROM mom
+)
+SELECT event_id, is_train,
+       ROUND((value - mu) / sigma, 9) AS value_scaled
+FROM tagged, stats
+"""
+
+
+@register("fe2_train_scaled", _FE2_ORACLE)
+def fe2_train_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard scaling with the LEAKAGE discipline: μ and σ come from
+    the train split ONLY (sp1's content-addressed 90% hash split),
+    then apply to every row — computing scaler statistics over data
+    that includes the eval split is the most common silent
+    train/test-contamination bug in feature pipelines, and this
+    operator's shape makes it impossible (the moment aggregate is
+    filtered BEFORE it exists). Moments accumulate in decimal
+    (association-order-proof), the 1-row stats broadcast back, and
+    the scaling is scan-side. The split flag rides along so an
+    auditor can recompute either side."""
+    from bc_proj3_spark.operators.sampling import _seeded
+
+    ev = table(spark, sf_dir, "events")
+    from bc_proj3_spark.functions.hashing import hash60
+
+    is_train = (
+        hash60(_seeded("split", F.col("event_id").cast("string"))) % 100 < 90
+    )
+    tagged = ev.select(
+        "event_id", "value", is_train.alias("is_train")
+    )
+    dec = "decimal(28,10)"
+    mom = tagged.filter("is_train").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(dec)).alias("s1"),
+        F.sum(F.col("value").cast(dec) * F.col("value").cast(dec)).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    stats = mom.select(
+        (s1d / F.col("n")).alias("mu"),
+        F.sqrt(
+            (s2d - s1d * s1d / F.col("n")) / F.col("n")
+        ).alias("sigma"),
+    )
+    return tagged.crossJoin(F.broadcast(stats)).select(
+        "event_id",
+        "is_train",
+        F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 9).alias(
+            "value_scaled"
+        ),
     )

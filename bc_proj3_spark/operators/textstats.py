@@ -1095,3 +1095,84 @@ def t22_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lab1 — weak supervision: labeling-function votes with abstain
+# ---------------------------------------------------------------------------
+
+_LAB1_ORACLE = """
+WITH votes AS (
+  SELECT doc_id,
+         CASE WHEN text LIKE '%spark%' THEN 1
+              WHEN text LIKE '%slow%' THEN 0 ELSE -1 END AS lf_keyword,
+         CASE WHEN n_chars >= 400 THEN 1
+              WHEN n_chars < 150 THEN 0 ELSE -1 END AS lf_length,
+         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS lf_lang
+  FROM documents
+),
+tallied AS (
+  SELECT doc_id, lf_keyword, lf_length, lf_lang,
+         (CASE WHEN lf_keyword = 1 THEN 1 ELSE 0 END
+          + CASE WHEN lf_length = 1 THEN 1 ELSE 0 END
+          + CASE WHEN lf_lang = 1 THEN 1 ELSE 0 END) AS pos,
+         (CASE WHEN lf_keyword = 0 THEN 1 ELSE 0 END
+          + CASE WHEN lf_length = 0 THEN 1 ELSE 0 END
+          + CASE WHEN lf_lang = 0 THEN 1 ELSE 0 END) AS neg
+  FROM votes
+)
+SELECT doc_id, pos, neg,
+       CASE WHEN pos > neg THEN 1 WHEN neg > pos THEN 0 ELSE -1 END
+         AS weak_label
+FROM tallied
+"""
+
+
+@register("lab1_weak_labels", _LAB1_ORACLE)
+def lab1_weak_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak supervision (Snorkel-style): three labeling functions —
+    keyword, length, language — each voting positive / negative /
+    ABSTAIN (-1), majority-resolved per document with ties left
+    abstaining. This is how training labels are manufactured at corpus
+    scale when human annotation can't keep up: rules are cheap,
+    abstention is explicit, and the downstream label model consumes
+    the vote matrix (here the resolved majority plus the tallies, so
+    the matrix is auditable). Pure scan-side CASE expressions — zero
+    shuffles, label generation at parquet-scan speed."""
+    docs = table(spark, sf_dir, "documents")
+    lf_keyword = (
+        F.when(F.col("text").contains("spark"), 1)
+        .when(F.col("text").contains("slow"), 0)
+        .otherwise(-1)
+    )
+    lf_length = (
+        F.when(F.col("n_chars") >= 400, 1)
+        .when(F.col("n_chars") < 150, 0)
+        .otherwise(-1)
+    )
+    lf_lang = F.when(F.col("lang") == "en", 1).otherwise(-1)
+    votes = docs.select(
+        "doc_id",
+        lf_keyword.alias("lf_keyword"),
+        lf_length.alias("lf_length"),
+        lf_lang.alias("lf_lang"),
+    )
+    def tally(target: int) -> F.Column:
+        return sum(
+            F.when(F.col(c) == target, 1).otherwise(0)
+            for c in ("lf_keyword", "lf_length", "lf_lang")
+        )
+    tallied = votes.select(
+        "doc_id",
+        tally(1).alias("pos"),
+        tally(0).alias("neg"),
+    )
+    return tallied.select(
+        "doc_id",
+        "pos",
+        "neg",
+        F.when(F.col("pos") > F.col("neg"), 1)
+        .when(F.col("neg") > F.col("pos"), 0)
+        .otherwise(-1)
+        .alias("weak_label"),
+    )

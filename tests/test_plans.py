@@ -51,6 +51,7 @@ _BNLJ_OK = {
     "stat1_chi2_cells",  # 1-row grand total crossed into the cell table
     "hs1_hybrid_rrf",  # inherits bm1's 1-row corpus-stats cross
     "pipe1_corpus_build",  # inherits f1's 1-row corpus-total cross
+    "fe2_train_scaled",  # 1-row train-split (mu, sigma) crossed in
 }
 
 #: streaming queries — their builders execute a full streaming job;
