@@ -922,3 +922,75 @@ def sk9_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         # would round in DuckDB but truncate in Spark at *.5
         F.floor(sq / AMS_K).cast("bigint").alias("f2_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bmp2 — bitmap shard merge: exact distinct rollup (sk8's exact twin)
+# ---------------------------------------------------------------------------
+
+_BMP2_ORACLE = f"""
+WITH day_words AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         user_id // {BMP_WORD} AS word_id,
+         bit_or(1::BIGINT << CAST(user_id % {BMP_WORD} AS INTEGER)) AS w
+  FROM events
+  GROUP BY event_type, CAST(ts AS DATE), user_id // {BMP_WORD}
+),
+merged AS (
+  SELECT event_type, word_id, bit_or(w) AS w
+  FROM day_words GROUP BY event_type, word_id
+),
+rolled AS (
+  SELECT event_type, SUM(bit_count(w)) AS n_distinct_bitmap
+  FROM merged GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_exact
+  FROM events GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(n_distinct_bitmap AS BIGINT) AS n_distinct_bitmap,
+       n_distinct_exact
+FROM rolled r JOIN exact e ON e.event_type = r.event_type
+"""
+
+
+@register("bmp2_bitmap_distinct_rollup", _BMP2_ORACLE)
+def bmp2_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-count rollup through mergeable per-day bitmaps:
+    each (type, day) shard materializes its user set as 63-bit words,
+    shards merge by word-aligned bit_or, and popcount of the merged
+    bitmap IS the distinct count — sk8's shard-merge pattern with zero
+    error, the right tool when the id space is dense enough that
+    |ids|/63 words beat HLL's fixed registers on accuracy at similar
+    size. The in-row exact count proves the algebra
+    (bitmap == COUNT(DISTINCT) always, not approximately). Both
+    aggregates are combiner-absorbed; incremental maintenance is
+    bit_or of yesterday's bitmap with today's — no raw-history
+    re-read, the same property the HLL path has, now exact."""
+    ev = table(spark, sf_dir, "events")
+    day_words = (
+        ev.groupBy(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.expr(f"user_id div {BMP_WORD}").alias("word_id"),
+        )
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(user_id % {BMP_WORD} AS INT)))"
+            ).alias("w")
+        )
+    )
+    merged = day_words.groupBy("event_type", "word_id").agg(
+        F.expr("bit_or(w)").alias("w")
+    )
+    rolled = merged.groupBy("event_type").agg(
+        F.sum(F.expr("bit_count(w)")).cast("bigint").alias("n_distinct_bitmap")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_distinct_exact")
+    )
+    return rolled.join(exact, "event_type").select(
+        "event_type", "n_distinct_bitmap", "n_distinct_exact"
+    )

@@ -1176,3 +1176,114 @@ def lab1_weak_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(-1)
         .alias("weak_label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lab2 — labeling-function diagnostics: coverage / overlap / conflict
+# ---------------------------------------------------------------------------
+
+_LAB2_ORACLE = """
+WITH votes AS (
+  SELECT doc_id,
+         CASE WHEN text LIKE '%spark%' THEN 1
+              WHEN text LIKE '%slow%' THEN 0 ELSE -1 END AS lf_keyword,
+         CASE WHEN n_chars >= 400 THEN 1
+              WHEN n_chars < 150 THEN 0 ELSE -1 END AS lf_length,
+         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS lf_lang
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, lf_keyword, lf_length, lf_lang,
+         (CASE WHEN lf_keyword <> -1 THEN 1 ELSE 0 END
+          + CASE WHEN lf_length <> -1 THEN 1 ELSE 0 END
+          + CASE WHEN lf_lang <> -1 THEN 1 ELSE 0 END) AS n_voting,
+         (CASE WHEN lf_keyword = 1 THEN 1 ELSE 0 END
+          + CASE WHEN lf_length = 1 THEN 1 ELSE 0 END
+          + CASE WHEN lf_lang = 1 THEN 1 ELSE 0 END) AS pos,
+         (CASE WHEN lf_keyword = 0 THEN 1 ELSE 0 END
+          + CASE WHEN lf_length = 0 THEN 1 ELSE 0 END
+          + CASE WHEN lf_lang = 0 THEN 1 ELSE 0 END) AS neg
+  FROM votes
+),
+lf AS (
+  SELECT 'lf_keyword' AS lf, lf_keyword AS vote, n_voting, pos, neg FROM per_doc
+  UNION ALL
+  SELECT 'lf_length', lf_length, n_voting, pos, neg FROM per_doc
+  UNION ALL
+  SELECT 'lf_lang', lf_lang, n_voting, pos, neg FROM per_doc
+)
+SELECT lf,
+       SUM(CASE WHEN vote <> -1 THEN 1 ELSE 0 END) AS n_covered,
+       SUM(CASE WHEN vote <> -1 AND n_voting >= 2 THEN 1 ELSE 0 END)
+         AS n_overlap,
+       SUM(CASE WHEN vote <> -1 AND pos > 0 AND neg > 0 THEN 1 ELSE 0 END)
+         AS n_conflict
+FROM lf GROUP BY lf
+"""
+
+
+@register("lab2_lf_diagnostics", _LAB2_ORACLE)
+def lab2_lf_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The labeling-function report card that decides which rules stay
+    in the weak-supervision ensemble: per LF, coverage (how often it
+    votes), overlap (votes alongside another LF — required for the
+    label model to estimate its accuracy), and conflict (votes where
+    the rule set disagrees — where denoising happens). Shares lab1's
+    vote expressions verbatim; the LF-major unpivot is a 3× scan-side
+    union and the report is one |LF|-row aggregate. At corpus scale
+    this is the cheap nightly job that watches rule drift."""
+    docs = table(spark, sf_dir, "documents")
+    lf_keyword = (
+        F.when(F.col("text").contains("spark"), 1)
+        .when(F.col("text").contains("slow"), 0)
+        .otherwise(-1)
+    )
+    lf_length = (
+        F.when(F.col("n_chars") >= 400, 1)
+        .when(F.col("n_chars") < 150, 0)
+        .otherwise(-1)
+    )
+    lf_lang = F.when(F.col("lang") == "en", 1).otherwise(-1)
+    votes = docs.select(
+        "doc_id",
+        lf_keyword.alias("lf_keyword"),
+        lf_length.alias("lf_length"),
+        lf_lang.alias("lf_lang"),
+    )
+    cols = ("lf_keyword", "lf_length", "lf_lang")
+
+    def tally(target: int) -> "F.Column":
+        return sum(
+            F.when(F.col(c) == target, 1).otherwise(0) for c in cols
+        )
+
+    per_doc = votes.select(
+        "doc_id",
+        *cols,
+        sum(
+            F.when(F.col(c) != -1, 1).otherwise(0) for c in cols
+        ).alias("n_voting"),
+        tally(1).alias("pos"),
+        tally(0).alias("neg"),
+    )
+    unions = None
+    for c in cols:
+        part = per_doc.select(
+            F.lit(c).alias("lf"),
+            F.col(c).alias("vote"),
+            "n_voting",
+            "pos",
+            "neg",
+        )
+        unions = part if unions is None else unions.unionAll(part)
+    voting = F.col("vote") != -1
+    return unions.groupBy("lf").agg(
+        F.sum(F.when(voting, 1).otherwise(0)).alias("n_covered"),
+        F.sum(
+            F.when(voting & (F.col("n_voting") >= 2), 1).otherwise(0)
+        ).alias("n_overlap"),
+        F.sum(
+            F.when(voting & (F.col("pos") > 0) & (F.col("neg") > 0), 1)
+            .otherwise(0)
+        ).alias("n_conflict"),
+    )
