@@ -263,3 +263,98 @@ def g1_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.round(F.sum("p").cast("double"), 6).alias("g"))
     )
+
+
+# ---------------------------------------------------------------------------
+# g2 — embedding centroid shift between content-addressed halves
+# ---------------------------------------------------------------------------
+
+from bc_proj3_spark.functions.hashing import sql_hash60  # noqa: E402
+
+G2_DIM = 64
+
+_G2_ORACLE = f"""
+WITH tagged AS (
+  SELECT embedding,
+         ('0x' || substr(md5('half:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+           % 2 = 0 AS in_a
+  FROM embeddings
+),
+dims AS (
+  SELECT in_a, i,
+         SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 9) AS DECIMAL(28,10)))
+           AS s,
+         COUNT(*) AS n
+  FROM tagged CROSS JOIN generate_series(1, {G2_DIM}) t(i)
+  GROUP BY in_a, i
+),
+means AS (
+  SELECT i,
+         MAX(CASE WHEN in_a THEN CAST(s AS DOUBLE) / n END) AS mu_a,
+         MAX(CASE WHEN NOT in_a THEN CAST(s AS DOUBLE) / n END) AS mu_b
+  FROM dims GROUP BY i
+)
+SELECT CAST(i AS INTEGER) AS i,
+       ROUND(mu_a, 6) AS mu_a,
+       ROUND(mu_b, 6) AS mu_b,
+       ROUND(ABS(mu_a - mu_b), 6) AS abs_shift
+FROM means
+"""
+
+
+@register("g2_centroid_shift", _G2_ORACLE)
+def g2_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift: the per-dimension centroid of two
+    content-addressed halves of the corpus and their absolute shift —
+    the monitoring signal that catches a broken or retrained encoder
+    upstream (value-space drift dq6 can't see lives in embedding
+    space; here the two halves of a STABLE corpus should agree, so a
+    large shift localizes the dimension that moved). Per-dimension
+    sums explode d ways map-side and reduce in decimal; output is d
+    rows at any corpus size. The half assignment is the md5 family, so
+    both engines split identically — no RNG, reproducible on any
+    cluster."""
+    emb = table(spark, sf_dir, "embeddings")
+    in_a = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("half:"), F.col("vec_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    tagged = fanout(emb).select("embedding", in_a.alias("in_a"))
+    dims = (
+        tagged.select(
+            "in_a",
+            "embedding",
+            F.explode(F.sequence(F.lit(1), F.lit(G2_DIM))).alias("i"),
+        )
+        .select(
+            "in_a",
+            "i",
+            F.round(
+                F.element_at("embedding", F.col("i")).cast("double"), 9
+            )
+            .cast("decimal(28,10)")
+            .alias("e"),
+        )
+        .groupBy("in_a", "i")
+        .agg(F.sum("e").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    means = dims.groupBy("i").agg(
+        F.max(F.when(F.col("in_a"), mean)).alias("mu_a"),
+        F.max(F.when(~F.col("in_a"), mean)).alias("mu_b"),
+    )
+    return means.select(
+        F.col("i").cast("int").alias("i"),
+        F.round("mu_a", 6).alias("mu_a"),
+        F.round("mu_b", 6).alias("mu_b"),
+        F.round(F.abs(F.col("mu_a") - F.col("mu_b")), 6).alias("abs_shift"),
+    )

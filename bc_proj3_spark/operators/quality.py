@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bc_proj3_spark.functions import text as T
 from bc_proj3_spark.functions.hashing import sql_hash60
 from bc_proj3_spark.operators.sampling import _sql_seeded
 from bc_proj3_spark.plans.tables import table
@@ -843,4 +844,88 @@ def fe2_train_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 9).alias(
             "value_scaled"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cal1 — calibration: does the quality score predict the weak label?
+# ---------------------------------------------------------------------------
+
+CAL_BINS = 10
+
+_CAL1_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         0.4 * least(1.0, len(string_split_regex(trim(text), '\\s+')) / 60.0)
+         + 0.3 * (1.0 - (length(text)
+             - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))::DOUBLE
+             / length(text))
+         + 0.3 * (1.0 - (len(string_split_regex(trim(text), '\\s+'))
+             - len({T.sql_tokenize('text')}))::DOUBLE
+             / len(string_split_regex(trim(text), '\\s+'))) AS score
+  FROM documents
+),
+labeled AS (
+  SELECT s.doc_id, s.score,
+         CASE WHEN d.text LIKE '%spark%' OR d.n_chars >= 400
+              THEN 1 ELSE 0 END AS label
+  FROM scored s JOIN documents d USING (doc_id)
+),
+binned AS (
+  SELECT LEAST(9, CAST(FLOOR(score * 10) AS INTEGER)) AS bin, score, label
+  FROM labeled
+)
+SELECT bin,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(ROUND(score, 9) AS DECIMAL(28,10))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_score,
+       ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS positive_rate
+FROM binned GROUP BY bin
+"""
+
+
+@register("cal1_reliability_bins", _CAL1_ORACLE)
+def cal1_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram data: the t2 quality score binned into
+    deciles against a weak positive signal (two of lab1's labeling
+    functions), with mean score and observed positive rate per bin —
+    the calibration check run before any score is used as a sampling
+    weight or filter threshold (a score can RANK well and still be
+    wildly miscalibrated; sp5-style temperature mixing consumes
+    probabilities, not ranks). Reuses t2's exact scoring expressions
+    and lab1's rules; fixed-width bins need no stats pre-pass; the
+    whole audit is one scan and one 10-row aggregate."""
+    from bc_proj3_spark.functions import text as T
+
+    docs = table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    n_chars = F.length(F.col("text"))
+    n_clean = F.length(F.regexp_replace(lower, r"[^a-z0-9\s]", ""))
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_content = F.size(T.tokenize(F.col("text")))
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_words.cast("double") / F.lit(60.0))
+        + F.lit(0.3)
+        * (F.lit(1.0) - (n_chars - n_clean).cast("double") / n_chars)
+        + F.lit(0.3)
+        * (F.lit(1.0) - (n_words - n_content).cast("double") / n_words)
+    )
+    label = (
+        F.when(
+            (F.col("text").contains("spark")) | (F.col("n_chars") >= 400), 1
+        ).otherwise(0)
+    )
+    binned = docs.select(
+        F.least(F.lit(9), F.floor(score * 10).cast("int")).alias("bin"),
+        F.round(score, 9).cast("decimal(28,10)").alias("score_d"),
+        label.alias("label"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("score_d").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_score"),
+        F.round(
+            F.sum("label").cast("double") / F.count(F.lit(1)), 6
+        ).alias("positive_rate"),
     )
