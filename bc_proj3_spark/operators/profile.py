@@ -166,3 +166,78 @@ def prof2_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# mi1 — mutual information: value-bin × event-type dependence
+# ---------------------------------------------------------------------------
+
+MI_BINS = 8
+MI_VALUE_WIDTH = 50.0
+
+
+def _mi1_oracle() -> str:
+    return f"""
+WITH cells AS (
+  SELECT LEAST({MI_BINS - 1},
+               CAST(FLOOR(value / {MI_VALUE_WIDTH}) AS INTEGER)) AS bin,
+         event_type,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT SUM(c) AS n FROM cells),
+margx AS (SELECT bin, SUM(c) AS cx FROM cells GROUP BY bin),
+margy AS (SELECT event_type, SUM(c) AS cy FROM cells GROUP BY event_type)
+SELECT cells.bin, cells.event_type, c,
+       ROUND((CAST(c AS DOUBLE) / n)
+             * LN((CAST(c AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * cy)), 9)
+         AS mi_contrib
+FROM cells
+JOIN margx USING (bin)
+JOIN margy USING (event_type)
+CROSS JOIN tot
+"""
+
+
+@register("mi1_mutual_information", _mi1_oracle())
+def mi1_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the binned value and the event type,
+    reported per contingency cell (Σ mi_contrib is I(X;Y)) — the
+    feature-selection statistic that catches NONLINEAR dependence
+    where correlation (a8) sees nothing, and the information-theoretic
+    sibling of stat1's chi-square on the same contingency shape. Fixed
+    bins (no stats pre-pass), one cell aggregate, two tiny marginal
+    aggregates rejoined on the cell table, one 1-row total crossed in
+    — output is |bins|×|types| rows at any scale. Each contribution
+    is one chain of double ops on exact integer counts, rounded at
+    9."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.least(
+            F.lit(MI_BINS - 1),
+            F.floor(F.col("value") / MI_VALUE_WIDTH).cast("int"),
+        ).alias("bin"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    margx = cells.groupBy("bin").agg(F.sum("c").alias("cx"))
+    margy = cells.groupBy("event_type").agg(F.sum("c").alias("cy"))
+    cd = F.col("c").cast("double")
+    return (
+        cells.join(margx, "bin")
+        .join(margy, "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "event_type",
+            "c",
+            F.round(
+                (cd / F.col("n"))
+                * F.log(
+                    (cd * F.col("n"))
+                    / (F.col("cx").cast("double") * F.col("cy"))
+                ),
+                9,
+            ).alias("mi_contrib"),
+        )
+    )

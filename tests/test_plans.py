@@ -52,6 +52,7 @@ _BNLJ_OK = {
     "hs1_hybrid_rrf",  # inherits bm1's 1-row corpus-stats cross
     "pipe1_corpus_build",  # inherits f1's 1-row corpus-total cross
     "fe2_train_scaled",  # 1-row train-split (mu, sigma) crossed in
+    "mi1_mutual_information",  # 1-row contingency total crossed in
 }
 
 #: streaming queries — their builders execute a full streaming job;
