@@ -1439,3 +1439,83 @@ def e17_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_credited_views"),
         F.round(F.sum("credit").cast("double"), 6).alias("attributed_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ret1 — weekly cohort retention triangle
+# ---------------------------------------------------------------------------
+
+_RET1_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         (epoch_us(MIN(ts)) // 604800000000) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         (epoch_us(e.ts) // 604800000000) AS act_week
+  FROM events e
+),
+joined AS (
+  SELECT f.cohort_week,
+         CAST(a.act_week - f.cohort_week AS INTEGER) AS weeks_since,
+         a.user_id
+  FROM firsts f JOIN activity a ON a.user_id = f.user_id
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts
+  GROUP BY cohort_week
+)
+SELECT j.cohort_week, j.weeks_since,
+       COUNT(DISTINCT j.user_id) AS n_active,
+       s.cohort_size,
+       ROUND(CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / s.cohort_size, 9)
+         AS retention
+FROM joined j JOIN sizes s ON s.cohort_week = j.cohort_week
+GROUP BY j.cohort_week, j.weeks_since, s.cohort_size
+"""
+
+
+@register("ret1_cohort_retention", _RET1_ORACLE)
+def ret1_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly cohort retention TRIANGLE — cohort week × weeks-since
+    -first-seen, fraction of the cohort still active — the canonical
+    product-analytics artifact (e5 answers "came back next day?"; this
+    materializes the whole decay surface every growth team reads).
+    Weeks are epoch-floored integer µs (604800e6 per week — same floor
+    division both engines). Three aggregates, all user- or
+    cohort-keyed: first-seen per user, distinct (user, week) activity,
+    and the triangle roll-up; output is O(weeks²) rows at any event
+    volume."""
+    ev = table(spark, sf_dir, "events")
+    week = lambda c: F.expr(f"unix_micros({c}) div 604800000000")
+    firsts = ev.groupBy("user_id").agg(
+        F.expr("unix_micros(min(ts)) div 604800000000").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", week("ts").alias("act_week")
+    ).distinct()
+    joined = firsts.join(activity, "user_id").select(
+        "cohort_week",
+        (F.col("act_week") - F.col("cohort_week")).cast("int").alias(
+            "weeks_since"
+        ),
+        "user_id",
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        joined.groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 9
+            ).alias("retention"),
+        )
+    )

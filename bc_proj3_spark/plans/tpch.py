@@ -1680,3 +1680,74 @@ def w6_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# rfm1 — RFM customer segmentation (recency / frequency / monetary)
+# ---------------------------------------------------------------------------
+
+RFM_NTILES = 4
+
+_RFM1_ORACLE = f"""
+WITH base AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         {sql_dec_sum("o_totalprice", "monetary")}
+  FROM orders GROUP BY o_custkey
+),
+coded AS (
+  SELECT o_custkey, frequency, monetary,
+         NTILE({RFM_NTILES}) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+         NTILE({RFM_NTILES}) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+         NTILE({RFM_NTILES}) OVER (ORDER BY monetary DESC, o_custkey) AS m
+  FROM base
+)
+SELECT r, f, m,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(monetary AS DECIMAL(28,10))) AS DOUBLE), 2)
+         AS segment_value
+FROM coded GROUP BY r, f, m
+"""
+
+
+@register("rfm1_customer_segments", _RFM1_ORACLE)
+def rfm1_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — every customer quartile-coded on Recency,
+    Frequency, Monetary and rolled into segment cells (r=1,f=1,m=1 is
+    the champions cell; 4,4,4 the lost) — the marketing-analytics
+    workhorse built entirely from one base aggregate and three NTILE
+    windows. Each window carries the unique custkey tiebreak: NTILE's
+    bucket boundaries depend on ORDER, so an ambiguous order would let
+    two engines code ties differently — the determinism rule every
+    windowed bucketing here follows. Base aggregate shuffles on
+    custkey once; the three global windows run over the already
+    customer-sized frame; output is ≤ 4³ cells."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dec_sum("o_totalprice", "monetary"),
+    )
+    coded = base.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        F.ntile(RFM_NTILES)
+        .over(Window.orderBy(F.col("last_order").desc(), "o_custkey"))
+        .alias("r"),
+        F.ntile(RFM_NTILES)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f"),
+        F.ntile(RFM_NTILES)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("m"),
+    )
+    return coded.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum(F.col("monetary").cast("decimal(28,10)")).cast("double"), 2
+        ).alias("segment_value"),
+    )
