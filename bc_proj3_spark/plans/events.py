@@ -1519,3 +1519,71 @@ def ret1_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e18 — top session paths (ordered event-type journeys)
+# ---------------------------------------------------------------------------
+
+PATH_TOP_K = 25
+
+_E18_ORACLE = f"""
+WITH {_SQL_SESSIONS_CTE},
+paths AS (
+  SELECT s.user_id, s.session_seq,
+         string_agg(e.event_type, '>' ORDER BY s.ts, s.event_id) AS path
+  FROM sessions s JOIN events e ON e.event_id = s.event_id
+  GROUP BY s.user_id, s.session_seq
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOP_K}
+"""
+
+
+@register("e18_session_paths", _E18_ORACLE)
+def e18_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each session's ordered event-type sequence
+    collapsed to a path string ('view>click>purchase'), counted across
+    the corpus — the path-analysis staple behind funnel DISCOVERY
+    (e7/e13 check a path you already hypothesized; this surfaces which
+    paths exist). Ordering inside the aggregation is total
+    ((ts, event_id)), so both engines build identical strings; paths
+    reuse e2's session CTE verbatim. Sessions are gap-bounded, so path
+    strings are short; the top-k is TakeOrdered. One user-key exchange
+    for sessionization + path build, one path-key exchange for the
+    count."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ordered = sessions.withColumn(
+        "evs",
+        F.collect_list("event_type").over(
+            Window.partitionBy("user_id", "session_seq")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    paths = (
+        ordered.groupBy("user_id", "session_seq")
+        .agg(F.array_join(F.max("evs"), ">").alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOP_K)
+    )
