@@ -44,9 +44,31 @@ def dec_avg(col: Column | str, alias: str) -> Column:
     ).alias(alias)
 
 
+def dec_sum_rounded(col: Column | str, alias: str, nd: int = 2) -> Column:
+    """:func:`dec_sum` ROUND-wrapped at ``nd`` decimals.
+
+    The decimal cast itself is only per-row exact when the double's
+    shortest decimal repr and its exact binary expansion round to the
+    same DEC_SCALE grid point — for values above ~4e5 the double ulp
+    crosses the 1e-10 grid and Spark (shortest-repr HALF_UP) and DuckDB
+    (exact-binary round) can disagree by 1e-10 per row (observed: r5
+    judge sweep, w2/r2). ROUND at the data's true decimal precision (2 for
+    money) erases that tail on both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(DECIMAL_T)).cast("double"), nd).alias(alias)
+
+
 def sql_dec_sum(expr: str, alias: str) -> str:
     """The DuckDB-side twin of :func:`dec_sum` (ANSI SQL string)."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL({DEC_PRECISION},{DEC_SCALE}))) AS DOUBLE) AS {alias}"
+
+
+def sql_dec_sum_rounded(expr: str, alias: str, nd: int = 2) -> str:
+    """The DuckDB-side twin of :func:`dec_sum_rounded`."""
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL({DEC_PRECISION},{DEC_SCALE})))"
+        f" AS DOUBLE), {nd}) AS {alias}"
+    )
 
 
 def sql_dec_avg(expr: str, alias: str) -> str:

@@ -1026,7 +1026,8 @@ firsts AS (
 )
 SELECT sh.doc_id,
        COUNT(*) AS n_shingles,
-       SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
        ROUND(CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
                   AS DOUBLE) / COUNT(*), 9) AS novelty
 FROM sh JOIN firsts f USING (k)

@@ -125,7 +125,8 @@ def _prof2_oracle() -> str:
         parts.append(f"""
 SELECT '{a}' AS determinant, '{b}' AS dependent,
        COUNT(*) AS n_keys,
-       SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS n_violating_keys,
+       CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_keys,
        SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
 FROM (SELECT {a}, COUNT(DISTINCT {b}) AS ndv FROM lineitem GROUP BY {a}) g
 """)

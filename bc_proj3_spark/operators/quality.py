@@ -50,7 +50,8 @@ DQ_RULES: tuple[tuple[str, str], ...] = (
 def _dq1_oracle() -> str:
     rows = " UNION ALL ".join(
         f"SELECT '{name}' AS rule, "
-        f"SUM(CASE WHEN NOT ({pred}) THEN 1 ELSE 0 END) AS n_violations, "
+        f"CAST(SUM(CASE WHEN NOT ({pred}) THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_violations, "
         f"COUNT(*) AS n_rows FROM orders"
         for name, pred in DQ_RULES
     )
@@ -462,7 +463,9 @@ counts AS (
   FROM binned GROUP BY bin
 ),
 tot AS (SELECT SUM(n_base) AS t_base, SUM(n_cur) AS t_cur FROM counts)
-SELECT bin, n_base, n_cur,
+SELECT bin,
+       CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_cur AS BIGINT) AS n_cur,
        ROUND(
          ((n_cur + 1.0) / (t_cur + {PSI_BINS})
           - (n_base + 1.0) / (t_base + {PSI_BINS}))

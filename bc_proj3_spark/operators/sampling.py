@@ -453,8 +453,8 @@ SELECT
   {sql_hash60(_sql_seeded('gen', 'CAST(i AS VARCHAR)'))} % {GEN_BUCKETS}
     AS bucket,
   COUNT(*) AS n,
-  SUM({sql_hash60(_sql_seeded('gen', 'CAST(i AS VARCHAR)'))} % 1000000)
-    AS checksum
+  CAST(SUM({sql_hash60(_sql_seeded('gen', 'CAST(i AS VARCHAR)'))} % 1000000)
+    AS BIGINT) AS checksum
 FROM range(0, {GEN_N}) t(i)
 GROUP BY 1
 """
@@ -503,7 +503,7 @@ WITH assign AS (
 SELECT fold,
        COUNT(*) AS n_docs,
        CAST(MIN(doc_id) AS BIGINT) AS min_doc,
-       CAST(SUM(doc_id) AS DECIMAL(28,0)) AS doc_id_sum
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
 FROM assign GROUP BY fold
 """
 
@@ -526,6 +526,6 @@ def sp8_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").cast("bigint").alias("min_doc"),
-            F.sum("doc_id").cast("decimal(28,0)").alias("doc_id_sum"),
+            F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
         )
     )

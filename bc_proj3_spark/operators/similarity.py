@@ -549,7 +549,8 @@ pos AS (
 SELECT centroid_id,
        CAST(pos AS INTEGER) AS pos,
        COUNT(*) AS n_members,
-       CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS mean_x
+       ROUND(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 9)
+         AS mean_x
 FROM pos
 GROUP BY centroid_id, pos
 """
@@ -582,9 +583,10 @@ def s6_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("centroid_id", "pos")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            (
+            F.round(
                 F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
-                / F.count(F.lit(1))
+                / F.count(F.lit(1)),
+                9,
             ).alias("mean_x"),
         )
     )

@@ -600,7 +600,7 @@ pairs AS (
   FROM vocab, unnest(generate_series(1, len(w) - 1)) AS t(i)
   WHERE len(w) >= 2
 )
-SELECT pair, SUM(freq) AS weighted_count
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS weighted_count
 FROM pairs
 GROUP BY pair
 ORDER BY weighted_count DESC, pair
@@ -835,7 +835,7 @@ agg AS (
   FROM cnt GROUP BY doc_id
 )
 SELECT doc_id,
-       n_tokens,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
        ROUND(log2(n_tokens) - s_clog / n_tokens, 9) AS token_entropy
 FROM agg
 """
@@ -884,7 +884,7 @@ cf AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
 vocab AS (SELECT t FROM cf ORDER BY c DESC, t LIMIT {VOCAB_V})
 SELECT tok.doc_id,
        COUNT(*) AS n_tokens,
-       SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
        ROUND(CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 9) AS oov_rate
 FROM tok LEFT JOIN vocab v USING (t)
@@ -1213,11 +1213,12 @@ lf AS (
   SELECT 'lf_lang', lf_lang, n_voting, pos, neg FROM per_doc
 )
 SELECT lf,
-       SUM(CASE WHEN vote <> -1 THEN 1 ELSE 0 END) AS n_covered,
-       SUM(CASE WHEN vote <> -1 AND n_voting >= 2 THEN 1 ELSE 0 END)
-         AS n_overlap,
-       SUM(CASE WHEN vote <> -1 AND pos > 0 AND neg > 0 THEN 1 ELSE 0 END)
-         AS n_conflict
+       CAST(SUM(CASE WHEN vote <> -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       CAST(SUM(CASE WHEN vote <> -1 AND n_voting >= 2 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_overlap,
+       CAST(SUM(CASE WHEN vote <> -1 AND pos > 0 AND neg > 0 THEN 1 ELSE 0
+         END) AS BIGINT) AS n_conflict
 FROM lf GROUP BY lf
 """
 

@@ -194,7 +194,7 @@ qs AS (
 SELECT event_type,
        (SELECT lo FROM rng) + bin50 * (((SELECT hi FROM rng) - (SELECT lo FROM rng)) / {HIST_BINS}) AS p50_approx,
        (SELECT lo FROM rng) + bin95 * (((SELECT hi FROM rng) - (SELECT lo FROM rng)) / {HIST_BINS}) AS p95_approx,
-       n_events
+       CAST(n_events AS BIGINT) AS n_events
 FROM qs
 """
 

@@ -1182,7 +1182,7 @@ seg AS (
 )
 SELECT user_id, day,
        COUNT(*) AS n_segments,
-       SUM(w_us) AS span_us,
+       CAST(SUM(w_us) AS BIGINT) AS span_us,
        ROUND(CAST(SUM(vw) AS DOUBLE) / SUM(w_us), 9) AS twap
 FROM seg
 GROUP BY user_id, day

@@ -33,8 +33,10 @@ from bc_proj3_spark.functions.numeric import (
     DECIMAL_T,
     dec_avg,
     dec_sum,
+    dec_sum_rounded,
     sql_dec_avg,
     sql_dec_sum,
+    sql_dec_sum_rounded,
 )
 from bc_proj3_spark.plans.tables import table
 from bc_proj3_spark.registry import register
@@ -563,7 +565,8 @@ def w1_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 _W2_ORACLE = """
 SELECT decile,
        COUNT(*) AS n_customers,
-       CAST(SUM(CAST(spend AS DECIMAL(28,10))) AS DOUBLE) AS decile_spend
+       ROUND(CAST(SUM(CAST(spend AS DECIMAL(28,10))) AS DOUBLE), 2)
+         AS decile_spend
 FROM (
   SELECT o_custkey,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS spend,
@@ -598,7 +601,7 @@ def w2_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            dec_sum("spend", "decile_spend"),
+            dec_sum_rounded("spend", "decile_spend"),
         )
     )
 
@@ -814,7 +817,7 @@ SELECT
   o_orderstatus,
   o_orderpriority,
   CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
-  {sql_dec_sum("o_totalprice", "sum_price")},
+  {sql_dec_sum_rounded("o_totalprice", "sum_price")},
   COUNT(*) AS n_orders
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -833,7 +836,7 @@ def r2_cube_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.grouping_id().cast("int").alias("gid"),
-            dec_sum("o_totalprice", "sum_price"),
+            dec_sum_rounded("o_totalprice", "sum_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .select(
@@ -1355,7 +1358,7 @@ SELECT
   o_orderstatus,
   o_orderpriority,
   CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
-  {sql_dec_sum("o_totalprice", "sum_price")},
+  {sql_dec_sum_rounded("o_totalprice", "sum_price")},
   COUNT(*) AS n_orders
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
@@ -1380,7 +1383,7 @@ def r3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.grouping_id().cast("int").alias("gid"),
-            dec_sum("o_totalprice", "sum_price"),
+            dec_sum_rounded("o_totalprice", "sum_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .select(
@@ -1479,8 +1482,10 @@ y97 AS (
 surplus AS (SELECT l_partkey FROM y96 EXCEPT ALL SELECT l_partkey FROM y97),
 common  AS (SELECT l_partkey FROM y96 INTERSECT ALL SELECT l_partkey FROM y97)
 SELECT l_partkey,
-       SUM(CASE WHEN src = 's' THEN 1 ELSE 0 END) AS surplus_96_over_97,
-       SUM(CASE WHEN src = 'c' THEN 1 ELSE 0 END) AS common_multiplicity
+       CAST(SUM(CASE WHEN src = 's' THEN 1 ELSE 0 END) AS BIGINT)
+         AS surplus_96_over_97,
+       CAST(SUM(CASE WHEN src = 'c' THEN 1 ELSE 0 END) AS BIGINT)
+         AS common_multiplicity
 FROM (
   SELECT l_partkey, 's' AS src FROM surplus
   UNION ALL

@@ -86,16 +86,21 @@ _REGISTERING_MODULES = (
 #: row at most ~2 rounds old. Update this map from CORRECTNESS_r{N}.json
 #: each round; queries absent from the map sort first (round 0).
 _VERIFIED_ROUND: dict[str, int] = {
-    # round -1: NTZ-seam queries RED (or latently broken) in
-    # CORRECTNESS_r04, repaired this round. Pinned ahead of even the
-    # never-verified round-0 block (which now outnumbers the ~50-query
-    # driver prefix): a previously-red row going green is the single
-    # most important evidence in r5, so these six must not be crowded
-    # out by registration-order ties — st1/st3 register in the LAST
-    # module and would otherwise sort at the round-0 tail.
-    "e2_sessionization": -1, "e4_user_value_trend": -1,
-    "e4b_trend_arrow": -1, "e8_session_overlap": -1,
-    "st1_stream_window_counts": -1, "st3_stream_session_windows": -1,
+    # round -1: the 9 rows RED in CORRECTNESS_r05 (driver type-tagged
+    # hash rejected HUGEINT/DECIMAL oracle outputs; values were exact)
+    # plus the 8 latent same-class defects the r5 judge audit named
+    # (HUGEINT: a6/dq1/lab2/t12; unrounded doubles: w2/r2/s6; r3 shares
+    # r2's pattern and was ROUND-wrapped alongside it). All repaired in
+    # r6 by casting/ROUND-wrapping the oracle outputs — pinned ahead of
+    # the round-0 block so the driver re-checks exactly the fixed rows.
+    "t18_token_entropy": -1, "t19_oov_rate": -1,
+    "t20_shingle_novelty": -1, "dq6_psi_drift": -1,
+    "prof2_functional_deps": -1, "ts4_twap": -1, "u3_bag_set_ops": -1,
+    "gen1_range_source": -1, "sp8_kfold_assign": -1,
+    "a6_histogram_quantiles": -1, "dq1_expectations": -1,
+    "lab2_lf_diagnostics": -1, "t12_bpe_merge_pairs": -1,
+    "w2_spend_deciles": -1, "r2_cube_crosstab": -1,
+    "s6_kmeans_update": -1, "r3_grouping_sets": -1,
     #
     # round 3 (CORRECTNESS_r03.json) — stalest greens, rotate next
     "d1_exact_dedup_groups": 3, "d2_dedup_survivors": 3,
@@ -139,6 +144,26 @@ _VERIFIED_ROUND: dict[str, int] = {
     "cdc1_snapshot_diff": 4, "cdc2_scd2_history": 4, "cdc3_apply_changes": 4,
     "w1_top_orders_per_customer": 4, "u1_account_ledger_union": 4,
     "u2_set_operations": 4, "r1_rollup_subtotals": 4,
+    # round 5 (CORRECTNESS_r05.json) — freshest greens
+    "e2_sessionization": 5, "e8_session_overlap": 5,
+    "e4_user_value_trend": 5, "e4b_trend_arrow": 5,
+    "st1_stream_window_counts": 5, "st3_stream_session_windows": 5,
+    "pipe1_corpus_build": 5, "sql5_recursive_spine": 5,
+    "e14_variant_props": 5, "st9_stream_hll_registers": 5,
+    "bmp1_bitmap_intersect": 5, "cdc5_pointintime_join": 5,
+    "sk8_hll_shard_merge": 5, "t17_pii_scrub": 5, "hs1_hybrid_rrf": 5,
+    "sp7_rendezvous_assign": 5, "sql4_lateral_topk": 5,
+    "sql6_null_aware_notin": 5, "sk7_bottomk_quantile": 5,
+    "d9_dedup_report": 5, "ts3_ohlc_bars": 5, "mb1_copurchase_pairs": 5,
+    "w4_purchase_streaks": 5, "dq7_order_reconciliation": 5,
+    "o7_grid_density": 5, "a9_vector_hof": 5, "a10_map_roundtrip": 5,
+    "dq4_event_freshness": 5, "dq5_k_anonymity": 5,
+    "h1_hierarchy_shares": 5, "t21_zipf_slope": 5,
+    "sql7_scalar_subqueries": 5, "w5_runner_up_order": 5,
+    "e15_threshold_crossings": 5, "w6_topk_with_ties": 5,
+    "e16_bot_regularity": 5, "cc5_cluster_sizes": 5,
+    "d10_containment_pairs": 5, "sk9_ams_f2": 5, "g1_gram_matrix": 5,
+    "e17_linear_attribution": 5,
 }
 
 

@@ -1,0 +1,194 @@
+"""Registry-wide static lint of every DuckDB oracle's OUTPUT types.
+
+The correctness driver's value-hash is type-tagged below the Python
+level: an oracle output column typed HUGEINT (DuckDB's int128 result of
+``SUM(BIGINT/INTEGER)``) or DECIMAL never hash-matches Spark, even when
+every value is exactly equal — reproduced on all 9 red rows of
+CORRECTNESS_r05, with zero counterexamples across five rounds. The
+runtime harness cannot catch this because ``conftest._norm``
+deliberately erases types (int -> float, Decimal -> str). This lint is
+the static gate (VERDICT r5 item 3):
+
+THE ORACLE OUTPUT-TYPE CONTRACT
+  Allowed: BIGINT, INTEGER (and narrower ints), DOUBLE/FLOAT, VARCHAR,
+  DATE, TIMESTAMP, BOOLEAN — and lists thereof. Never HUGEINT (always
+  CAST(SUM(..) AS BIGINT)) and never DECIMAL (cast to DOUBLE or BIGINT).
+
+  A DOUBLE column produced by an *aggregate over doubles* must be
+  ROUND-wrapped (2 for money, 9 for ratios/means, per the repo float
+  convention): double aggregation is where engines can legitimately
+  disagree in the last ulp (decimal-cast grid snapping, association
+  order). Deterministic scalar double arithmetic (same IEEE ops, same
+  order on both engines) is exact and exempt via EXACT_DOUBLE_OK.
+
+DESCRIBE binds the query without executing it, so this lint is fast and
+also doubles as a parse/bind regression net for all registered oracles.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from bc_proj3_spark.registry import all_queries
+
+BANNED_TYPE_SUBSTRINGS = ("HUGEINT", "DECIMAL")
+
+#: Aggregate functions whose DOUBLE result is sensitive to accumulation
+#: order / decimal-grid snapping and therefore must be ROUND-wrapped.
+_AGG_RE = re.compile(
+    r"\b(SUM|AVG|STDDEV|STDDEV_SAMP|STDDEV_POP|VAR_SAMP|VAR_POP|VARIANCE"
+    r"|CORR|COVAR_SAMP|COVAR_POP|REGR_SLOPE|REGR_INTERCEPT|PRODUCT"
+    r"|GEOMEAN|MEDIAN|QUANTILE_CONT|QUANTILE_DISC)\s*\(",
+    re.IGNORECASE,
+)
+
+#: (query, column) pairs whose DOUBLE output is exact WITHOUT a ROUND:
+#: each is either a passthrough of stored values, a min/max (selection,
+#: not accumulation), or a single deterministic scalar expression that
+#: both engines evaluate with the identical IEEE operation sequence.
+#: Audited against the r5 judge strict sweep: every query below matched
+#: DuckDB exactly at sf0.01. Add to this list only with that evidence.
+EXACT_DOUBLE_OK: set[tuple[str, str]] = {
+    # integer-sum ratio: SUM(CASE 1/0) is exact int, / COUNT is one
+    # deterministic IEEE division — identical on both engines
+    ("e5_daily_retention", "retention_rate"),
+    # SUM(price_d) where price_d is ALREADY DECIMAL(28,10) from an
+    # upstream CTE cast — decimal-exact accumulation the per-alias
+    # regex can't see (the cast is a different select item)
+    ("sql2_top_order_per_customer", "cust_total"),
+}
+
+#: Accumulation forms that are exact without ROUND:
+#: - SUM(CAST(.. AS DECIMAL(p,s))): decimal addition is exact and
+#:   associative, so any partial-aggregation order matches (the repo's
+#:   dec_sum convention, functions/numeric.py). Residual hazard: the
+#:   per-row double->decimal cast itself grid-snaps differently across
+#:   engines for |value| above ~4.4e5 at scale 10 (ulp/2 > 0.5e-10) —
+#:   that is why w2/r2 needed ROUND despite being decimal-exact sums;
+#:   this static lint cannot see value magnitudes, so re-aggregations
+#:   of aggregate outputs should be ROUND-wrapped by convention.
+#: - quantile_cont/median: positional selection + one deterministic
+#:   interpolation, no accumulation.
+_EXACT_FORM_RE = re.compile(
+    r"SUM\s*\(\s*CAST\s*\((?:[^()]|\([^()]*\))*\bAS\s+DECIMAL"
+    r"|\b(QUANTILE_CONT|MEDIAN)\s*\(",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _expr_for_alias(sql: str, col: str) -> str | None:
+    """Best-effort: the select-list expression aliased ``AS col``.
+
+    Walks backwards from ``AS col`` balancing parens until a comma or
+    SELECT at depth 0 — good enough for lint attribution (oracles are
+    generated strings, not adversarial SQL).
+    """
+    m = None
+    for m in re.finditer(rf"\bAS\s+{re.escape(col)}\b", sql, re.IGNORECASE):
+        pass  # keep the LAST definition (outermost query is last in text)
+    if m is None:
+        return None
+    i = m.start() - 1
+    depth = 0
+    start = 0
+    while i >= 0:
+        ch = sql[i]
+        if ch == ")":
+            depth += 1
+        elif ch == "(":
+            if depth == 0:
+                start = i + 1
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            start = i + 1
+            break
+        elif depth == 0 and sql[: i + 1].upper().endswith("SELECT"):
+            start = i + 1
+            break
+        i -= 1
+    return sql[start : m.start()].strip()
+
+
+def _rounded(expr: str) -> bool:
+    s = expr.strip().upper()
+    # allow CAST(ROUND(..)..) and ROUND(..) heads
+    while s.startswith("CAST"):
+        s = s[4:].lstrip().lstrip("(").lstrip()
+    return s.startswith("ROUND")
+
+
+@pytest.fixture(scope="module")
+def described():
+    """DESCRIBE every registered oracle once; yield {name: [(col, typ)]}."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+    from bc_proj3_spark.plans.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    import os
+
+    for name in TABLE_NAMES:
+        path = f"{SF_DIR}/{name}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    out = {}
+    errors = {}
+    for name, spec in all_queries(strict=True).items():
+        if spec.oracle is None:
+            continue
+        try:
+            rows = con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+        except Exception as exc:  # bind/parse failure is itself a red
+            errors[name] = repr(exc)
+            continue
+        out[name] = [(r[0], r[1]) for r in rows]
+    con.close()
+    assert not errors, f"oracles failed to bind: {errors}"
+    return out
+
+
+def test_no_hugeint_or_decimal_outputs(described):
+    bad = [
+        (name, col, typ)
+        for name, cols in described.items()
+        for col, typ in cols
+        if any(b in typ.upper() for b in BANNED_TYPE_SUBSTRINGS)
+    ]
+    assert not bad, (
+        "oracle output columns typed HUGEINT/DECIMAL never pass the "
+        "driver's type-tagged value hash — CAST(SUM(..) AS BIGINT) / "
+        f"cast DECIMAL to DOUBLE or BIGINT: {bad}"
+    )
+
+
+def test_aggregated_doubles_are_round_wrapped(described):
+    qs = all_queries()
+    bad = []
+    for name, cols in described.items():
+        sql = qs[name].oracle
+        for col, typ in cols:
+            base = typ.upper().removesuffix("[]")
+            if base not in ("DOUBLE", "FLOAT", "REAL"):
+                continue
+            if (name, col) in EXACT_DOUBLE_OK:
+                continue
+            expr = _expr_for_alias(sql, col)
+            if expr is None:
+                # bare passthrough of a stored/base column — exact
+                continue
+            if (
+                _AGG_RE.search(expr)
+                and not _rounded(expr)
+                and not _EXACT_FORM_RE.search(expr)
+            ):
+                bad.append((name, col, expr[:80]))
+    assert not bad, (
+        "DOUBLE outputs built from double aggregates must be "
+        f"ROUND-wrapped on both engines (or EXACT_DOUBLE_OK'd): {bad}"
+    )
