@@ -529,7 +529,21 @@ def tc1_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_census(edges)
 
 
-def triangle_census(edges: DataFrame) -> DataFrame:
+#: Broadcast the oriented adjacency (and degree) tables only while the
+#: graph is small: the adjacency is EDGE-sized (every oriented edge
+#: appears in exactly one neighbor array — O(m), not node-bounded), so
+#: an unconditional broadcast OOMs executors at 100× scale. ~16 bytes
+#: per edge in array payload → 2M edges ≈ 50 MB, inside broadcast
+#: comfort; past that both lookups degrade to shuffle joins keyed on
+#: src/dst (same intersect kernel; AQE may still convert at runtime if
+#: the materialized side turns out small). Same measured-count gate as
+#: d7 (dedup.py D7_BROADCAST_MAX_ROWS).
+TC1_BROADCAST_MAX_EDGES = 2_000_000
+
+
+def triangle_census(
+    edges: DataFrame, broadcast_max_edges: int = TC1_BROADCAST_MAX_EDGES
+) -> DataFrame:
     """Degree-ordered triangle census over canonical (pa < pb) edges.
 
     Kernel of tc1, factored over an arbitrary edge frame so the
@@ -542,28 +556,32 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     |N+(u) ∩ N+(v)| — each triangle {u, v, w} has exactly one node
     with out-degree 2 inside it, so it is counted exactly once, at its
     (u → v) edge. Degree ordering bounds every out-neighborhood at
-    O(sqrt(m)) even on power-law hubs, so the adjacency table is
-    m rows spread over ≤ n arrays — dimension-sized relative to the
-    edge stream → BROADCAST, and the whole count is two broadcast
-    joins + a map-side array intersection + one partial-agg sum:
-    the edge list is never shuffled and no wedge set is ever
+    O(sqrt(m)) even on power-law hubs, so no wedge set is ever
     materialized (the naive wedge join materializes sum-of-d² rows —
-    measured 14× slower at sf0.1)."""
+    measured 14× slower at sf0.1). The adjacency table is EDGE-sized
+    (m rows spread over ≤ n arrays), so joining it is broadcast only
+    under the measured-edge-count gate above; at scale the plan is two
+    shuffle joins on src/dst — one edge shuffle each, never quadratic."""
     edges = edges.persist()
+    m = edges.count()  # materializes the persist; gates the broadcasts
+    small = m <= broadcast_max_edges
+
+    def _maybe_bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     deg = (
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # Orient each edge low-(deg,id) → high-(deg,id).
-    # The degree table is node-sized (≪ edges) → broadcast both lookups
-    # so the edge stream is never shuffled for orientation.
+    # Orient each edge low-(deg,id) → high-(deg,id). The degree table
+    # is node-sized (≤ 2m, usually ≪) — gated like the adjacency.
     e_deg = (
-        edges.join(F.broadcast(deg.withColumnRenamed("node", "pa")), "pa")
+        edges.join(_maybe_bcast(deg.withColumnRenamed("node", "pa")), "pa")
         .withColumnRenamed("d", "da")
         .join(
-            F.broadcast(
+            _maybe_bcast(
                 deg.withColumnRenamed("node", "pb").withColumnRenamed("d", "db")
             ),
             "pb",
@@ -580,11 +598,13 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     tri = (
         oriented.join(
-            F.broadcast(adj.select(F.col("src"), F.col("nbrs").alias("src_nbrs"))),
+            _maybe_bcast(
+                adj.select(F.col("src"), F.col("nbrs").alias("src_nbrs"))
+            ),
             "src",
         )
         .join(
-            F.broadcast(
+            _maybe_bcast(
                 adj.select(
                     F.col("src").alias("dst"), F.col("nbrs").alias("dst_nbrs")
                 )
@@ -606,13 +626,12 @@ def triangle_census(edges: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
     )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
-        base.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(tri))
+        base.crossJoin(F.broadcast(tri))
         .select(
             "n_nodes",
-            "n_edges",
+            # already counted for the broadcast gate — no extra job
+            F.lit(m).cast("bigint").alias("n_edges"),
             "n_wedges",
             "n_triangles",
             F.round(

@@ -95,6 +95,27 @@ def main() -> None:
         out["partial_runs"] = incomplete
     out["queries"] = timings
     print(json.dumps(out))
+    # The driver archives only the last ~2000 chars of stdout; 200+
+    # timings are ~6 KB, so the full line above loses its head (round
+    # 5 lost the total and 134 timings). Print a final COMPACT summary
+    # line that always fits in the tail: the headline total, counts,
+    # and the 10 slowest queries.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    summary = {
+        "bench_summary": {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "n_failures": len(failures),
+            "runs_per_query": n_runs,
+            "sf": out["sf"],
+            "slowest": slowest,
+        }
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

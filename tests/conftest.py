@@ -40,7 +40,16 @@ def oracle_con():
 
 
 def _norm(v):
-    """Normalize a cell for order-insensitive comparison across engines."""
+    """Normalize a cell for order-insensitive comparison across engines.
+
+    DELIBERATELY type- and ulp-insensitive (int -> float, Decimal ->
+    str, floats to 12 sig digits) so plan-shape iteration isn't noisy.
+    The correctness driver's value-hash is the opposite — type-tagged:
+    a DuckDB HUGEINT/DECIMAL output column never matches Spark even at
+    equal values. That class is caught statically by
+    tests/test_oracle_types.py and at repr-level by
+    test_driver_parity.py::test_vanilla_session_strict_values — a green
+    sweep through THIS normalizer alone is not driver evidence."""
     if v is None:
         return None
     if isinstance(v, bool):

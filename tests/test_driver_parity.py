@@ -67,6 +67,46 @@ PARITY_QUERIES = [
     "sql5_recursive_spine",
 ]
 
+#: The 17 queries repaired after CORRECTNESS_r05 (9 driver-red + 8
+#: latent, all the same oracle output-type class — see
+#: tests/test_oracle_types.py). For these, count parity is not enough:
+#: the r5 defect was value-hash-level with EQUAL counts, so the replay
+#: also compares a strict value digest — md5 over repr-level rows
+#: (column-sorted, row-sorted), types NOT normalized away — against
+#: the identical digest of the DuckDB oracle result. repr() of a
+#: Python value is type-faithful (1 != 1.0 != Decimal('1')), which is
+#: exactly the sensitivity the driver's type-tagged hash has and
+#: conftest._norm deliberately lacks.
+STRICT_VALUE_QUERIES = [
+    "t18_token_entropy",
+    "t19_oov_rate",
+    "t20_shingle_novelty",
+    "dq6_psi_drift",
+    "prof2_functional_deps",
+    "ts4_twap",
+    "u3_bag_set_ops",
+    "gen1_range_source",
+    "sp8_kfold_assign",
+    "a6_histogram_quantiles",
+    "dq1_expectations",
+    "lab2_lf_diagnostics",
+    "t12_bpe_merge_pairs",
+    "w2_spend_deciles",
+    "r2_cube_crosstab",
+    "r3_grouping_sets",
+    "s6_kmeans_update",
+]
+
+
+def strict_digest(columns, rows) -> str:
+    """md5 over column-sorted, row-sorted repr-level rows (type-faithful)."""
+    import hashlib
+
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    key = sorted(tuple(repr(r[i]) for i in order) for r in rows)
+    payload = json.dumps([sorted(columns), key])
+    return hashlib.md5(payload.encode()).hexdigest()
+
 _SUBPROCESS_PROG = """
 import json, sys
 from pyspark.sql import SparkSession
@@ -79,14 +119,21 @@ spark = (
     .getOrCreate()
 )
 import __spark_entry__ as entrymod
+from tests.test_driver_parity import strict_digest
 
 sf_dir = sys.argv[1]
 names = json.loads(sys.argv[2])
+strict = set(json.loads(sys.argv[3]))
 queries = entrymod.queries()
 out = {}
 for name in names:
     try:
-        out[name] = queries[name](spark, sf_dir).count()
+        df = queries[name](spark, sf_dir)
+        if name in strict:
+            rows = [tuple(r) for r in df.collect()]
+            out[name] = [len(rows), strict_digest(list(df.columns), rows)]
+        else:
+            out[name] = df.count()
     except Exception as exc:
         out[name] = f"ERROR: {exc!r}"[:300]
 print("PARITY_JSON:" + json.dumps(out))
@@ -97,8 +144,18 @@ print("PARITY_JSON:" + json.dumps(out))
 def parity_counts():
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    all_names = PARITY_QUERIES + [
+        n for n in STRICT_VALUE_QUERIES if n not in PARITY_QUERIES
+    ]
     proc = subprocess.run(
-        [sys.executable, "-c", _SUBPROCESS_PROG, SF_DIR, json.dumps(PARITY_QUERIES)],
+        [
+            sys.executable,
+            "-c",
+            _SUBPROCESS_PROG,
+            SF_DIR,
+            json.dumps(all_names),
+            json.dumps(STRICT_VALUE_QUERIES),
+        ],
         capture_output=True,
         text=True,
         timeout=900,
@@ -116,7 +173,9 @@ def parity_counts():
     return payload
 
 
-@pytest.mark.parametrize("name", PARITY_QUERIES)
+@pytest.mark.parametrize(
+    "name", [n for n in PARITY_QUERIES if n not in STRICT_VALUE_QUERIES]
+)
 def test_vanilla_session_parity(name, parity_counts, oracle_con):
     got = parity_counts[name]
     assert not isinstance(got, str), f"{name} failed under vanilla session: {got}"
@@ -133,3 +192,28 @@ def test_vanilla_session_parity(name, parity_counts, oracle_con):
         )
     else:
         assert got >= 0
+
+
+@pytest.mark.parametrize("name", STRICT_VALUE_QUERIES)
+def test_vanilla_session_strict_values(name, parity_counts, oracle_con):
+    """Type-faithful value parity for the r5-repaired queries: the
+    vanilla-session Spark result's repr-digest must equal the DuckDB
+    oracle's — the local replica of the driver's type-tagged hash."""
+    got = parity_counts[name]
+    assert not isinstance(got, str), f"{name} failed under vanilla session: {got}"
+    n_rows, sdigest = got
+
+    from bc_proj3_spark import registry
+
+    spec = registry.all_queries()[name]
+    res = oracle_con.execute(spec.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = [tuple(r) for r in res.fetchall()]
+    assert n_rows == len(orows), (
+        f"{name}: vanilla-session rows {n_rows} != oracle {len(orows)}"
+    )
+    odigest = strict_digest(ocols, orows)
+    assert sdigest == odigest, (
+        f"{name}: strict value digest mismatch (type-tag or value drift "
+        f"between vanilla-session Spark and DuckDB)"
+    )
