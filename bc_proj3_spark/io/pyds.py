@@ -115,12 +115,28 @@ class RunDatePartition(InputPartition):
     run_date: str
 
 
-class _ConnectorReader(DataSourceReader):
-    """Batch reader: one partition per run_date, run_date pushdown."""
+class _PlainConnectorReader(DataSourceReader):
+    """Batch reader without pushdown: one partition per run_date.
+
+    Spark 4.1 hard-errors when a reader implements ``pushFilters`` on a
+    session where ``spark.sql.python.filterPushdown.enabled`` is false —
+    so on such sessions (the driver's vanilla posture, unless
+    :func:`register` could set the conf) the source degrades to THIS
+    reader and prunes nothing instead of failing the read."""
 
     def __init__(self, options):
         self._key = _source_key(options)
         self._dates = _parse_dates(options)
+
+    def partitions(self) -> Sequence[RunDatePartition]:
+        return [RunDatePartition(d) for d in self._dates]
+
+    def read(self, partition: RunDatePartition) -> Iterator[tuple]:
+        return _rows_for(self._key, partition.run_date)
+
+
+class _ConnectorReader(_PlainConnectorReader):
+    """Batch reader: one partition per run_date, run_date pushdown."""
 
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
         """Prune run_date partitions; everything else stays post-scan.
@@ -152,12 +168,6 @@ class _ConnectorReader(DataSourceReader):
             else:
                 self._dates = [d for d in self._dates if pred(d)]
         return remaining
-
-    def partitions(self) -> Sequence[RunDatePartition]:
-        return [RunDatePartition(d) for d in self._dates]
-
-    def read(self, partition: RunDatePartition) -> Iterator[tuple]:
-        return _rows_for(self._key, partition.run_date)
 
 
 class _ConnectorStreamReader(SimpleDataSourceStreamReader):
@@ -203,13 +213,36 @@ class ConnectorDataSource(DataSource):
     def schema(self) -> str:
         return _SCHEMA
 
-    def reader(self, schema: "StructType") -> _ConnectorReader:
+    def reader(self, schema: "StructType") -> DataSourceReader:
         return _ConnectorReader(self.options)
 
     def simpleStreamReader(self, schema: "StructType") -> _ConnectorStreamReader:
         return _ConnectorStreamReader(self.options)
 
 
+class PlainConnectorDataSource(ConnectorDataSource):
+    """Same format name, no pushdown — registered when the session's
+    filter-pushdown conf cannot be enabled (Spark 4.1 hard-errors on a
+    reader that implements ``pushFilters`` while the conf is off, so
+    degrading to unpruned reads is the only safe fallback)."""
+
+    def reader(self, schema: "StructType") -> DataSourceReader:
+        return _PlainConnectorReader(self.options)
+
+
 def register(spark) -> None:
-    """Idempotently register the data source on a session."""
-    spark.dataSource.register(ConnectorDataSource)
+    """Idempotently register the data source on a session.
+
+    Enables Python data-source filter pushdown first (a plain SQL conf,
+    settable at runtime) so the pushdown reader works on a vanilla
+    driver-posture session. The conf cannot be probed from ``reader()``
+    — that runs in a Python worker with no active session — so the
+    choice of reader class is made HERE: if the conf cannot be set, the
+    degraded no-pushdown source is registered under the same format
+    name instead of erroring at read time (ADVICE r5)."""
+    cls = ConnectorDataSource
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # pragma: no cover - conf locked down
+        cls = PlainConnectorDataSource
+    spark.dataSource.register(cls)

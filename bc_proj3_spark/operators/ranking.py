@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bc_proj3_spark.functions import text as T
+from bc_proj3_spark.functions.joins import gated_broadcast
 from bc_proj3_spark.functions.numeric import DECIMAL_T, sql_dec_sum
 from bc_proj3_spark.plans.tables import fanout, table
 from bc_proj3_spark.registry import register
@@ -111,7 +112,8 @@ def t10_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n_total"))
     lp = (
-        tok.join(F.broadcast(vocab), "t")
+        # vocab is corpus-derived (unbounded at web scale) → gated
+        tok.join(gated_broadcast(vocab), "t")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
@@ -412,7 +414,8 @@ def t14_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("idf"),
     )
     scored = (
-        tf.join(F.broadcast(idf), "t")
+        # idf is vocabulary-sized and data-dependent → gated
+        tf.join(gated_broadcast(idf), "t")
         .select(
             "doc_id",
             F.col("t").alias("term"),
@@ -489,9 +492,11 @@ def t16_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "bg.w1", "bg.w2")
     bigv = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     univ = bigv.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # bigram/left-context vocabularies are corpus-derived → gated
+    # (univ derives from the persisted bigv, so its count is cheap)
     terms = (
-        big.join(F.broadcast(bigv), ["w1", "w2"])
-        .join(F.broadcast(univ), "w1")
+        big.join(gated_broadcast(bigv), ["w1", "w2"])
+        .join(gated_broadcast(univ), "w1")
         .select(
             "doc_id",
             F.round(

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bc_proj3_spark.functions import text as T
+from bc_proj3_spark.functions.joins import gated_broadcast
 from bc_proj3_spark.plans.tables import fanout, table
 from bc_proj3_spark.registry import register
 
@@ -560,10 +561,13 @@ def t11_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = uni_counts.agg(F.sum("n").alias("n_tot")).crossJoin(
         bg_counts.agg(F.sum("n_ab").alias("n_big"))
     )
+    # vocabulary-sized, data-dependent → measured-count broadcast gate
+    # (one persist+count, reused by both sides of the self-join)
+    uni_gated = gated_broadcast(uni_counts)
     scored = (
         bg_counts.filter(F.col("n_ab") >= T11_MIN_COUNT)
-        .join(F.broadcast(uni_counts.alias("za")), F.col("a") == F.col("za.t"))
-        .join(F.broadcast(uni_counts.alias("zb")), F.col("b") == F.col("zb.t"))
+        .join(uni_gated.alias("za"), F.col("a") == F.col("za.t"))
+        .join(uni_gated.alias("zb"), F.col("b") == F.col("zb.t"))
         .crossJoin(F.broadcast(totals))
         .select(
             "a",
