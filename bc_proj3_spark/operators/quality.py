@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from bc_proj3_spark.functions import text as T
 from bc_proj3_spark.functions.hashing import sql_hash60
+from bc_proj3_spark.functions.joins import gated_broadcast
 from bc_proj3_spark.operators.sampling import _sql_seeded
 from bc_proj3_spark.plans.tables import table
 from bc_proj3_spark.registry import register
@@ -339,8 +340,9 @@ def o6_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     strict = levels.select(
         "revenue", F.min("lvl_min").over(w_lvl).alias("strict_min")
     )
+    # per-level table is supplier-sized worst case (1e4·SF) → gated
     joined = m.withColumn("peer_min", peer_min).join(
-        F.broadcast(strict), "revenue"
+        gated_broadcast(strict), "revenue"
     )
     dominated = (
         F.col("strict_min").isNotNull() & (F.col("strict_min") <= F.col("avg_discount"))

@@ -35,6 +35,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from bc_proj3_spark.functions.joins import gated_broadcast
 from bc_proj3_spark.plans.tables import _normalize_event_ts, table
 from bc_proj3_spark.registry import register
 
@@ -610,8 +611,10 @@ def st7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey"), F.col("c_mktsegment")
     )
+    # customer scales with SF (1.5e5·SF rows) — gate the static-side
+    # hint on a measured count instead of broadcasting unconditionally
     enriched = src.join(
-        F.broadcast(dim), src["user_id"] == dim["c_custkey"]
+        gated_broadcast(dim), src["user_id"] == dim["c_custkey"]
     )
     agg = enriched.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -99,12 +99,14 @@ STRICT_VALUE_QUERIES = [
 
 
 def strict_digest(columns, rows) -> str:
-    """md5 over column-sorted, row-sorted repr-level rows (type-faithful)."""
+    """md5 over the driver-grade key (type-tagged, float-quantized —
+    see conftest.driver_cell for the calibration evidence)."""
     import hashlib
 
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    key = sorted(tuple(repr(r[i]) for i in order) for r in rows)
-    payload = json.dumps([sorted(columns), key])
+    from tests.conftest import strict_rows_key
+
+    key, cols = strict_rows_key(columns, rows)
+    payload = json.dumps([cols, key])
     return hashlib.md5(payload.encode()).hexdigest()
 
 _SUBPROCESS_PROG = """
