@@ -1134,3 +1134,148 @@ def d10_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 9).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d11 — MinHash estimator calibration (estimated vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+def _d11_oracle() -> str:
+    eq_terms = " + ".join(
+        f"CASE WHEN xa.h{i} = xb.h{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH {_sql_shingles()},
+sig AS (
+  SELECT doc_id,
+         {', '.join(_sql_minhash(i) for i in range(NUM_HASHES))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, {_sql_band_key(b)} AS key FROM sig" for b in range(NUM_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_common
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.k = sa.k
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         ({eq_terms}) / {NUM_HASHES}.0 AS est,
+         CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+           / (za.n + zb.n - COALESCE(i.n_common, 0)) AS jac
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sig xa ON xa.doc_id = c.doc_a
+  JOIN sig xb ON xb.doc_id = c.doc_b
+  JOIN sizes za ON za.doc_id = c.doc_a
+  JOIN sizes zb ON zb.doc_id = c.doc_b
+)
+SELECT LEAST(9, CAST(FLOOR(est * 10) AS INTEGER)) AS bucket,
+       COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(CAST(est AS DECIMAL(28,10))) AS DOUBLE)
+             / COUNT(*), 9) AS mean_est,
+       ROUND(CAST(SUM(CAST(ROUND(jac, 9) AS DECIMAL(28,10))) AS DOUBLE)
+             / COUNT(*), 9) AS mean_exact,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(est - jac), 9) AS DECIMAL(28,10)))
+             AS DOUBLE) / COUNT(*), 9) AS mean_abs_err
+FROM pairs
+GROUP BY 1
+"""
+
+
+@register("d11_minhash_calibration", _d11_oracle())
+def d11_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator quality control for the MinHash/LSH dedup path: over
+    the LSH candidate pairs, compare the K=16 signature-agreement
+    ESTIMATE of Jaccard (fraction of equal MinHash components — the
+    number the banding decision is actually made from) against the
+    EXACT shingle Jaccard, bucketed by estimated similarity decile.
+    This is the nightly report that tells you whether the band
+    geometry still holds on YOUR corpus (mean_abs_err blowing up means
+    shingle distributions shifted and recall/precision drifted) —
+    sketch monitoring as a first-class operator, like sk2's CMS error
+    report but for the dedup funnel.
+
+    Plan: signatures and candidates reuse d4's shapes (fixed-width
+    map-side-combinable signature aggregate from the session-shared
+    capped index; bucket-local band self-join); the exact side joins
+    candidates back to the index — work ∝ candidates, never corpus².
+    est is a multiple of 1/16 (binary-exact double); the generic
+    doubles (jac, |est−jac|) follow the module's round-then-decimal-sum
+    discipline so both engines' means are bit-identical."""
+    from pyspark import StorageLevel
+
+    sh, sizes = _documents_shingle_index(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[_minhash_col(i) for i in range(NUM_HASHES)]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count()  # feeds the band build AND both estimate lookups
+    cand = _lsh_candidate_pairs(sh)
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.k") == F.col("sb.k")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    eq = None
+    for i in range(NUM_HASHES):
+        t = F.when(F.col(f"xa.h{i}") == F.col(f"xb.h{i}"), 1).otherwise(0)
+        eq = t if eq is None else eq + t
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    pairs = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sig.alias("xa"), F.col("doc_a") == F.col("xa.doc_id"))
+        .join(sig.alias("xb"), F.col("doc_b") == F.col("xb.doc_id"))
+        .join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            (eq / F.lit(float(NUM_HASHES))).alias("est"),
+            (
+                nc.cast("double")
+                / (F.col("za.n") + F.col("zb.n") - nc)
+            ).alias("jac"),
+        )
+    )
+    dec = "decimal(28,10)"
+    out = (
+        pairs.groupBy(
+            F.least(F.lit(9), F.floor(F.col("est") * 10).cast("int")).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("est").cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_est"),
+            F.round(
+                F.sum(F.round(F.col("jac"), 9).cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_exact"),
+            F.round(
+                F.sum(
+                    F.round(F.abs(F.col("est") - F.col("jac")), 9).cast(dec)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_abs_err"),
+        )
+    )
+    sig.unpersist()
+    return out

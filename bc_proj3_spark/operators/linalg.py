@@ -69,25 +69,29 @@ _DEC = "decimal(14,12)"
 _DEC_SQ = "decimal(28,24)"
 
 
-def _pi1_oracle() -> str:
+def _pi_cte_blocks() -> list[str]:
+    """The shared power-iteration CTE blocks: Gram matrix ``c``, start
+    vector ``v0``, and PI_ITERS unrolled rounds ending at ``v{K}`` /
+    ``n{K}`` — reused verbatim by pi1 (which selects the result) and
+    pi2 (which deflates against it)."""
     ctes = [
         f"""
-e AS (
+e AS MATERIALIZED (
   SELECT embedding::DOUBLE[] AS v FROM embeddings
   WHERE vec_id % {PI_SAMPLE_MOD} = 0
 ),
-terms AS (
+terms AS MATERIALIZED (
   SELECT unnest(flatten(list_transform(generate_series(1, {DIM}),
            i -> list_transform(generate_series(1, {DIM}),
              j -> {{'i': i, 'j': j, 'p': v[i] * v[j]}})))) AS u
   FROM e
 ),
-c AS (
+c AS MATERIALIZED (
   SELECT u.i AS i, u.j AS j,
          CAST(SUM(CAST(ROUND(u.p, {_RND}) AS DECIMAL(14,12))) AS DECIMAL(14,12)) AS c
   FROM terms GROUP BY u.i, u.j
 ),
-v0 AS (
+v0 AS MATERIALIZED (
   SELECT i.i AS pos, CAST(0.125 AS DECIMAL(14,12)) AS x
   FROM (SELECT unnest(generate_series(1, {DIM})) AS i) i
 )"""
@@ -96,7 +100,7 @@ v0 AS (
         p = k - 1
         ctes.append(
             f"""
-mv{k} AS (
+mv{k} AS MATERIALIZED (
   SELECT pos, CAST(y24 - (y24 % CAST(0.000000000001 AS DECIMAL(14,12))) AS DECIMAL(14,12)) AS y
   FROM (
     SELECT c.i AS pos, SUM(c.c * v{p}.x) AS y24
@@ -104,30 +108,31 @@ mv{k} AS (
     GROUP BY c.i
   ) raw
 ),
-n{k} AS (
+n{k} AS MATERIALIZED (
   SELECT sqrt(CAST(CAST(s24 - (s24 % CAST(0.000000000001 AS DECIMAL(14,12))) AS DECIMAL(16,12)) AS DOUBLE)) AS nrm
   FROM (SELECT SUM(CAST(y * y AS DECIMAL(28,24))) AS s24 FROM mv{k}) sq
 ),
-v{k} AS (
+v{k} AS MATERIALIZED (
   SELECT pos,
          CAST(ROUND(CAST(y AS DOUBLE) / (SELECT nrm FROM n{k}), {_RND}) AS DECIMAL(14,12)) AS x
   FROM mv{k}
 )"""
         )
+    return ctes
+
+
+def _pi1_oracle() -> str:
     final = f"""
 SELECT pos, CAST(x AS DOUBLE) AS loading,
        ROUND((SELECT nrm FROM n{PI_ITERS}), 6) AS eigenvalue_est
 FROM v{PI_ITERS}
 """
-    return "WITH " + ",".join(ctes) + final
+    return "WITH " + ",".join(_pi_cte_blocks()) + final
 
 
-@register("pi1_power_iteration", _pi1_oracle())
-def pi1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal direction of the sampled embedding Gram matrix
-    after a fixed PI_ITERS power-iteration rounds; returns the 64
-    loadings plus the eigenvalue estimate (the final pre-normalization
-    norm). See module docstring for the plan and determinism story."""
+def _gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpointed DIM² decimal Gram matrix ``c(i, j, c)`` shared
+    by pi1/pi2 (see module docstring steps 1-2)."""
     emb = fanout(
         table(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") % PI_SAMPLE_MOD == 0
@@ -154,7 +159,7 @@ def pi1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("u")
     )
 
-    c = (
+    return (
         terms.groupBy(F.col("u.i").alias("i"), F.col("u.j").alias("j"))
         .agg(
             F.sum(F.round(F.col("u.p"), _RND).cast(_DEC))
@@ -164,13 +169,24 @@ def pi1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # 4096 rows; cut the explode lineage
     )
 
+
+_TICK = "0.000000000001"
+
+
+def _power_rounds(
+    spark: SparkSession, c: DataFrame, iters: int = PI_ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """``iters`` decimal-exact power-iteration rounds over Gram ``c``;
+    returns (v, nrm): the unit vector (pos, x decimal) and its final
+    pre-normalization norm (1-row double). Module docstring explains
+    every cast/truncation choice."""
     vk = spark.range(1, DIM + 1).select(
         F.col("id").cast("int").alias("pos"),
         F.lit("0.125").cast(_DEC).alias("x"),
     )
-    tick = F.lit("0.000000000001").cast(_DEC)
+    tick = F.lit(_TICK).cast(_DEC)
     nrm_col = None
-    for _ in range(PI_ITERS):
+    for _ in range(iters):
         y24 = F.sum(F.col("c") * F.col("x"))
         mv = (
             c.join(F.broadcast(vk), c["j"] == vk["pos"])
@@ -202,7 +218,17 @@ def pi1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         nrm_col = nrm
-    return vk.crossJoin(F.broadcast(nrm_col)).select(
+    return vk, nrm_col
+
+
+@register("pi1_power_iteration", _pi1_oracle())
+def pi1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the sampled embedding Gram matrix
+    after a fixed PI_ITERS power-iteration rounds; returns the 64
+    loadings plus the eigenvalue estimate (the final pre-normalization
+    norm). See module docstring for the plan and determinism story."""
+    vk, nrm = _power_rounds(spark, _gram(spark, sf_dir))
+    return vk.crossJoin(F.broadcast(nrm)).select(
         "pos",
         F.col("x").cast("double").alias("loading"),
         F.round(F.col("nrm"), 6).alias("eigenvalue_est"),
@@ -357,4 +383,175 @@ def g2_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mu_a", 6).alias("mu_a"),
         F.round("mu_b", 6).alias("mu_b"),
         F.round(F.abs(F.col("mu_a") - F.col("mu_b")), 6).alias("abs_shift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pi2 — deflated power iteration: second eigenpair and the spectral gap
+# ---------------------------------------------------------------------------
+
+#: wider intermediate for the deflation round: the matvec result y and
+#: the projection d = v1·y can exceed pi1's |cells| <= 99 envelope but
+#: stay <= 9999 for (near-)unit embedding second moments, keeping the
+#: scale-12 integer numerator double-exact (< 2^53) — the same
+#: practical-bound discipline the module docstring sets for n{k}.
+_DEC_W = "decimal(16,12)"
+
+
+def _pi2_oracle() -> str:
+    ctes = _pi_cte_blocks()
+    vf, nf = f"v{PI_ITERS}", f"n{PI_ITERS}"
+    ctes.append(
+        f"""
+w0 AS MATERIALIZED (
+  SELECT i.i AS pos,
+         CAST(CASE WHEN i.i % 2 = 0 THEN 0.125 ELSE -0.125 END
+              AS DECIMAL(14,12)) AS x
+  FROM (SELECT unnest(generate_series(1, {DIM})) AS i) i
+)"""
+    )
+    tick = f"CAST({_TICK} AS DECIMAL(14,12))"
+    for k in range(1, PI_ITERS + 1):
+        p = k - 1
+        ctes.append(
+            f"""
+wy{k} AS MATERIALIZED (
+  SELECT pos, CAST(y24 - (y24 % {tick}) AS DECIMAL(16,12)) AS y
+  FROM (
+    SELECT c.i AS pos, SUM(c.c * w{p}.x) AS y24
+    FROM c JOIN w{p} ON c.j = w{p}.pos
+    GROUP BY c.i
+  ) raw
+),
+wd{k} AS MATERIALIZED (
+  SELECT CAST(d24 - (d24 % {tick}) AS DECIMAL(16,12)) AS d
+  FROM (
+    SELECT SUM(v.x * y.y) AS d24
+    FROM {vf} v JOIN wy{k} y ON v.pos = y.pos
+  ) s
+),
+wp{k} AS MATERIALIZED (
+  SELECT pos, CAST(p24 - (p24 % {tick}) AS DECIMAL(16,12)) AS y
+  FROM (
+    SELECT y.pos, y.y - (SELECT d FROM wd{k}) * v.x AS p24
+    FROM wy{k} y JOIN {vf} v ON v.pos = y.pos
+  ) raw
+),
+wn{k} AS MATERIALIZED (
+  SELECT sqrt(CAST(CAST(s24 - (s24 % {tick}) AS DECIMAL(16,12)) AS DOUBLE)) AS nrm
+  FROM (SELECT SUM(CAST(y * y AS DECIMAL(38,24))) AS s24 FROM wp{k}) sq
+),
+w{k} AS MATERIALIZED (
+  SELECT pos,
+         CAST(ROUND(CAST(y AS DOUBLE) / (SELECT nrm FROM wn{k}), {_RND})
+              AS DECIMAL(14,12)) AS x
+  FROM wp{k}
+)"""
+        )
+    final = f"""
+SELECT pos, CAST(x AS DOUBLE) AS loading2,
+       ROUND((SELECT nrm FROM wn{PI_ITERS}), 6) AS eigenvalue2_est,
+       ROUND((SELECT nrm FROM wn{PI_ITERS}) / (SELECT nrm FROM {nf}), 9)
+         AS gap_ratio
+FROM w{PI_ITERS}
+"""
+    return "WITH " + ",".join(ctes) + final
+
+
+@register("pi2_spectral_gap", _pi2_oracle())
+def pi2_spectral_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second eigenpair of the embedding Gram matrix by DEFLATED power
+    iteration, plus the spectral-gap ratio λ2/λ1 — the diagnostic that
+    says whether the corpus embedding cloud is effectively
+    one-dimensional (ratio ≪ 1: one direction eats the variance, PCA
+    whitening is mandatory) or spread (ratio near 1: k-means/LSH
+    geometry is trustworthy). Spectral clustering, whitening, and
+    embedding-collapse monitoring all start from exactly this number.
+
+    Each round is pi1's matvec PLUS one orthogonalization against the
+    converged v1: y ← C·w, then y ← y − (v1ᵀy)·v1 (projection
+    deflation — no λ1-scaled outer product is ever materialized, so the
+    Gram matrix is touched read-only and the extra cost per round is
+    one 64-row dot product). All iteration state follows the module's
+    exact-decimal discipline (truncate-to-scale-12, double only at
+    sqrt/divide on double-exact numerators), so the driver's value hash
+    holds a DEFLATED iterative algorithm to bit equality; v1 comes from
+    the same _power_rounds the pi1 oracle unrolls, so the two
+    registered queries share one convergence story."""
+    c = _gram(spark, sf_dir)
+    v1, nrm1 = _power_rounds(spark, c)
+    v1 = v1.localCheckpoint(eager=True)  # read thrice per round
+
+    tick = F.lit(_TICK).cast(_DEC)
+    wk = spark.range(1, DIM + 1).select(
+        F.col("id").cast("int").alias("pos"),
+        F.when(F.col("id") % 2 == 0, F.lit("0.125"))
+        .otherwise(F.lit("-0.125"))
+        .cast(_DEC)
+        .alias("x"),
+    )
+    nrm_col = None
+    for _ in range(PI_ITERS):
+        mv = (
+            c.join(F.broadcast(wk), c["j"] == wk["pos"])
+            .groupBy(F.col("i").alias("pos"))
+            .agg(F.sum(F.col("c") * F.col("x")).alias("y24"))
+            .select(
+                "pos",
+                (F.col("y24") - F.col("y24") % tick).cast(_DEC_W).alias("y"),
+            )
+        )
+        d = (
+            mv.join(F.broadcast(v1), "pos")
+            .agg(F.sum(F.col("x") * F.col("y")).alias("d24"))
+            .select(
+                (F.col("d24") - F.col("d24") % tick).cast(_DEC_W).alias("d")
+            )
+        )
+        perp = (
+            mv.join(F.broadcast(v1), "pos")
+            .crossJoin(F.broadcast(d))
+            .select(
+                "pos",
+                (F.col("y") - F.col("d") * F.col("x")).alias("p24"),
+            )
+            .select(
+                "pos",
+                (F.col("p24") - F.col("p24") % tick).cast(_DEC_W).alias("y"),
+            )
+        )
+        nrm = (
+            perp.agg(
+                F.sum((F.col("y") * F.col("y")).cast("decimal(38,24)")).alias(
+                    "s24"
+                )
+            )
+            .select(
+                F.sqrt(
+                    (F.col("s24") - F.col("s24") % tick)
+                    .cast("decimal(16,12)")
+                    .cast("double")
+                ).alias("nrm")
+            )
+        )
+        wk = (
+            perp.crossJoin(F.broadcast(nrm))
+            .select(
+                "pos",
+                F.round(F.col("y").cast("double") / F.col("nrm"), _RND)
+                .cast(_DEC)
+                .alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        nrm_col = nrm
+    return (
+        wk.crossJoin(F.broadcast(nrm_col))
+        .crossJoin(F.broadcast(nrm1.select(F.col("nrm").alias("nrm1"))))
+        .select(
+            "pos",
+            F.col("x").cast("double").alias("loading2"),
+            F.round(F.col("nrm"), 6).alias("eigenvalue2_est"),
+            F.round(F.col("nrm") / F.col("nrm1"), 9).alias("gap_ratio"),
+        )
     )

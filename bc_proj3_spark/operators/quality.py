@@ -934,3 +934,112 @@ def cal1_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("label").cast("double") / F.count(F.lit(1)), 6
         ).alias("positive_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# gdpr1 — right-to-erasure cascade footprint
+# ---------------------------------------------------------------------------
+
+#: deterministic erasure subject set: customers with custkey % MOD == 0
+#: (scales with the corpus, non-empty at every SF).
+ERASURE_SUBJECT_MOD = 97
+
+_GDPR1_ORACLE = f"""
+WITH subj AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {ERASURE_SUBJECT_MOD} = 0
+),
+aff_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM subj)
+),
+footprint AS (
+  SELECT 'customer' AS table_name,
+         (SELECT COUNT(*) FROM subj) AS n,
+         (SELECT COUNT(*) FROM customer) AS total
+  UNION ALL
+  SELECT 'orders',
+         (SELECT COUNT(*) FROM aff_orders),
+         (SELECT COUNT(*) FROM orders)
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM aff_orders)),
+         (SELECT COUNT(*) FROM lineitem)
+  UNION ALL
+  SELECT 'events',
+         (SELECT COUNT(*) FROM events
+          WHERE user_id IN (SELECT c_custkey FROM subj)),
+         (SELECT COUNT(*) FROM events)
+)
+SELECT table_name,
+       CAST(n AS BIGINT) AS n_rows_to_erase,
+       CAST(total AS BIGINT) AS n_rows_total,
+       ROUND(CAST(n AS DOUBLE) / total, 9) AS erase_fraction
+FROM footprint
+"""
+
+
+@register("gdpr1_erasure_footprint", _GDPR1_ORACLE)
+def gdpr1_erasure_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact report: for a deterministic subject set
+    (custkey % ERASURE_SUBJECT_MOD == 0 — a stand-in for the actual
+    deletion-request list), how many rows each table would lose under
+    referential cascade (customer → orders → lineitem; events by
+    user id). This is the governance operator a data platform runs
+    BEFORE executing a GDPR/CCPA deletion batch: the footprint audit
+    that sizes the rewrite, catches an unexpectedly-hot subject (one
+    user owning half of a fact table), and documents the cascade paths
+    — the DELETE itself is catalog.delete_where (test_delete_where).
+
+    Plan: each cascade level is one LEFT SEMI join keyed on the parent
+    key (custkey, then orderkey) — never a row-by-row lookup; counts
+    are 1-row aggregates crossJoined into the fixed 4-row report. At
+    100 TB the subject list and the affected-order keys ride the
+    measured-count broadcast gate; fact tables are never shuffled, only
+    semi-join-probed."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+
+    subj = cust.filter(
+        F.col("c_custkey") % ERASURE_SUBJECT_MOD == 0
+    ).select("c_custkey")
+    aff_orders = orders.join(
+        gated_broadcast(subj),
+        orders["o_custkey"] == subj["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey")
+    aff_li = li.join(
+        gated_broadcast(aff_orders),
+        li["l_orderkey"] == aff_orders["o_orderkey"],
+        "left_semi",
+    )
+    aff_ev = ev.join(
+        gated_broadcast(subj, persist=False),
+        ev["user_id"] == subj["c_custkey"],
+        "left_semi",
+    )
+
+    def row(name: str, affected: DataFrame, full: DataFrame) -> DataFrame:
+        return (
+            affected.agg(F.count(F.lit(1)).alias("n_rows_to_erase"))
+            .crossJoin(full.agg(F.count(F.lit(1)).alias("n_rows_total")))
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_rows_to_erase",
+                "n_rows_total",
+                F.round(
+                    F.col("n_rows_to_erase").cast("double")
+                    / F.col("n_rows_total"),
+                    9,
+                ).alias("erase_fraction"),
+            )
+        )
+
+    return (
+        row("customer", subj, cust)
+        .unionAll(row("orders", aff_orders, orders))
+        .unionAll(row("lineitem", aff_li, li))
+        .unionAll(row("events", aff_ev, ev))
+    )

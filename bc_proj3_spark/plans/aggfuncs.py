@@ -697,3 +697,66 @@ def a12_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("modal_type"), "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# a13 — exact weighted median per group
+# ---------------------------------------------------------------------------
+
+_A13_ORACLE = """
+WITH wts AS (
+  SELECT l_returnflag, l_extendedprice AS val,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+),
+cum AS (
+  SELECT l_returnflag, val, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY val) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM wts
+)
+SELECT l_returnflag,
+       CAST(MAX(tw) AS BIGINT) AS total_weight,
+       MIN(CASE WHEN 2 * cw >= tw THEN val END) AS weighted_median
+FROM cum GROUP BY l_returnflag
+"""
+
+
+@register("a13_weighted_median", _A13_ORACLE)
+def a13_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of line price, weighted by quantity, per
+    return flag — the robust center plain AVG and even the unweighted
+    median get wrong when line sizes vary (the quantity-weighted median
+    answers "the price of the MIDDLE UNIT shipped", the inventory-
+    weighted view a reporting layer actually wants). Median is a
+    SELECTION, so the result is an exact stored double — no rounding
+    convention needed, cross-engine equality is by construction.
+
+    Scale shape: the fact table collapses FIRST to (group, distinct
+    value) weight sums — one map-side-combinable exchange — and the
+    cumulative window runs over that collapsed table (distinct prices
+    per flag, orders of magnitude smaller than line items; ties are
+    gone after the collapse, so ROWS and RANGE frames agree). At a
+    cardinality where even the distinct-value table overwhelms one
+    partition, swap the window for a6-style fixed-bin histogram
+    refinement — same two-scan budget."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    wts = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("val")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("w")
+    )
+    w_cum = Window.partitionBy("l_returnflag").orderBy("val")
+    w_tot = Window.partitionBy("l_returnflag")
+    cum = wts.select(
+        "l_returnflag",
+        "val",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.max("tw").cast("bigint").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("val"))).alias(
+            "weighted_median"
+        ),
+    )

@@ -38,6 +38,8 @@ _BNLJ_OK = {
     "s5_kmeans_assign",
     "s6_kmeans_update",
     "pi1_power_iteration",  # per-round 1-row norm broadcast
+    "pi2_spectral_gap",  # per-round 1-row norm + projection broadcasts
+    "gdpr1_erasure_footprint",  # 1-row count crossJoins per report row
     "t11_pmi_collocations",  # 1-row (n_tot, n_big) totals broadcast
     "sp5_temperature_mix",  # 1-row (n_total, w_total) scalars broadcast
     # round-5 second-session additions, same shape:
