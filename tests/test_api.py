@@ -40,3 +40,19 @@ def test_api_compose_smoke(spark, tmp_path):
         4,
     ).write.mode("overwrite").parquet(out)
     assert spark.read.parquet(out).count() == 100
+
+
+def test_rotation_maps_reference_real_queries():
+    """_VERIFIED_ROUND / _SHOWCASE_FIRST drive the driver's bounded
+    verification prefix; a typo'd or stale name silently mis-orders the
+    rotation (the entry no-ops and the query drops to round 0 or never
+    gets its priority)."""
+    from bc_proj3_spark.registry import (
+        _SHOWCASE_FIRST,
+        _VERIFIED_ROUND,
+        all_queries,
+    )
+
+    names = set(all_queries())
+    assert set(_VERIFIED_ROUND) <= names, sorted(set(_VERIFIED_ROUND) - names)
+    assert set(_SHOWCASE_FIRST) <= names, sorted(set(_SHOWCASE_FIRST) - names)
