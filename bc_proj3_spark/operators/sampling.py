@@ -529,3 +529,107 @@ def sp8_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sp9 — leakage-safe (dedup-aware) train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def _SP9_ORACLE() -> str:
+    """Recursive-CTE twin: components exactly as cc1's oracle (same d4
+    pair chain), then both the naive per-doc split and the cluster-level
+    split from the SAME seeded hash family as sp1."""
+    from bc_proj3_spark.operators.dedup import _D4_ORACLE
+
+    return f"""
+WITH RECURSIVE pairs AS (
+{_D4_ORACLE}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges) n
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lab) AS component_id FROM reach GROUP BY node),
+assign AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS component_id
+  FROM documents d
+  LEFT JOIN comp c USING (doc_id)
+),
+b AS (
+  SELECT doc_id, component_id,
+         {sql_hash60(_sql_seeded('split', 'CAST(doc_id AS VARCHAR)'))} % 100
+           AS nb,
+         {sql_hash60(_sql_seeded('split', 'CAST(component_id AS VARCHAR)'))} % 100
+           AS sb
+  FROM assign
+),
+s AS (
+  SELECT component_id,
+         CASE WHEN sb < {TRAIN_PCT} THEN 'train'
+              WHEN sb < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN nb < {TRAIN_PCT} THEN 'train'
+              WHEN nb < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS naive_split
+  FROM b
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT component_id) AS n_clusters,
+       CAST(SUM(CASE WHEN split <> naive_split THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved_in
+FROM s
+GROUP BY split
+"""
+
+
+def _split_of(bucket: "F.Column") -> "F.Column":
+    return (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+@register("sp9_leakage_safe_split", _SP9_ORACLE())
+def sp9_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split: every near-duplicate CLUSTER
+    (cc1's connected components over the verified MinHash-LSH pairs)
+    lands in ONE split, by hashing the cluster representative with
+    sp1's seed — so singleton documents keep exactly their sp1
+    assignment and only duplicate-cluster members move. This closes the
+    eval-contamination hole a per-doc split leaves open: with naive
+    sp1, a train doc's near-duplicate can land in test, leaking
+    training content into evaluation (the reason production corpus
+    builds dedup BEFORE splitting). The per-split report carries the
+    audit in the verified values: n_moved_in counts docs whose naive
+    split differed — exactly the would-have-leaked population.
+
+    Scale shape: components run on the near-dup pair subgraph only
+    (never corpus²); the split decision is then one map-side hash on
+    the component label; the report is a 3-row aggregate (count +
+    cluster-distinct + moved-sum) behind one exchange on `split`.
+    No new corpus-wide shuffle beyond cc1's own label join."""
+    from bc_proj3_spark.operators.graph import cc1_dedup_components
+
+    assign = cc1_dedup_components(spark, sf_dir)
+    nb = hash60(_seeded("split", F.col("doc_id").cast("string"))) % 100
+    sb = hash60(_seeded("split", F.col("component_id").cast("string"))) % 100
+    per_doc = assign.select(
+        "component_id",
+        _split_of(sb).alias("split"),
+        (_split_of(sb) != _split_of(nb)).cast("int").alias("moved"),
+    )
+    return per_doc.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("component_id").alias("n_clusters"),
+        F.sum("moved").cast("bigint").alias("n_moved_in"),
+    )

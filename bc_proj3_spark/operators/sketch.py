@@ -994,3 +994,206 @@ def bmp2_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.join(exact, "event_type").select(
         "event_type", "n_distinct_bitmap", "n_distinct_exact"
     )
+
+
+# ---------------------------------------------------------------------------
+# sk10 — KMV (theta-sketch-style) distinct-set intersection estimate
+# ---------------------------------------------------------------------------
+
+KMV_K = 64  # bottom-k signature size per user set
+
+# 2^60 — the hash60 range; exactly representable as a double.
+_KMV_RANGE = 1 << 60
+
+_SK10_ORACLE = f"""
+WITH percount AS (
+  SELECT event_type, user_id, COUNT(*) AS n
+  FROM events GROUP BY event_type, user_id
+),
+users AS (
+  -- "engaged" users of a type: above the type's MEAN events/user,
+  -- compared in exact integer arithmetic (n * n_users > sum_n), so
+  -- the set boundary is scale-free and identical on both engines.
+  SELECT event_type, user_id
+  FROM (
+    SELECT event_type, user_id, n,
+           COUNT(*) OVER (PARTITION BY event_type) AS n_users,
+           SUM(n) OVER (PARTITION BY event_type) AS sum_n
+    FROM percount
+  ) t
+  WHERE n * n_users > sum_n
+),
+hashed AS (
+  SELECT DISTINCT event_type,
+         (('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) AS h
+  FROM users
+),
+sk AS (
+  SELECT event_type, h
+  FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed
+  ) r WHERE rn <= {KMV_K}
+),
+exact AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         COUNT(*) AS exact_intersection
+  FROM users x JOIN users y USING (user_id)
+  WHERE x.event_type < y.event_type
+  GROUP BY 1, 2
+),
+memb AS (
+  SELECT type_a, type_b, h,
+         MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT p.type_a, p.type_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM exact p JOIN sk s ON s.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, s.h, 0, 1
+    FROM exact p JOIN sk s ON s.event_type = p.type_b
+  ) u
+  GROUP BY type_a, type_b, h
+),
+uni AS (
+  SELECT type_a, type_b, h, in_a, in_b
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY type_a, type_b ORDER BY h) AS rn
+    FROM memb
+  ) r WHERE rn <= {KMV_K}
+),
+est AS (
+  SELECT type_a, type_b,
+         COUNT(*) AS k_used,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS k_both,
+         MAX(h) AS kth
+  FROM uni GROUP BY type_a, type_b
+),
+calc AS (
+  SELECT type_a, type_b, k_used, k_both,
+         CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
+              ELSE (CAST(k_used AS DOUBLE) - 1.0)
+                   * {float(_KMV_RANGE)} / CAST(kth AS DOUBLE)
+         END AS union_est
+  FROM est
+)
+SELECT c.type_a, c.type_b, c.k_used,
+       ROUND(CAST(c.k_both AS DOUBLE) / CAST(c.k_used AS DOUBLE), 9)
+         AS est_jaccard,
+       ROUND(c.union_est, 3) AS est_union,
+       ROUND(CAST(c.k_both AS DOUBLE) / CAST(c.k_used AS DOUBLE)
+             * c.union_est, 3) AS est_intersection,
+       x.exact_intersection
+FROM calc c JOIN exact x USING (type_a, type_b)
+"""
+
+
+@register("sk10_kmv_intersection", _SK10_ORACLE)
+def sk10_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta-sketch-style) audience-overlap
+    estimate: per event type, keep only the K smallest seeded hashes of
+    its distinct user set; for each type pair, the K smallest hashes of
+    the sketch UNION estimate |A∪B| from the Kth value's position in
+    hash space, and the fraction of those also present in BOTH input
+    sketches estimates Jaccard — their product estimates |A∩B| without
+    ever materializing the intersection. The exact intersection rides
+    alongside in the verified values, so the sketch's error is pinned.
+
+    This is the sketch family behind cross-corpus overlap audits at
+    100 TB: each set is reduced to K=64 hashes (mergeable: union of
+    sketches → re-take bottom-K), set algebra happens on sketches, and
+    the full user sets never co-shuffle. Deterministic md5-family
+    hashes make DuckDB build the identical sketch (the same reason
+    sk1–sk9 verify value-for-value).
+
+    The compared sets are each type's ENGAGED users — above the type's
+    mean events/user, decided in exact integer arithmetic
+    (n · n_users > Σn, never a float mean) so the set boundary is
+    scale-free and bit-identical across engines.
+
+    Shape: one (type, user) count, a 5-row per-type totals broadcast
+    back onto it, one bottom-K window per type (WindowGroupLimit
+    prunes partial sorts), pair fan-out bounded by #types² sketch
+    rows; the exact check is a user-keyed equi-join whose fan-out is
+    bounded by #types per user."""
+    from pyspark.sql.window import Window
+
+    from bc_proj3_spark.functions.hashing import hash60
+
+    events = table(spark, sf_dir, "events")
+    percount = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = percount.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("n").alias("sum_n")
+    )
+    users = (
+        percount.join(F.broadcast(totals), "event_type")
+        .filter(F.col("n") * F.col("n_users") > F.col("sum_n"))
+        .select("event_type", "user_id")
+    )
+    hashed = users.select(
+        "event_type",
+        hash60(
+            F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    ).distinct()
+    w_type = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w_type))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
+    exact = (
+        users.alias("x")
+        .join(users.alias("y"), "user_id")
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    pairs = exact.select("type_a", "type_b")
+    memb = (
+        pairs.join(sk, sk["event_type"] == pairs["type_a"])
+        .select("type_a", "type_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionAll(
+            pairs.join(sk, sk["event_type"] == pairs["type_b"]).select(
+                "type_a", "type_b", "h", F.lit(0), F.lit(1)
+            )
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w_pair = Window.partitionBy("type_a", "type_b").orderBy("h")
+    uni = memb.withColumn("rn", F.row_number().over(w_pair)).filter(
+        F.col("rn") <= KMV_K
+    )
+    est = uni.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("k_both"),
+        F.max("h").alias("kth"),
+    )
+    union_est = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise(
+        (F.col("k_used").cast("double") - F.lit(1.0))
+        * F.lit(float(_KMV_RANGE))
+        / F.col("kth").cast("double")
+    )
+    jacc = F.col("k_both").cast("double") / F.col("k_used").cast("double")
+    return (
+        est.withColumn("union_est", union_est)
+        .join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "k_used",
+            F.round(jacc, 9).alias("est_jaccard"),
+            F.round(F.col("union_est"), 3).alias("est_union"),
+            F.round(jacc * F.col("union_est"), 3).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )

@@ -760,3 +760,107 @@ def a13_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_median"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat2 — Welch's unequal-variance t-test between customer segments
+# ---------------------------------------------------------------------------
+
+_STAT2_ORACLE = """
+WITH m AS (
+  SELECT c_mktsegment AS seg,
+         COUNT(*) AS n,
+         CAST(SUM(pc) AS DOUBLE) AS sx,
+         CAST(SUM(pc * pc) AS DOUBLE) AS sxx
+  FROM (
+    SELECT c_mktsegment,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS pc
+    FROM orders JOIN customer ON o_custkey = c_custkey
+  ) j
+  GROUP BY c_mktsegment
+),
+s AS (
+  SELECT seg, n,
+         sx / n AS mean,
+         (sxx - sx * sx / n) / (n - 1) / n AS se2
+  FROM m
+)
+SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS n_a, b.n AS n_b,
+       ROUND((a.mean - b.mean) / SQRT(a.se2 + b.se2), 6) AS t_welch,
+       ROUND((a.se2 + b.se2) * (a.se2 + b.se2)
+             / (a.se2 * a.se2 / (a.n - 1) + b.se2 * b.se2 / (b.n - 1)), 3)
+         AS df_welch
+FROM s a JOIN s b ON a.seg < b.seg
+"""
+
+
+@register("stat2_welch_ttest", _STAT2_ORACLE)
+def stat2_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic (and Welch–Satterthwaite
+    degrees of freedom) for mean order value between every pair of
+    customer market segments — the A/B-test read-out computed entirely
+    from per-segment moments, never a row-level pairing.
+
+    Determinism: moments accumulate over exact integer CENTS
+    (ROUND(price·100) as BIGINT — prices are 2-dp quantities, so the
+    cents value is unambiguous on both engines, sidestepping the
+    double→DECIMAL grid-snap seam entirely); integer sums are exact in
+    any order, and the t statistic is scale-invariant so cents cancel.
+    The final formula is one double expression over identical operands
+    in both engines, ROUND-wrapped per convention.
+
+    Plan shape: one key-shuffle join (orders ⋈ customer), one
+    map-side-combinable 5-row moment aggregate, then a 5×5 moment-row
+    self-join — the pair stage costs nothing at any corpus scale, and
+    the moments merge across shards by addition (the streaming/
+    incremental form is the same aggregate)."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    dec38 = "decimal(38,0)"
+    pc = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    j = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).select(F.col("c_mktsegment").alias("seg"), pc.alias("pc"))
+    m = j.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("pc").cast(dec38)).cast("double").alias("sx"),
+        F.sum((F.col("pc") * F.col("pc")).cast(dec38))
+        .cast("double")
+        .alias("sxx"),
+    )
+    s = m.select(
+        "seg",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+            / F.col("n")
+        ).alias("se2"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    se_sum = F.col("a.se2") + F.col("b.se2")
+    return (
+        # the moment table is bounded by #segments — broadcast the
+        # right side so the non-equi pair join is a BNLJ over K rows,
+        # never a shuffle cartesian
+        a.join(F.broadcast(b), F.col("a.seg") < F.col("b.seg"))
+        .select(
+            F.col("a.seg").alias("seg_a"),
+            F.col("b.seg").alias("seg_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(
+                (F.col("a.mean") - F.col("b.mean")) / F.sqrt(se_sum), 6
+            ).alias("t_welch"),
+            F.round(
+                se_sum
+                * se_sum
+                / (
+                    F.col("a.se2") * F.col("a.se2") / (F.col("a.n") - 1)
+                    + F.col("b.se2") * F.col("b.se2") / (F.col("b.n") - 1)
+                ),
+                3,
+            ).alias("df_welch"),
+        )
+    )

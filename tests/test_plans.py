@@ -55,6 +55,7 @@ _BNLJ_OK = {
     "pipe1_corpus_build",  # inherits f1's 1-row corpus-total cross
     "fe2_train_scaled",  # 1-row train-split (mu, sigma) crossed in
     "mi1_mutual_information",  # 1-row contingency total crossed in
+    "stat2_welch_ttest",  # 5-row moment table non-equi self-joined
 }
 
 #: streaming queries — their builders execute a full streaming job;
