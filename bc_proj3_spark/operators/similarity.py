@@ -590,3 +590,104 @@ def s6_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_x"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d12 — semantic dedup (SemDeDup): k-means cluster, dedup within cluster
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = NEARDUP_THRESHOLD  # cosine above ⇒ semantic duplicate
+
+_D12_ORACLE = f"""
+WITH {_SQL_BASE},
+cent AS (
+  SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e
+  WHERE vec_id < {KMEANS_K}
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_dot('cv', 'v')} / (cn * nrm) DESC, centroid_id
+           ) AS rn
+    FROM e, cent
+  ) t WHERE rn = 1
+),
+memb AS (
+  SELECT a.vec_id, a.centroid_id, e.v, e.nrm
+  FROM assigned a JOIN e USING (vec_id)
+),
+rem AS (
+  SELECT DISTINCT q.vec_id
+  FROM memb p
+  JOIN memb q ON p.centroid_id = q.centroid_id AND p.vec_id < q.vec_id
+  WHERE {_sql_dot('p.v', 'q.v')} / (p.nrm * q.nrm) >= {SEMDEDUP_THRESHOLD}
+)
+SELECT m.centroid_id,
+       COUNT(*) AS n_members,
+       CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(COUNT(*)
+            - SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM memb m LEFT JOIN rem r ON m.vec_id = r.vec_id
+GROUP BY m.centroid_id
+"""
+
+
+@register("d12_semdedup", _D12_ORACLE)
+def d12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings (s5's spherical k-means
+    assignment) and removing, WITHIN each cluster, every vector that
+    has a higher-cosine-than-threshold neighbor with a smaller id
+    (greedy keep-lowest-id — deterministic, no RNG). The per-cluster
+    report (members / removed / kept) is the dedup funnel's semantic
+    stage, catching paraphrase-level duplicates that shingle MinHash
+    (d4) cannot see.
+
+    Scale shape: this is exactly why SemDeDup clusters FIRST — the
+    pairwise stage is confined within clusters, O(Σ|cluster|²) instead
+    of corpus²; at production scale K grows with the corpus (the paper
+    uses 50k clusters for LAION) keeping cluster sizes bounded. The
+    pair join is an equi-join on centroid_id with an id-order residual
+    — one shuffle keyed by cluster, never a global cross. Cosines are
+    sequential folds, bit-identical across engines (module docstring),
+    so the removal set is exactly reproducible."""
+    assigned = s5_kmeans_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    corpus = _corpus(spark, sf_dir)
+    memb = assigned.join(corpus, "vec_id").select(
+        "vec_id", "centroid_id", "v", "nrm"
+    )
+    p, q = memb.alias("p"), memb.alias("q")
+    rem = (
+        p.join(
+            q,
+            (F.col("p.centroid_id") == F.col("q.centroid_id"))
+            & (F.col("p.vec_id") < F.col("q.vec_id")),
+        )
+        .filter(
+            _dot(F.col("p.v"), F.col("q.v")) / (F.col("p.nrm") * F.col("q.nrm"))
+            >= SEMDEDUP_THRESHOLD
+        )
+        .select(F.col("q.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("removed", F.lit(1))
+    )
+    return (
+        memb.join(rem, "vec_id", "left")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce(F.col("removed"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            (
+                F.count(F.lit(1))
+                - F.sum(F.coalesce(F.col("removed"), F.lit(0)))
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )

@@ -56,6 +56,7 @@ _BNLJ_OK = {
     "fe2_train_scaled",  # 1-row train-split (mu, sigma) crossed in
     "mi1_mutual_information",  # 1-row contingency total crossed in
     "stat2_welch_ttest",  # 5-row moment table non-equi self-joined
+    "d12_semdedup",  # inherits s5's K=8 centroid-table cross
 }
 
 #: streaming queries — their builders execute a full streaming job;
