@@ -633,3 +633,101 @@ def sp9_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("component_id").alias("n_clusters"),
         F.sum("moved").cast("bigint").alias("n_moved_in"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sp11 — deterministic per-epoch shuffle (shard reassignment audit)
+# ---------------------------------------------------------------------------
+
+EPOCH_SHARDS = 16
+N_EPOCHS = 3
+
+
+def _sp11_oracle() -> str:
+    shard = lambda e: (
+        sql_hash60(_sql_seeded("epoch", f"'{e}'", "CAST(doc_id AS VARCHAR)"))
+        + f" % {EPOCH_SHARDS}"
+    )
+    cols = ", ".join(f"{shard(e)} AS s{e}" for e in range(N_EPOCHS))
+    rows = " UNION ALL ".join(
+        f"SELECT {e} AS epoch, s{e} AS shard, "
+        + (
+            "CAST(NULL AS BIGINT) AS moved"
+            if e == 0
+            else f"CASE WHEN s{e} <> s{e - 1} THEN 1 ELSE 0 END AS moved"
+        )
+        + " FROM per"
+        for e in range(N_EPOCHS)
+    )
+    return f"""
+WITH per AS (SELECT doc_id, {cols} FROM documents),
+long AS ({rows}),
+by_shard AS (
+  SELECT epoch, shard, COUNT(*) AS n,
+         CAST(SUM(moved) AS BIGINT) AS n_moved
+  FROM long GROUP BY epoch, shard
+)
+SELECT epoch,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_shards,
+       CAST(MIN(n) AS BIGINT) AS min_shard,
+       CAST(MAX(n) AS BIGINT) AS max_shard,
+       CAST(SUM(n_moved) AS BIGINT) AS moved_from_prev
+FROM by_shard GROUP BY epoch
+"""
+
+
+@register("sp11_epoch_shuffle", _sp11_oracle())
+def sp11_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch data shuffling, the way a distributed
+    training loader re-orders a 100 TB corpus each epoch WITHOUT a
+    global permutation: shard(doc, epoch) = seeded-hash % S re-buckets
+    every document per epoch (readers then shuffle within their shard
+    buffer). No RNG state, so any worker recomputes any epoch's order
+    from the epoch number alone — resumable mid-epoch, identical
+    across engines and cluster sizes. The verified values carry the
+    two properties that matter: shard balance (min/max shard size
+    within hash-uniformity bounds) and inter-epoch decorrelation
+    (moved_from_prev ≈ (S-1)/S of the corpus re-shards each epoch —
+    a stuck hash would show ~0).
+
+    Shape: the three epoch shards are map-side hash columns computed in
+    ONE scan (the epoch fan-out explodes 3 constant structs per row,
+    no extra read); one (epoch, shard)-keyed aggregate — S×E groups —
+    then an E-row rollup. Partial aggregation absorbs the fan-out
+    map-side."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    shards = [
+        hash60(
+            _seeded("epoch", F.lit(str(e)), F.col("doc_id").cast("string"))
+        )
+        % EPOCH_SHARDS
+        for e in range(N_EPOCHS)
+    ]
+    per = docs.select(
+        "doc_id", *[s.alias(f"s{e}") for e, s in enumerate(shards)]
+    )
+    long = None
+    for e in range(N_EPOCHS):
+        moved = (
+            F.lit(None).cast("bigint")
+            if e == 0
+            else (F.col(f"s{e}") != F.col(f"s{e - 1}")).cast("bigint")
+        )
+        part = per.select(
+            F.lit(e).alias("epoch"),
+            F.col(f"s{e}").alias("shard"),
+            moved.alias("moved"),
+        )
+        long = part if long is None else long.unionAll(part)
+    by_shard = long.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("moved").cast("bigint").alias("n_moved"),
+    )
+    return by_shard.groupBy("epoch").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_shards"),
+        F.min("n").cast("bigint").alias("min_shard"),
+        F.max("n").cast("bigint").alias("max_shard"),
+        F.sum("n_moved").cast("bigint").alias("moved_from_prev"),
+    )

@@ -812,3 +812,65 @@ def st9_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# st10 — sliding (overlapping) windows in a streaming aggregation
+# ---------------------------------------------------------------------------
+
+_ST10_ORACLE = """
+WITH hits AS (
+  SELECT event_type, date_trunc('hour', ts) AS ws FROM events
+  UNION ALL
+  SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
+)
+SELECT event_type, ws AS window_start, COUNT(*) AS n_events
+FROM hits
+GROUP BY event_type, ws
+"""
+
+
+@register("st10_stream_sliding_windows", _ST10_ORACLE)
+def st10_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-2-hour event counts per type on a 1-hour slide, computed
+    by a streaming query with OVERLAPPING windows — the operator behind
+    every "last N hours" live metric. Unlike st1's tumbling windows,
+    ``F.window(ts, '2 hours', '1 hour')`` assigns each event to TWO
+    window instances, so the streaming state holds slide-many open
+    copies per key and the watermark finalizes each as its end passes.
+    The batch oracle replays the window-instance expansion explicitly
+    (each event unioned into both its hour-aligned window starts), so
+    the overlap semantics — not just totals — are value-verified.
+
+    Scale: state is (types × open-windows) rows regardless of event
+    volume; the 1-hour watermark closes instances, bounding open copies
+    at duration/slide + late-horizon. Same AvailableNow drain contract
+    as st1."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    src = _normalize_event_ts(src)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sink = f"st10_sink_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="st10-ckpt-") as ckpt, _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(sink).select(
+        "event_type", F.col("w.start").alias("window_start"), "n_events"
+    )
