@@ -175,6 +175,16 @@ _VERIFIED_ROUND: dict[str, int] = {
 #: flagship manifest) instead of whichever module happens to register
 #: first. Names absent from the registry are ignored.
 _SHOWCASE_FIRST: tuple[str, ...] = (
+    # round-6 new operator classes (strict-verified locally on a vanilla
+    # session before registration): leakage-safe dedup-aware split,
+    # semantic dedup, KMV set-intersection sketch, Welch's t-test,
+    # sliding streaming windows, epoch shuffle
+    "sp9_leakage_safe_split",
+    "d12_semdedup",
+    "sk10_kmv_intersection",
+    "stat2_welch_ttest",
+    "st10_stream_sliding_windows",
+    "sp11_epoch_shuffle",
     "pipe1_corpus_build",
     "sql5_recursive_spine",
     "e14_variant_props",
