@@ -84,3 +84,92 @@ def pipe1_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cur1 — curriculum/annealing data schedule by quality percentile
+# ---------------------------------------------------------------------------
+
+
+def _cur1_oracle() -> str:
+    from bc_proj3_spark.operators.textstats import _T2_ORACLE, _T5_ORACLE
+
+    return f"""
+WITH q AS (
+{_T2_ORACLE}
+),
+tok AS (
+{_T5_ORACLE}
+),
+d AS (
+  SELECT q.doc_id, q.quality, tok.n_bpe_tokens
+  FROM q JOIN tok USING (doc_id)
+),
+th AS (
+  SELECT quantile_cont(quality, 0.8) AS p80,
+         quantile_cont(quality, 0.4) AS p40
+  FROM d
+),
+lab AS (
+  SELECT CASE WHEN quality >= (SELECT p80 FROM th) THEN 'anneal'
+              WHEN quality >= (SELECT p40 FROM th) THEN 'main'
+              ELSE 'warmup' END AS phase,
+         quality, n_bpe_tokens
+  FROM d
+)
+SELECT phase,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_bpe_tokens) AS BIGINT) AS token_sum,
+       ROUND(MIN(quality), 9) AS min_quality,
+       ROUND(MAX(quality), 9) AS max_quality
+FROM lab
+GROUP BY phase
+"""
+
+
+@register("cur1_curriculum_schedule", _cur1_oracle())
+def cur1_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum / annealing data schedule: partition the corpus into
+    training phases by quality percentile — top 20% reserved for the
+    annealing phase (the modern practice of ending pre-training on the
+    highest-quality data), middle 40% for the main run, bottom 40% for
+    warmup — and report each phase's document count and BPE-token
+    budget (t5's segmentation), the numbers a training plan is actually
+    written against. Composes the registered t2 (quality) and t5
+    (token-cost) operators; phase boundaries are exact percentiles of
+    the per-row quality score.
+
+    Scale shape: phase thresholds are a 1-row exact-percentile
+    aggregate broadcast back over one corpus pass (NOT a global NTILE,
+    which would funnel the corpus through one window partition); the
+    phase report is a 3-row aggregate. At production scale the exact
+    percentile swaps for approx_percentile's t-digest — kept exact here
+    so the oracle can value-match (a2's convention)."""
+    from bc_proj3_spark.operators.textstats import (
+        t2_quality_score,
+        t5_token_count,
+    )
+
+    q = t2_quality_score(spark, sf_dir).select("doc_id", "quality")
+    tok = t5_token_count(spark, sf_dir).select("doc_id", "n_bpe_tokens")
+    d = q.join(tok, "doc_id")
+    th = d.agg(
+        F.expr("percentile(quality, 0.8)").alias("p80"),
+        F.expr("percentile(quality, 0.4)").alias("p40"),
+    )
+    phase = (
+        F.when(F.col("quality") >= F.col("p80"), "anneal")
+        .when(F.col("quality") >= F.col("p40"), "main")
+        .otherwise("warmup")
+    )
+    return (
+        d.crossJoin(F.broadcast(th))
+        .select(phase.alias("phase"), "quality", "n_bpe_tokens")
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("token_sum"),
+            F.round(F.min("quality"), 9).alias("min_quality"),
+            F.round(F.max("quality"), 9).alias("max_quality"),
+        )
+    )

@@ -185,6 +185,7 @@ _SHOWCASE_FIRST: tuple[str, ...] = (
     "stat2_welch_ttest",
     "st10_stream_sliding_windows",
     "sp11_epoch_shuffle",
+    "cur1_curriculum_schedule",
     "pipe1_corpus_build",
     "sql5_recursive_spine",
     "e14_variant_props",

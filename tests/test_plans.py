@@ -57,6 +57,7 @@ _BNLJ_OK = {
     "mi1_mutual_information",  # 1-row contingency total crossed in
     "stat2_welch_ttest",  # 5-row moment table non-equi self-joined
     "d12_semdedup",  # inherits s5's K=8 centroid-table cross
+    "cur1_curriculum_schedule",  # 1-row percentile-threshold cross
 }
 
 #: streaming queries — their builders execute a full streaming job;
