@@ -260,3 +260,82 @@ def m4_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# m5 — multimodal token budgeting from metadata (no decode needed)
+# ---------------------------------------------------------------------------
+
+PATCH = 14  # ViT-style square patch edge
+AUDIO_BYTES_PER_TOKEN = 4  # codec-rate proxy: 1 token per 4 source bytes
+#: video frames entering the encoder = m3's sampling schedule
+VIDEO_FRAMES = (16 * PAYLOAD_BLOCKS // FRAME_BYTES + FRAME_STRIDE - 1) // FRAME_STRIDE
+
+_M5_ORACLE = f"""
+WITH meta AS (
+  SELECT doc_id,
+         {_MEDIA_TYPE} AS media_type,
+         CAST(64 + (doc_id % 5) * 32 AS BIGINT) AS w,
+         CAST(48 + (doc_id % 3) * 16 AS BIGINT) AS h,
+         CAST(n_chars AS BIGINT) AS src_bytes
+  FROM documents
+),
+tok AS (
+  SELECT media_type,
+         CASE media_type
+           WHEN 'image' THEN ((w + {PATCH - 1}) // {PATCH})
+                             * ((h + {PATCH - 1}) // {PATCH})
+           WHEN 'video' THEN ((w + {PATCH - 1}) // {PATCH})
+                             * ((h + {PATCH - 1}) // {PATCH})
+                             * {VIDEO_FRAMES}
+           ELSE src_bytes // {AUDIO_BYTES_PER_TOKEN}
+         END AS tokens
+  FROM meta
+)
+SELECT media_type,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS token_sum,
+       CAST(MAX(tokens) AS BIGINT) AS max_doc_tokens
+FROM tok
+GROUP BY media_type
+"""
+
+
+@register("m5_token_budget", _M5_ORACLE)
+def m5_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal TOKEN BUDGET from metadata alone — the planning
+    number a mixed-modality training recipe needs before any decode
+    runs: images cost ceil(w/14)·ceil(h/14) ViT patches, videos that
+    times the m3 frame-sampling schedule, audio a source-byte rate
+    proxy. All integer arithmetic on declared metadata (m1's typed
+    struct), so a 100 TB media lake is budgeted by a metadata-column
+    scan + 3-row aggregate — no payload is ever read (column pruning
+    drops the binary column at the scan). The text twin is cur1's
+    BPE-token budget; together they price a multimodal corpus.
+
+    Shape: map-side integer expressions, one combiner-absorbed
+    aggregate keyed by media_type."""
+    m = media_table(spark, sf_dir)
+    w = F.col("meta.width").cast("bigint")
+    h = F.col("meta.height").cast("bigint")
+    src = F.col("meta.src_bytes").cast("bigint")
+    # integer floor-division: metadata dims are positive, so the
+    # double-divide + floor equals `//` on both engines
+    patches = (
+        F.floor((w + (PATCH - 1)) / PATCH)
+        * F.floor((h + (PATCH - 1)) / PATCH)
+    ).cast("bigint")
+    tokens = (
+        F.when(F.col("media_type") == "image", patches)
+        .when(F.col("media_type") == "video", patches * VIDEO_FRAMES)
+        .otherwise(F.floor(src / AUDIO_BYTES_PER_TOKEN).cast("bigint"))
+    )
+    return (
+        m.select("media_type", tokens.alias("tokens"))
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").cast("bigint").alias("token_sum"),
+            F.max("tokens").cast("bigint").alias("max_doc_tokens"),
+        )
+    )

@@ -186,6 +186,7 @@ _SHOWCASE_FIRST: tuple[str, ...] = (
     "st10_stream_sliding_windows",
     "sp11_epoch_shuffle",
     "cur1_curriculum_schedule",
+    "m5_token_budget",
     "pipe1_corpus_build",
     "sql5_recursive_spine",
     "e14_variant_props",
