@@ -95,6 +95,18 @@ STRICT_VALUE_QUERIES = [
     "r2_cube_crosstab",
     "r3_grouping_sets",
     "s6_kmeans_update",
+    # round-6 new operator classes, showcased at the head of the r6
+    # driver prefix — replayed here at the same strictness the driver
+    # will apply (st10 exercises the streaming source-schema seam,
+    # the rest the output-type contract)
+    "sp9_leakage_safe_split",
+    "d12_semdedup",
+    "sk10_kmv_intersection",
+    "stat2_welch_ttest",
+    "st10_stream_sliding_windows",
+    "sp11_epoch_shuffle",
+    "cur1_curriculum_schedule",
+    "m5_token_budget",
 ]
 
 
