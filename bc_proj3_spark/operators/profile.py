@@ -242,3 +242,81 @@ def mi1_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mi_contrib"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# prof3 — corpus composition datasheet (doc + token shares by lang/source)
+# ---------------------------------------------------------------------------
+
+
+def _prof3_oracle() -> str:
+    from bc_proj3_spark.operators.textstats import _T5_ORACLE
+
+    return f"""
+WITH tok AS (
+{_T5_ORACLE}
+),
+base AS (
+  SELECT d.lang, d.source, t.n_bpe_tokens
+  FROM documents d JOIN tok t USING (doc_id)
+),
+g AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(n_bpe_tokens) AS BIGINT) AS token_sum
+  FROM base GROUP BY lang, source
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+         CAST(SUM(token_sum) AS BIGINT) AS tt
+  FROM g
+)
+SELECT lang, source, n_docs, token_sum,
+       ROUND(CAST(n_docs AS DOUBLE) / (SELECT td FROM tot), 9) AS doc_share,
+       ROUND(CAST(token_sum AS DOUBLE) / (SELECT tt FROM tot), 9)
+         AS token_share
+FROM g
+"""
+
+
+@register("prof3_corpus_datasheet", _prof3_oracle())
+def prof3_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus composition datasheet: per (language, source) cell,
+    document count, BPE-token budget (t5's segmentation) and each
+    cell's share of the whole corpus by docs and by tokens — the table
+    every data-mixture decision (sp3 quotas, sp5 temperature weights)
+    is made FROM, and the one a model card publishes. Token share and
+    doc share diverge exactly where documents are longer/shorter than
+    corpus average, which is the signal mixture tuning needs.
+
+    Shape: one scan computes per-doc token counts (pure codegen), one
+    (lang, source)-keyed aggregate — cells bounded by the vocabulary
+    of (lang, source) pairs, never corpus-sized — and the 1-row totals
+    broadcast back over the cell table."""
+    from bc_proj3_spark.operators.textstats import t5_token_count
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    tok = t5_token_count(spark, sf_dir).select("doc_id", "n_bpe_tokens")
+    g = (
+        docs.join(tok, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("token_sum"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_docs").cast("bigint").alias("td"),
+        F.sum("token_sum").cast("bigint").alias("tt"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "token_sum",
+        F.round(F.col("n_docs").cast("double") / F.col("td"), 9).alias(
+            "doc_share"
+        ),
+        F.round(F.col("token_sum").cast("double") / F.col("tt"), 9).alias(
+            "token_share"
+        ),
+    )

@@ -864,3 +864,92 @@ def stat2_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("df_welch"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a15 — higher-moment distribution profile (skewness / kurtosis), exact
+# ---------------------------------------------------------------------------
+
+_A15_ORACLE = """
+WITH m AS (
+  SELECT source,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(n_chars * n_chars * n_chars AS DECIMAL(38,0)))
+              AS DOUBLE) AS s3,
+         CAST(SUM(CAST(n_chars * n_chars * n_chars * n_chars
+                       AS DECIMAL(38,0))) AS DOUBLE) AS s4
+  FROM documents
+  GROUP BY source
+),
+c AS (
+  SELECT source, n,
+         s1 / n AS mu,
+         s2 / n - (s1 / n) * (s1 / n) AS var_pop
+  FROM m
+)
+SELECT c.source, c.n,
+       ROUND(c.mu, 9) AS mean_chars,
+       ROUND(SQRT(c.var_pop), 9) AS std_chars,
+       ROUND((m.s3 / c.n - 3 * c.mu * m.s2 / c.n + 2 * c.mu * c.mu * c.mu)
+             / (SQRT(c.var_pop) * SQRT(c.var_pop) * SQRT(c.var_pop)), 9)
+         AS skewness,
+       ROUND((m.s4 / c.n - 4 * c.mu * m.s3 / c.n
+              + 6 * c.mu * c.mu * m.s2 / c.n
+              - 3 * c.mu * c.mu * c.mu * c.mu)
+             / (c.var_pop * c.var_pop) - 3, 9) AS excess_kurtosis
+FROM c JOIN m USING (source)
+"""
+
+
+@register("a15_distribution_moments", _A15_ORACLE)
+def a15_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution profile: mean, standard
+    deviation, skewness and excess kurtosis — the shape diagnostics a
+    corpus datasheet reports (heavy right tails of document length are
+    exactly where truncation losses and packing waste hide). Spark's
+    built-in ``skewness``/``kurtosis`` accumulate central moments in
+    floating point in partition order (nondeterministic low bits, no
+    DuckDB twin), so the four RAW moments accumulate in exact
+    DECIMAL(38,0) over the INTEGER length column — exact in any order
+    at any scale, mergeable across shards — and the standardized
+    moments are one double expression over identical operands in both
+    engines, ROUND-wrapped.
+
+    Shape: one map-side-combinable aggregate (per-row integer powers),
+    a grouped 5-row result; the moment vector is the streaming/
+    incremental form for free (add the four sums)."""
+    docs = table(spark, sf_dir, "documents")
+    x = F.col("n_chars")
+    dec = "decimal(38,0)"
+    m = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("s1"),
+        F.sum((x * x).cast(dec)).cast("double").alias("s2"),
+        F.sum((x * x * x).cast(dec)).cast("double").alias("s3"),
+        F.sum((x * x * x * x).cast(dec)).cast("double").alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    var_pop = F.col("s2") / F.col("n") - mu * mu
+    c = m.select("source", "n", "s1", "s2", "s3", "s4",
+                 mu.alias("mu"), var_pop.alias("var_pop"))
+    sd = F.sqrt(F.col("var_pop"))
+    mu_, n_ = F.col("mu"), F.col("n")
+    skew = (
+        F.col("s3") / n_ - 3 * mu_ * F.col("s2") / n_ + 2 * mu_ * mu_ * mu_
+    ) / (sd * sd * sd)
+    kurt = (
+        F.col("s4") / n_
+        - 4 * mu_ * F.col("s3") / n_
+        + 6 * mu_ * mu_ * F.col("s2") / n_
+        - 3 * mu_ * mu_ * mu_ * mu_
+    ) / (F.col("var_pop") * F.col("var_pop")) - 3
+    return c.select(
+        "source",
+        "n",
+        F.round(F.col("mu"), 9).alias("mean_chars"),
+        F.round(sd, 9).alias("std_chars"),
+        F.round(skew, 9).alias("skewness"),
+        F.round(kurt, 9).alias("excess_kurtosis"),
+    )

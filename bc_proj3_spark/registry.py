@@ -187,6 +187,8 @@ _SHOWCASE_FIRST: tuple[str, ...] = (
     "sp11_epoch_shuffle",
     "cur1_curriculum_schedule",
     "m5_token_budget",
+    "a15_distribution_moments",
+    "prof3_corpus_datasheet",
     "pipe1_corpus_build",
     "sql5_recursive_spine",
     "e14_variant_props",
