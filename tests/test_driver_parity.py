@@ -107,6 +107,8 @@ STRICT_VALUE_QUERIES = [
     "sp11_epoch_shuffle",
     "cur1_curriculum_schedule",
     "m5_token_budget",
+    "a15_distribution_moments",
+    "prof3_corpus_datasheet",
 ]
 
 
