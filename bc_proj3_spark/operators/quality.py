@@ -1043,3 +1043,89 @@ def gdpr1_erasure_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("lineitem", aff_li, li))
         .unionAll(row("events", aff_ev, ev))
     )
+
+
+# ---------------------------------------------------------------------------
+# fe3 — leakage-safe (out-of-fold) target encoding
+# ---------------------------------------------------------------------------
+
+TENC_FOLDS = 5
+
+_FE3_ORACLE = f"""
+WITH base AS (
+  SELECT c_mktsegment AS seg,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         {sql_hash60(_sql_seeded('tenc', 'CAST(o_orderkey AS VARCHAR)'))}
+           % {TENC_FOLDS} AS fold
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+cf AS (
+  SELECT seg, fold, COUNT(*) AS n_cf, CAST(SUM(cents) AS BIGINT) AS s_cf
+  FROM base GROUP BY seg, fold
+),
+c AS (
+  SELECT seg, CAST(SUM(n_cf) AS BIGINT) AS n_c,
+         CAST(SUM(s_cf) AS BIGINT) AS s_c
+  FROM cf GROUP BY seg
+)
+SELECT cf.seg, cf.fold, cf.n_cf AS n_rows,
+       ROUND(CAST(c.s_c - cf.s_cf AS DOUBLE) / (c.n_c - cf.n_cf) / 100, 6)
+         AS oof_mean_price
+FROM cf JOIN c USING (seg)
+"""
+
+
+@register("fe3_target_encoding", _FE3_ORACLE)
+def fe3_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — the categorical feature that
+    replaces a high-cardinality category with the target mean, built
+    with the LEAKAGE discipline: each fold's encoding is the mean over
+    every OTHER fold ((Σ_cat − Σ_fold)/(n_cat − n_fold)), so no row's
+    own target ever contributes to its own feature (the classic silent
+    overfit in tabular ML). Folds are content-addressed (sp8's
+    pattern, independent seed), targets accumulate as exact integer
+    cents (stat2's pattern — no double→DECIMAL grid-snap), and the
+    leave-one-fold-out subtraction is pure integer algebra on the
+    (category × fold) aggregate — the full table is never re-scanned
+    per fold.
+
+    Shape: one key-shuffle join (orders ⋈ customer), one
+    (category, fold) aggregate — K·F rows however big the fact table —
+    then category totals derived FROM it (a reduction of the
+    aggregate, not a second scan) broadcast back."""
+    from bc_proj3_spark.functions.hashing import hash60
+    from bc_proj3_spark.operators.sampling import _seeded
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    fold = (
+        hash60(_seeded("tenc", F.col("o_orderkey").cast("string")))
+        % TENC_FOLDS
+    )
+    base = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        cents.alias("cents"),
+        fold.alias("fold"),
+    )
+    cf = base.groupBy("seg", "fold").agg(
+        F.count(F.lit(1)).alias("n_cf"),
+        F.sum("cents").cast("bigint").alias("s_cf"),
+    )
+    c = cf.groupBy("seg").agg(
+        F.sum("n_cf").cast("bigint").alias("n_c"),
+        F.sum("s_cf").cast("bigint").alias("s_c"),
+    )
+    return cf.join(F.broadcast(c), "seg").select(
+        "seg",
+        "fold",
+        F.col("n_cf").alias("n_rows"),
+        F.round(
+            (F.col("s_c") - F.col("s_cf")).cast("double")
+            / (F.col("n_c") - F.col("n_cf"))
+            / 100,
+            6,
+        ).alias("oof_mean_price"),
+    )

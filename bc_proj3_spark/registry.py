@@ -189,6 +189,7 @@ _SHOWCASE_FIRST: tuple[str, ...] = (
     "m5_token_budget",
     "a15_distribution_moments",
     "prof3_corpus_datasheet",
+    "fe3_target_encoding",
     "pipe1_corpus_build",
     "sql5_recursive_spine",
     "e14_variant_props",

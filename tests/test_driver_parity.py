@@ -109,6 +109,7 @@ STRICT_VALUE_QUERIES = [
     "m5_token_budget",
     "a15_distribution_moments",
     "prof3_corpus_datasheet",
+    "fe3_target_encoding",
 ]
 
 
