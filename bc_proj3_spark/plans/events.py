@@ -1587,3 +1587,94 @@ def e18_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(PATH_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# e19 — CUSUM changepoint statistic over daily event volumes
+# ---------------------------------------------------------------------------
+
+_E19_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+tot AS (
+  SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS s,
+         COUNT(*) AS n_days
+  FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.day, d.n_events,
+         d.n_events * t.n_days - t.s AS delta, t.n_days
+  FROM daily d JOIN tot t USING (event_type)
+),
+run AS (
+  SELECT event_type, day, n_events, n_days,
+         SUM(delta) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS UNBOUNDED PRECEDING) AS r
+  FROM dev
+),
+base AS (
+  SELECT event_type, day, n_events, n_days, r,
+         MIN(r) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS UNBOUNDED PRECEDING) AS m
+  FROM run
+)
+SELECT event_type, day, n_events,
+       ROUND(CAST(r - least(m, 0) AS DOUBLE) / n_days, 6) AS cusum
+FROM base
+"""
+
+
+@register("e19_cusum_changepoint", _E19_ORACLE)
+def e19_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint statistic over daily event volume per type —
+    the sequential-detection primitive behind "did traffic shift and
+    WHEN": S_t = max(0, S_{t-1} + (x_t − μ)) spikes when volume runs
+    persistently above its mean. The recursion is rewritten in closed
+    form as S_t = R_t − min(0, min_{j≤t} R_j) where R is the running
+    sum of deviations — two stacked windows (cumulative sum, then
+    cumulative min), no iterative loop, no state. Deviations are kept
+    EXACT by scaling to integer units of 1/n_days (x_t·N − Σx —
+    integer algebra, no per-row float mean subtraction), so the window
+    sums are exact BIGINTs in any engine; the statistic is divided
+    back and ROUND-wrapped only at the end.
+
+    Shape: one (type, day) aggregate — output is days × types sized —
+    a 5-row totals join back, and one window shuffle keyed by type;
+    everything before the windows is combiner-absorbed."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("s"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    dev = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        "n_days",
+        (F.col("n_events") * F.col("n_days") - F.col("s")).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = dev.withColumn("r", F.sum("delta").over(w)).withColumn(
+        "m", F.min(F.col("r")).over(w)
+    )
+    return base.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(
+            (F.col("r") - F.least(F.col("m"), F.lit(0))).cast("double")
+            / F.col("n_days"),
+            6,
+        ).alias("cusum"),
+    )

@@ -190,6 +190,7 @@ _SHOWCASE_FIRST: tuple[str, ...] = (
     "a15_distribution_moments",
     "prof3_corpus_datasheet",
     "fe3_target_encoding",
+    "e19_cusum_changepoint",
     "pipe1_corpus_build",
     "sql5_recursive_spine",
     "e14_variant_props",

@@ -110,6 +110,7 @@ STRICT_VALUE_QUERIES = [
     "a15_distribution_moments",
     "prof3_corpus_datasheet",
     "fe3_target_encoding",
+    "e19_cusum_changepoint",
 ]
 
 
