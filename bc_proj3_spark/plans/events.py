@@ -1642,23 +1642,26 @@ def e19_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are exact BIGINTs in any engine; the statistic is divided
     back and ROUND-wrapped only at the end.
 
-    Shape: one (type, day) aggregate — output is days × types sized —
-    a 5-row totals join back, and one window shuffle keyed by type;
-    everything before the windows is combiner-absorbed."""
+    Shape: one scan, one (type, day) aggregate — output is days × types
+    sized — then ONE window exchange keyed by type carries everything:
+    the per-type totals are unordered whole-partition windows stacked
+    on the same exchange as the running sum/min (a groupBy+join-back
+    would aggregate the daily table twice — Spark does not reuse the
+    shared subplan across a self-join)."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    tot = daily.groupBy("event_type").agg(
-        F.sum("n_events").cast("bigint").alias("s"),
-        F.count(F.lit(1)).alias("n_days"),
-    )
-    dev = daily.join(F.broadcast(tot), "event_type").select(
+    w_tot = Window.partitionBy("event_type")
+    dev = daily.select(
         "event_type",
         "day",
         "n_events",
-        "n_days",
-        (F.col("n_events") * F.col("n_days") - F.col("s")).alias("delta"),
+        F.count(F.lit(1)).over(w_tot).alias("n_days"),
+        (
+            F.col("n_events") * F.count(F.lit(1)).over(w_tot)
+            - F.sum("n_events").over(w_tot)
+        ).alias("delta"),
     )
     w = (
         Window.partitionBy("event_type")

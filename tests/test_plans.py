@@ -267,3 +267,25 @@ def test_sql6_notin_is_broadcast_anti_join(spark):
     assert "LeftAnti" in plan, plan[:1500]
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_m5_token_budget_never_reads_payload(spark):
+    """m5's contract is 'price the media lake from metadata alone':
+    the payload expression (md5 chains over text) must be pruned out
+    entirely — the scan reads only doc_id and n_chars."""
+    plan = _physical(spark, "m5_token_budget")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "n_chars" in read_schema
+    assert "text" not in read_schema
+    assert "md5" not in plan  # payload synthesis fully pruned
+
+
+def test_e19_single_scan_single_window_exchange(spark):
+    """e19's totals are whole-partition windows stacked on the SAME
+    exchange as the running sum/min — a groupBy+join-back formulation
+    scans and aggregates the daily table twice (Spark does not reuse
+    the shared subplan), which this pin prevents from regressing."""
+    plan = _physical(spark, "e19_cusum_changepoint")
+    assert plan.count("FileScan") == 1, "daily table scanned more than once"
+    # exactly two exchanges: the (type, day) aggregate + the window
+    assert plan.count("Exchange hashpartitioning") == 2
