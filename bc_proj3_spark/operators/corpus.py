@@ -152,7 +152,12 @@ def cur1_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = t2_quality_score(spark, sf_dir).select("doc_id", "quality")
     tok = t5_token_count(spark, sf_dir).select("doc_id", "n_bpe_tokens")
-    d = q.join(tok, "doc_id")
+    # quantile split is inherently two-pass (thresholds, then labels);
+    # persist the ~20-byte/doc projection so the second pass rereads
+    # the cached scores instead of re-running the text expressions
+    # over the raw corpus (the cache is dropped by the caller's
+    # clearCache between queries)
+    d = q.join(tok, "doc_id").persist()
     th = d.agg(
         F.expr("percentile(quality, 0.8)").alias("p80"),
         F.expr("percentile(quality, 0.4)").alias("p40"),

@@ -304,6 +304,10 @@ def prof3_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bpe_tokens").cast("bigint").alias("token_sum"),
         )
     )
+    # the (lang, source) cell table feeds both the totals and the final
+    # share projection; the barrier stops the corpus token scan running
+    # once per branch (cells are vocabulary-bounded — O(1) to hold)
+    g = g.localCheckpoint(eager=True)
     tot = g.agg(
         F.sum("n_docs").cast("bigint").alias("td"),
         F.sum("token_sum").cast("bigint").alias("tt"),

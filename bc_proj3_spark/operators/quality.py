@@ -1114,6 +1114,10 @@ def fe3_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cf"),
         F.sum("cents").cast("bigint").alias("s_cf"),
     )
+    # the K·F-row aggregate is both the join left side and the input
+    # of the category totals; the barrier stops Spark recomputing the
+    # orders⋈customer aggregate once per branch
+    cf = cf.localCheckpoint(eager=True)
     c = cf.groupBy("seg").agg(
         F.sum("n_cf").cast("bigint").alias("n_c"),
         F.sum("s_cf").cast("bigint").alias("s_c"),

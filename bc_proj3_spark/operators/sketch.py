@@ -1128,10 +1128,15 @@ def sk10_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = percount.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_users"), F.sum("n").alias("sum_n")
     )
+    # the engaged-user sets feed the hashing branch AND both sides of
+    # the exact-intersection self-join; persisted so the events scan +
+    # per-user count runs once, not once per branch (set size is
+    # bounded by users × types, far below the event volume)
     users = (
         percount.join(F.broadcast(totals), "event_type")
         .filter(F.col("n") * F.col("n_users") > F.col("sum_n"))
         .select("event_type", "user_id")
+        .persist()
     )
     hashed = users.select(
         "event_type",
@@ -1140,10 +1145,13 @@ def sk10_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     ).distinct()
     w_type = Window.partitionBy("event_type").orderBy("h")
+    # K×types rows, consumed by both pair-membership branches — the
+    # barrier stops the bottom-K window re-running per branch
     sk = (
         hashed.withColumn("rn", F.row_number().over(w_type))
         .filter(F.col("rn") <= KMV_K)
         .select("event_type", "h")
+        .localCheckpoint(eager=True)
     )
     exact = (
         users.alias("x")

@@ -828,6 +828,11 @@ def stat2_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sxx"),
     )
+    # the 5-row moment table feeds BOTH sides of the pair self-join;
+    # without a barrier Spark recomputes the full orders⋈customer
+    # aggregate once per branch (no shared-subplan reuse) — at 100 TB
+    # that is a double fact-table scan for a K-row intermediate.
+    m = m.localCheckpoint(eager=True)
     s = m.select(
         "seg",
         "n",
