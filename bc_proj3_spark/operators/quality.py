@@ -248,30 +248,51 @@ def dq2_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     in isolation; this checks rows against their parents, the class of
     breakage that silently drops revenue in an inner join downstream).
 
-    Each relationship is one LEFT ANTI join child→parent (null child
-    keys excluded — nullability is dq1's province) aggregated to a
-    1-row count, then the per-relationship rows union. Anti joins
-    shuffle on the key like any equi-join — at 100 TB each audit costs
-    one key exchange, and small parents (supplier, customer) broadcast
-    under AQE so the big fact side never moves. No driver loop: the
-    result is one unioned plan, counts ride broadcast 1-row frames."""
+    All relationships sharing a child table are audited in ONE pass
+    over that child: each parent's key column left-joins in (parents
+    are primary keys — unique — so the left join cannot fan out and a
+    null parent key is exactly an anti-join miss), and one aggregate
+    counts rows plus per-relationship orphans. The naive
+    one-anti-join-per-relationship shape scans lineitem six times
+    (count + anti join × three FKs); this scans every child exactly
+    once. Small parents broadcast under AQE; the per-key exchanges for
+    the chained joins are the irreducible cost. The per-relationship
+    rows then union from the 1-row per-child aggregates."""
+    by_child: dict[str, list[tuple[int, str, str, str, str]]] = {}
+    for i, (label, child, ck, parent, pk) in enumerate(DQ2_RELATIONSHIPS):
+        by_child.setdefault(child, []).append((i, label, ck, parent, pk))
     out = None
-    for label, child, ck, parent, pk in DQ2_RELATIONSHIPS:
-        c = table(spark, sf_dir, child)
-        p = table(spark, sf_dir, parent)
-        n_child = c.agg(F.count(F.lit(1)).alias("n_child"))
-        orphans = (
-            c.filter(F.col(ck).isNotNull())
-            .join(p, c[ck] == p[pk], "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
-        )
-        row = (
-            n_child.crossJoin(F.broadcast(orphans))
-            .select(
-                F.lit(label).alias("relationship"), "n_child", "n_orphans"
+    for child, rels in by_child.items():
+        joined = table(spark, sf_dir, child)
+        for i, _label, ck, parent, pk in rels:
+            p = table(spark, sf_dir, parent).select(
+                F.col(pk).alias(f"__pk_{i}")
             )
+            joined = joined.join(
+                p, F.col(ck) == F.col(f"__pk_{i}"), "left"
+            )
+        agg = joined.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            *[
+                F.sum(
+                    (
+                        F.col(ck).isNotNull()
+                        & F.col(f"__pk_{i}").isNull()
+                    ).cast("long")
+                ).alias(f"__orph_{i}")
+                for i, _label, ck, _parent, _pk in rels
+            ],
         )
-        out = row if out is None else out.unionAll(row)
+        # one row per child table, referenced once per relationship —
+        # the barrier keeps the child pass from re-running per row
+        agg = agg.localCheckpoint(eager=True)
+        for i, label, _ck, _parent, _pk in rels:
+            row = agg.select(
+                F.lit(label).alias("relationship"),
+                "n_child",
+                F.col(f"__orph_{i}").alias("n_orphans"),
+            )
+            out = row if out is None else out.unionAll(row)
     return out
 
 

@@ -48,7 +48,6 @@ _BNLJ_OK = {
     "dq3_benford_digits",  # 1-row grand total into the 9-digit table
     "d9_dedup_report",  # three 1-row stage counts crossed into one row
     "dq4_event_freshness",  # 1-row global-max timestamp crossed in
-    "dq2_referential_integrity",  # 1-row child-count × 1-row orphan-count
     "dq6_psi_drift",  # 1-row global range + 1-row totals crossed in
     "stat1_chi2_cells",  # 1-row grand total crossed into the cell table
     "hs1_hybrid_rrf",  # inherits bm1's 1-row corpus-stats cross
