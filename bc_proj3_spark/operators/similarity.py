@@ -657,8 +657,15 @@ def d12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the removal set is exactly reproducible."""
     assigned = s5_kmeans_assign(spark, sf_dir).select("vec_id", "centroid_id")
     corpus = _corpus(spark, sf_dir)
-    memb = assigned.join(corpus, "vec_id").select(
-        "vec_id", "centroid_id", "v", "nrm"
+    # the clustered membership feeds both sides of the pair self-join
+    # and the final report; persisted so the k-means assignment pass
+    # runs once, not once per branch (at scale this is the clustered
+    # corpus you would materialize anyway — every SemDeDup consumer
+    # reads it)
+    memb = (
+        assigned.join(corpus, "vec_id")
+        .select("vec_id", "centroid_id", "v", "nrm")
+        .persist()
     )
     p, q = memb.alias("p"), memb.alias("q")
     rem = (
