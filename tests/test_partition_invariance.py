@@ -31,6 +31,7 @@ INVARIANCE_QUERIES = [
     "sp4_sequence_packing",  # per-bucket greedy packing
     "t7_rolling_fingerprint",  # ordered rolling hash
     "d2_dedup_survivors",  # rank-window survivor pick
+    "sk10_kmv_intersection",  # bottom-K sketch ranks over hash order
 ]
 
 _PROG = """
