@@ -327,14 +327,25 @@ def cc2_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# cc3 — PageRank over the near-dup graph (exact-decimal iteration)
+# cc3 — PageRank over the near-dup graph (scaled-integer iteration)
 # ---------------------------------------------------------------------------
 
 PR_ITERS = 5
-PR_DAMPING = "0.85"  # decimal literals — parsed identically by both engines
-PR_TELEPORT = "0.15"
-#: rank vector type: scale 12, 4 integer digits (ranks ≤ n_nodes).
-_PR_DEC = "decimal(16,12)"
+#: ranks live as integers in units of 1e-12 (rank 1.0 = PR_SCALE).
+PR_SCALE = 10**12
+#: damping 0.85 as the exact rational 17/20 (see _pr_halfup_sql).
+PR_DAMP_NUM, PR_DAMP_DEN = 17, 20
+
+
+def _pr_halfup(a: str, b: str) -> str:
+    """Round-half-up integer division a/b (positive operands), in pure
+    integer arithmetic: (2a + b) // (2b) — bit-identical on any engine
+    at any scale, unlike ROUND(double) whose tie direction depends on
+    the binary neighborhood of the value (the r6 sf0.1 seam: ranks sit
+    ON the 1e-12 lattice, so halving by even degrees makes .5 ties
+    COMMON, and Spark half-up vs DuckDB binary-round diverged by one
+    grid point on 27 nodes)."""
+    return f"((2 * ({a}) + ({b})) // (2 * ({b})))"
 
 
 def _pr_oracle() -> str:
@@ -354,11 +365,11 @@ nodes AS (SELECT DISTINCT src AS node FROM edges),
 nn AS (SELECT COUNT(*) AS n FROM nodes),
 deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
 base AS (
-  SELECT CAST(ROUND({PR_TELEPORT} / (SELECT n FROM nn), 12) AS DECIMAL(16,12)) AS b
+  SELECT {_pr_halfup(f"{15 * 10 ** 10}", "(SELECT n FROM nn)")} AS b
 ),
 r0 AS (
   SELECT node,
-         CAST(ROUND(1.0 / (SELECT n FROM nn), 12) AS DECIMAL(16,12)) AS r
+         {_pr_halfup(str(PR_SCALE), "(SELECT n FROM nn)")} AS r
   FROM nodes
 )"""
     ]
@@ -368,7 +379,7 @@ r0 AS (
             f"""
 contrib{k} AS (
   SELECT e.dst AS node,
-         SUM(CAST(ROUND(CAST(r{p}.r AS DOUBLE) / deg.d, 12) AS DECIMAL(16,12))) AS s
+         SUM({_pr_halfup(f"r{p}.r", "deg.d")}) AS s
   FROM edges e
   JOIN r{p} ON e.src = r{p}.node
   JOIN deg ON e.src = deg.node
@@ -377,14 +388,13 @@ contrib{k} AS (
 r{k} AS (
   SELECT nodes.node,
          CAST((SELECT b FROM base)
-              + CAST(ROUND({PR_DAMPING} * CAST(COALESCE(contrib{k}.s, 0) AS DOUBLE), 12)
-                     AS DECIMAL(16,12))
-              AS DECIMAL(16,12)) AS r
+              + {_pr_halfup(f"{PR_DAMP_NUM} * COALESCE(contrib{k}.s, 0)", str(PR_DAMP_DEN))}
+              AS BIGINT) AS r
   FROM nodes LEFT JOIN contrib{k} ON nodes.node = contrib{k}.node
 )"""
         )
     final = f"""
-SELECT node AS doc_id, CAST(r AS DOUBLE) AS pagerank
+SELECT node AS doc_id, CAST(r AS DOUBLE) / {float(PR_SCALE)} AS pagerank
 FROM r{PR_ITERS}
 """
     return "WITH " + ",".join(ctes) + final
@@ -392,17 +402,23 @@ FROM r{PR_ITERS}
 
 @register("cc3_pagerank", _pr_oracle())
 def cc3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (damping 0.85, {PR_ITERS} fixed rounds) over the
+    """PageRank (damping 17/20, {PR_ITERS} fixed rounds) over the
     verified near-dup graph — ranks the most-connected documents inside
     duplicate neighborhoods (the doc to KEEP is usually the highest-
     centrality one, a smarter survivor policy than min-id). The classic
-    iterative-graph workload, in the exact-decimal protocol pi1
-    established (operators/linalg.py): per-term rounding at scale 12 on
-    lattice-free doubles, exact decimal sums, one decimal→double cast
-    per value at double-exact scale. Each round is one shuffle join of
-    the edge list against the rank vector plus a map-side-combinable
-    sum — the same per-round shape as cc1/cc2, cost ∝ subgraph edges,
-    never corpus size."""
+    iterative-graph workload, in SCALED-INTEGER arithmetic: ranks are
+    BIGINTs in units of 1e-12, every division is explicit round-half-up
+    integer division ((2a+b)//(2b)), and damping is the exact rational
+    17/20 — so every intermediate is bit-identical on any engine at any
+    corpus scale, with no float rounding anywhere (the earlier
+    ROUND(double, 12) protocol hit .5-tie divergence at sf0.1: the
+    operands sit ON the 1e-12 lattice, where halving makes ties
+    common). The single float op is the final /1e12 display cast
+    (ranks < 2^53, conversion exact). Each round is one shuffle join
+    of the edge list against the rank vector plus a map-side-
+    combinable sum — cost ∝ subgraph edges, never corpus size; the
+    damped product runs in DECIMAL(38,0) so a hot node's summed
+    contributions cannot overflow 64 bits at any scale."""
     pairs = d4_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     with _iter_shuffle(spark):
         return _pagerank_iterate(spark, pairs, sf_dir)
@@ -420,9 +436,12 @@ def _pagerank_iterate(
         F.count(F.lit(1)).alias("d")
     ).localCheckpoint(eager=True)
 
-    base = F.lit(str(round(0.15 / n, 12))).cast(_PR_DEC)
+    def halfup_py(a: int, b: int) -> int:
+        return (2 * a + b) // (2 * b)
+
+    base = halfup_py(15 * 10 ** 10, n)  # teleport 0.15/n, scaled
     r = nodes.select(
-        "node", F.lit(str(round(1.0 / n, 12))).cast(_PR_DEC).alias("r")
+        "node", F.lit(halfup_py(PR_SCALE, n)).cast("bigint").alias("r")
     ).localCheckpoint(eager=True)
     for _ in range(PR_ITERS):
         contrib = (
@@ -431,31 +450,25 @@ def _pagerank_iterate(
             .groupBy(F.col("dst").alias("cnode"))
             .agg(
                 F.sum(
-                    F.round(F.col("r").cast("double") / F.col("d"), 12).cast(
-                        _PR_DEC
-                    )
+                    F.expr("(2 * r + d) div (2 * d)")
                 ).alias("s")
             )
+        )
+        damped = F.expr(
+            f"CAST((2 * CAST({PR_DAMP_NUM} AS DECIMAL(38,0)) * COALESCE(s, 0)"
+            f" + {PR_DAMP_DEN}) div (2 * {PR_DAMP_DEN}) AS BIGINT)"
         )
         r = (
             nodes.join(contrib, nodes["node"] == contrib["cnode"], "left")
             .select(
                 "node",
-                (
-                    base
-                    + F.round(
-                        F.lit(0.85)
-                        * F.coalesce(F.col("s"), F.lit(0)).cast("double"),
-                        12,
-                    ).cast(_PR_DEC)
-                )
-                .cast(_PR_DEC)
-                .alias("r"),
+                (F.lit(base).cast("bigint") + damped).cast("bigint").alias("r"),
             )
             .localCheckpoint(eager=True)
         )
     return r.select(
-        F.col("node").alias("doc_id"), F.col("r").cast("double").alias("pagerank")
+        F.col("node").alias("doc_id"),
+        (F.col("r").cast("double") / F.lit(float(PR_SCALE))).alias("pagerank"),
     )
 
 

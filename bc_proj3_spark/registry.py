@@ -101,6 +101,9 @@ _VERIFIED_ROUND: dict[str, int] = {
     "lab2_lf_diagnostics": -1, "t12_bpe_merge_pairs": -1,
     "w2_spend_deciles": -1, "r2_cube_crosstab": -1,
     "s6_kmeans_update": -1, "r3_grouping_sets": -1,
+    # cc3 rewritten in r6 (scaled-integer ranks — values changed at the
+    # tie-resolution level), so its r5 green row is stale: re-check first
+    "cc3_pagerank": -1,
     #
     # round 3 (CORRECTNESS_r03.json) — stalest greens, rotate next
     "d1_exact_dedup_groups": 3, "d2_dedup_survivors": 3,
