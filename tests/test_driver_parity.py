@@ -111,6 +111,8 @@ STRICT_VALUE_QUERIES = [
     "prof3_corpus_datasheet",
     "fe3_target_encoding",
     "e19_cusum_changepoint",
+    # rewritten in r6 (scaled-integer ranks) — replay at driver strictness
+    "cc3_pagerank",
 ]
 
 
