@@ -333,7 +333,7 @@ def cc2_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 PR_ITERS = 5
 #: ranks live as integers in units of 1e-12 (rank 1.0 = PR_SCALE).
 PR_SCALE = 10**12
-#: damping 0.85 as the exact rational 17/20 (see _pr_halfup_sql).
+#: damping 0.85 as the exact rational 17/20 (see _pr_halfup).
 PR_DAMP_NUM, PR_DAMP_DEN = 17, 20
 
 

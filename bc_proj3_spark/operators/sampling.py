@@ -87,10 +87,7 @@ def sp1_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         bucket.alias("bucket"),
-        F.when(bucket < TRAIN_PCT, "train")
-        .when(bucket < VAL_PCT, "val")
-        .otherwise("test")
-        .alias("split"),
+        _split_of(bucket).alias("split"),
     )
 
 

@@ -1162,6 +1162,9 @@ def sk10_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y.event_type").alias("type_b"),
         )
         .agg(F.count(F.lit(1)).alias("exact_intersection"))
+        # #types²-row result, consumed by the pair list AND the final
+        # join — the barrier stops the users self-join running twice
+        .localCheckpoint(eager=True)
     )
     pairs = exact.select("type_a", "type_b")
     memb = (

@@ -879,12 +879,14 @@ _A15_ORACLE = """
 WITH m AS (
   SELECT source,
          COUNT(*) AS n,
-         CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s1,
-         CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s2,
-         CAST(SUM(CAST(n_chars * n_chars * n_chars AS DECIMAL(38,0)))
-              AS DOUBLE) AS s3,
-         CAST(SUM(CAST(n_chars * n_chars * n_chars * n_chars
-                       AS DECIMAL(38,0))) AS DOUBLE) AS s4
+         CAST(SUM(CAST(n_chars AS DECIMAL(10,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(n_chars AS DECIMAL(10,0))
+                  * CAST(n_chars AS DECIMAL(10,0))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(19,0))
+                  * CAST(n_chars AS DECIMAL(10,0))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(19,0))
+                  * CAST(n_chars * n_chars AS DECIMAL(19,0))) AS DOUBLE)
+           AS s4
   FROM documents
   GROUP BY source
 ),
@@ -920,20 +922,28 @@ def a15_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) over the INTEGER length column — exact in any order
     at any scale, mergeable across shards — and the standardized
     moments are one double expression over identical operands in both
-    engines, ROUND-wrapped.
+    engines, ROUND-wrapped. Exactness envelope: per-doc length ≤ 3.0e9
+    chars and Σx⁴ < 10^38 per group (a billion 1M-char docs fits) —
+    beyond that, shard the moment aggregate.
 
     Shape: one map-side-combinable aggregate (per-row integer powers),
     a grouped 5-row result; the moment vector is the streaming/
     incremental form for free (add the four sums)."""
     docs = table(spark, sf_dir, "documents")
     x = F.col("n_chars")
-    dec = "decimal(38,0)"
+    # powers stay exact without int64 overflow: x as DECIMAL(10,0), x²
+    # as a BIGINT product (exact for n_chars ≤ 3.0e9) widened to
+    # DECIMAL(19,0), higher powers as decimal products whose precision
+    # (20/29/38) never exceeds 38 — the naive (x*x*x*x).cast(decimal)
+    # overflowed int64 at n_chars ≥ 55,109
+    xd = x.cast("decimal(10,0)")
+    x2d = (x * x).cast("decimal(19,0)")
     m = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x.cast(dec)).cast("double").alias("s1"),
-        F.sum((x * x).cast(dec)).cast("double").alias("s2"),
-        F.sum((x * x * x).cast(dec)).cast("double").alias("s3"),
-        F.sum((x * x * x * x).cast(dec)).cast("double").alias("s4"),
+        F.sum(xd).cast("double").alias("s1"),
+        F.sum(xd * xd).cast("double").alias("s2"),
+        F.sum(x2d * xd).cast("double").alias("s3"),
+        F.sum(x2d * x2d).cast("double").alias("s4"),
     )
     mu = F.col("s1") / F.col("n")
     var_pop = F.col("s2") / F.col("n") - mu * mu

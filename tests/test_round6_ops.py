@@ -6,8 +6,6 @@ the operator's defining invariant independently.
 
 from __future__ import annotations
 
-import pytest
-
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
@@ -115,7 +113,6 @@ def test_d12_removed_have_close_lower_neighbor(spark):
     # pick the cluster with the most removals for the replay
     target = max(report.values(), key=lambda r: r.n_removed).centroid_id
     rows = memb.filter(F.col("centroid_id") == target).collect()
-    import math
 
     def cos(a, b):
         num = 0.0
