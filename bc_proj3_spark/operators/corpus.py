@@ -105,10 +105,19 @@ d AS (
   SELECT q.doc_id, q.quality, tok.n_bpe_tokens
   FROM q JOIN tok USING (doc_id)
 ),
+counts AS (
+  SELECT quality, COUNT(*) AS c FROM d GROUP BY quality
+),
+cum AS (
+  SELECT quality, SUM(c) OVER (ORDER BY quality) AS cum_n FROM counts
+),
+nn AS (SELECT COUNT(*) AS n FROM d),
 th AS (
-  SELECT quantile_cont(quality, 0.8) AS p80,
-         quantile_cont(quality, 0.4) AS p40
-  FROM d
+  SELECT MIN(CASE WHEN cum.cum_n >= (nn.n - 1) * 8 // 10 + 1
+             THEN cum.quality END) AS p80,
+         MIN(CASE WHEN cum.cum_n >= (nn.n - 1) * 4 // 10 + 1
+             THEN cum.quality END) AS p40
+  FROM cum, nn
 ),
 lab AS (
   SELECT CASE WHEN quality >= (SELECT p80 FROM th) THEN 'anneal'
@@ -136,15 +145,24 @@ def cur1_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     warmup — and report each phase's document count and BPE-token
     budget (t5's segmentation), the numbers a training plan is actually
     written against. Composes the registered t2 (quality) and t5
-    (token-cost) operators; phase boundaries are exact percentiles of
-    the per-row quality score.
+    (token-cost) operators; phase boundaries are exact ORDER
+    STATISTICS of the per-row quality score: the value at 1-based rank
+    floor((n-1)*p)+1. Rank selection is interpolation-free — both
+    engines pick an actual data value by integer arithmetic, so a
+    1-ulp difference in percentile interpolation (Spark percentile vs
+    DuckDB quantile_cont) can never flip a >= boundary comparison (the
+    cc3 lattice-tie class, flagged by the r6 advisor).
 
-    Scale shape: phase thresholds are a 1-row exact-percentile
-    aggregate broadcast back over one corpus pass (NOT a global NTILE,
-    which would funnel the corpus through one window partition); the
-    phase report is a 3-row aggregate. At production scale the exact
-    percentile swaps for approx_percentile's t-digest — kept exact here
-    so the oracle can value-match (a2's convention)."""
+    Scale shape: the rank is selected from the distinct-value
+    histogram (groupBy quality + a cumulative window over DISTINCT
+    values, not rows — bounded by the score's 9-decimal lattice, never
+    corpus-sized), then the 1-row threshold broadcast labels one
+    corpus pass (NOT a global NTILE, which would funnel the corpus
+    through one window partition); the phase report is a 3-row
+    aggregate. At production scale the exact order statistic swaps for
+    approx_percentile's t-digest — kept exact here so the oracle can
+    value-match (a2's convention)."""
+    from pyspark.sql import Window
     from bc_proj3_spark.operators.textstats import (
         t2_quality_score,
         t5_token_count,
@@ -158,9 +176,25 @@ def cur1_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the raw corpus (the cache is dropped by the caller's
     # clearCache between queries)
     d = q.join(tok, "doc_id").persist()
-    th = d.agg(
-        F.expr("percentile(quality, 0.8)").alias("p80"),
-        F.expr("percentile(quality, 0.4)").alias("p40"),
+    counts = d.groupBy("quality").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("quality").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select("quality", F.sum("c").over(w).alias("cum_n"))
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    th = cum.crossJoin(F.broadcast(nn)).agg(
+        F.min(
+            F.when(
+                F.col("cum_n") >= F.expr("(n - 1) * 8 div 10 + 1"),
+                F.col("quality"),
+            )
+        ).alias("p80"),
+        F.min(
+            F.when(
+                F.col("cum_n") >= F.expr("(n - 1) * 4 div 10 + 1"),
+                F.col("quality"),
+            )
+        ).alias("p40"),
     )
     phase = (
         F.when(F.col("quality") >= F.col("p80"), "anneal")

@@ -1215,6 +1215,12 @@ def d11_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     sh, sizes = _documents_shingle_index(spark, sf_dir)
+    # persisted (NOT unpersisted here: an unpersist at plan-build time
+    # would release the cache before the caller ever executes the
+    # returned frame, wasting the materialization and recomputing the
+    # signature aggregate for the band build and both estimate joins —
+    # r6 advisor finding; the cache is dropped by the caller's
+    # clearCache between queries, as cur1/d12 rely on)
     sig = sh.groupBy("doc_id").agg(
         *[_minhash_col(i) for i in range(NUM_HASHES)]
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1277,5 +1283,4 @@ def d11_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_abs_err"),
         )
     )
-    sig.unpersist()
     return out

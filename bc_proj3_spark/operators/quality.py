@@ -249,10 +249,11 @@ def dq2_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     breakage that silently drops revenue in an inner join downstream).
 
     All relationships sharing a child table are audited in ONE pass
-    over that child: each parent's key column left-joins in (parents
-    are primary keys — unique — so the left join cannot fan out and a
-    null parent key is exactly an anti-join miss), and one aggregate
-    counts rows plus per-relationship orphans. The naive
+    over that child: each parent's DISTINCT key column left-joins in
+    (deduplicated, so the left join cannot fan out even when a parent
+    key is dirty-duplicated — exactly the breakage an integrity audit
+    exists to catch; a null parent key is then exactly an anti-join
+    miss, preserving NOT EXISTS membership semantics). The naive
     one-anti-join-per-relationship shape scans lineitem six times
     (count + anti join × three FKs); this scans every child exactly
     once. Small parents broadcast under AQE; the per-key exchanges for
@@ -265,8 +266,10 @@ def dq2_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for child, rels in by_child.items():
         joined = table(spark, sf_dir, child)
         for i, _label, ck, parent, pk in rels:
-            p = table(spark, sf_dir, parent).select(
-                F.col(pk).alias(f"__pk_{i}")
+            p = (
+                table(spark, sf_dir, parent)
+                .select(F.col(pk).alias(f"__pk_{i}"))
+                .distinct()
             )
             joined = joined.join(
                 p, F.col(ck) == F.col(f"__pk_{i}"), "left"

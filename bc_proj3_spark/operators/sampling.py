@@ -704,19 +704,28 @@ def sp11_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = docs.select(
         "doc_id", *[s.alias(f"s{e}") for e, s in enumerate(shards)]
     )
-    long = None
-    for e in range(N_EPOCHS):
-        moved = (
-            F.lit(None).cast("bigint")
-            if e == 0
-            else (F.col(f"s{e}") != F.col(f"s{e - 1}")).cast("bigint")
-        )
-        part = per.select(
-            F.lit(e).alias("epoch"),
-            F.col(f"s{e}").alias("shard"),
-            moved.alias("moved"),
-        )
-        long = part if long is None else long.unionAll(part)
+    # One scan: fan out the E epochs map-side as an array of
+    # (epoch, shard, moved) structs and explode — a unionAll of E
+    # projections of `per` would re-read documents E times (Spark does
+    # not reuse a subplan across union branches; see the registry-wide
+    # FileScan audit note).
+    epoch_structs = F.array(
+        *[
+            F.struct(
+                F.lit(e).alias("epoch"),
+                F.col(f"s{e}").alias("shard"),
+                (
+                    F.lit(None).cast("bigint")
+                    if e == 0
+                    else (F.col(f"s{e}") != F.col(f"s{e - 1}")).cast("bigint")
+                ).alias("moved"),
+            )
+            for e in range(N_EPOCHS)
+        ]
+    )
+    long = per.select(F.explode(epoch_structs).alias("x")).select(
+        "x.epoch", "x.shard", "x.moved"
+    )
     by_shard = long.groupBy("epoch", "shard").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("moved").cast("bigint").alias("n_moved"),

@@ -288,3 +288,13 @@ def test_e19_single_scan_single_window_exchange(spark):
     assert plan.count("FileScan") == 1, "daily table scanned more than once"
     # exactly two exchanges: the (type, day) aggregate + the window
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_sp11_single_scan_epoch_fanout(spark):
+    """sp11 fans the E epochs out map-side (explode of an array of
+    (epoch, shard, moved) structs) — a unionAll of E projections would
+    re-read documents E times (r6 advisor finding: executed-plan
+    FileScan count was 3). At N epochs that is N corpus scans."""
+    plan = _physical(spark, "sp11_epoch_shuffle")
+    assert plan.count("FileScan") == 1, "documents scanned more than once"
+    assert "Generate explode" in plan
