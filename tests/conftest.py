@@ -19,6 +19,13 @@ from bc_proj3_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "sf01: strict value sweep at sf0.1 (iterative/accumulating family)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark(app_name="bc_proj3_spark-tests", shuffle_partitions=8)

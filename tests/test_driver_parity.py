@@ -113,6 +113,30 @@ STRICT_VALUE_QUERIES = [
     "e19_cusum_changepoint",
     # rewritten in r6 (scaled-integer ranks) — replay at driver strictness
     "cc3_pagerank",
+    # the 15 riskiest of the 48 queries rotating into the r7 driver
+    # prefix (VERDICT r6 item 2): iterative fixpoints, streaming
+    # drains, and double-heavy numerics — pre-flighted at exactly the
+    # driver's posture (fresh vanilla JVM, type-tagged value digest)
+    # so session-conf drift can't surface first in the driver run
+    "pi1_power_iteration",
+    "pi2_spectral_gap",
+    "cc2_star_components",
+    "cc4_bfs_distance",
+    "st4_stream_dedup",
+    "st5_stream_stream_join",
+    "st6_stream_append_windows",
+    "st7_stream_static_join",
+    "st8_stream_apply_changes",
+    "s5_kmeans_assign",
+    "fe2_train_scaled",
+    "cal1_reliability_bins",
+    "mi1_mutual_information",
+    "d11_minhash_calibration",
+    "er1_fuzzy_name_pairs",
+    # r7 plan rewrites re-entering the prefix at -1
+    "sp11_epoch_shuffle",
+    "cur1_curriculum_schedule",
+    "dq2_referential_integrity",
 ]
 
 

@@ -109,3 +109,51 @@ def test_streaming_one_day_per_microbatch(feed, tmp_path):
         assert all(p["numInputRows"] <= 1 for p in q.recentProgress)
     finally:
         q.stop()
+
+
+def test_register_falls_back_when_pushdown_conf_unsettable(feed):
+    """VERDICT r6 item 6: Spark 4.1 hard-errors when a reader implements
+    pushFilters on a session where spark.sql.python.filterPushdown.enabled
+    is off. register() therefore chooses the reader class at
+    registration time; when the conf cannot be set (simulated here by a
+    session proxy whose conf.set raises, the locked-down-cluster case),
+    the no-pushdown PlainConnectorDataSource must be registered under
+    the same format name — degrading to unpruned reads, never to a
+    read-time error."""
+    registered = []
+
+    class _LockedConf:
+        def set(self, k, v):
+            raise RuntimeError("conf is locked down")
+
+    class _Registry:
+        def register(self, cls):
+            registered.append(cls)
+
+    class _LockedSession:
+        conf = _LockedConf()
+        dataSource = _Registry()
+
+    pyds.register(_LockedSession())
+    assert registered == [pyds.PlainConnectorDataSource]
+
+
+def test_plain_reader_reads_correctly_without_pruning(feed):
+    """The degraded no-pushdown source must return exactly the same
+    rows for a run_date-filtered read — the filter just runs post-scan
+    (all partitions fetched) instead of pruning partitions(). Verified
+    by registering the fallback class under the shared format name and
+    diffing against the pushdown reader's result."""
+    from pyspark.sql import functions as F
+
+    want = sorted(
+        map(tuple, _read(feed, "arxiv").filter(F.col("run_date") >= "20240102").collect())
+    )
+    feed.dataSource.register(pyds.PlainConnectorDataSource)
+    try:
+        df = _read(feed, "arxiv").filter(F.col("run_date") >= "20240102")
+        # no pushFilters hook -> partitions() can't prune: all 3 scanned
+        assert df.rdd.getNumPartitions() == len(DATES)
+        assert sorted(map(tuple, df.collect())) == want
+    finally:
+        feed.dataSource.register(pyds.ConnectorDataSource)

@@ -7,6 +7,7 @@ keys, and spill-pressure configurations.
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -74,3 +75,228 @@ def test_dq2_duplicate_parent_keys_do_not_fan_out(spark, tmp_path):
     assert got["lineitem.partkey->part"] == (2, 1)  # dup part, no fan-out
     assert got["lineitem.suppkey->supplier"] == (2, 1)
     assert got["events.user_id->customer"] == (2, 1)  # only user 5
+
+
+# ---------------------------------------------------------------------------
+# skew robustness: hot-key corpus through the d4 → cc1 dedup funnel
+# ---------------------------------------------------------------------------
+
+
+def _skew_corpus_rows():
+    """1000 docs. 100 (10%) share one hot 12-word phrase (its shingles'
+    document frequency, 100, blows past the DF cap of max(1000/100, 20)
+    = 20 — the web-boilerplate regime the cap exists for). 30 clusters
+    of 3 near-duplicate docs (df=3, under the cap) carry the real
+    pairing signal. The rest are unique filler."""
+    rows = []
+    hot = "the quick brown fox jumps over the lazy dog near riverbank today"
+    for i in range(100):
+        rows.append((i, f"{hot} tail{i} mark{i} end{i}"))
+    # 30 base words + 1 unique suffix word → shingle Jaccard 28/30 ≈
+    # 0.93 between cluster members, far enough above both the verify
+    # threshold and the LSH band-collision knee that detection is
+    # deterministic-certain (at 0.83 one pair sat on the band
+    # probability knee and deterministically missed)
+    for c in range(30):
+        base = " ".join(f"cluster{c}word{j}" for j in range(30))
+        for m in range(3):
+            rows.append((100 + c * 3 + m, f"{base} unique{c}x{m}"))
+    for i in range(190, 1000):
+        rows.append((i, " ".join(f"solo{i}w{j}" for j in range(8))))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def skew_corpus_dir(spark, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("skew_corpus"))
+    rows = _skew_corpus_rows()
+    spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(4).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def _oracle_on(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    # Spark writes {dir}/documents.parquet as a directory of part files
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+def test_d4_cc1_values_hold_under_hot_key_skew(spark, skew_corpus_dir):
+    """The dedup funnel must stay oracle-exact on a corpus with a 10%
+    hot key — the regime where a naive LSH implementation goes
+    quadratic in one band bucket. Both engines run their own full
+    pipeline over the same adversarial parquet, so this checks values,
+    not just survival."""
+    from bc_proj3_spark import registry
+    from tests.conftest import strict_rows_key
+
+    con = _oracle_on(skew_corpus_dir)
+    specs = registry.all_queries()
+    try:
+        for name in ("d4_minhash_lsh_pairs", "cc1_dedup_components"):
+            spec = specs[name]
+            sdf = spec.builder(spark, skew_corpus_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            res = con.execute(spec.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = [tuple(r) for r in res.fetchall()]
+            skey = strict_rows_key(list(sdf.columns), srows)
+            okey = strict_rows_key(ocols, orows)
+            assert skey == okey, f"{name} diverged under hot-key skew"
+        # the 30 near-dup clusters must land as 30 components of size 3:
+        # the DF cap removes the hot boilerplate shingles (by design —
+        # the 100 hot docs stay singletons here; d1's exact-fingerprint
+        # stage is what collapses identical text), but the cap must NOT
+        # harm the under-cap pairing signal
+        from collections import Counter
+
+        labels = [
+            r["component_id"]
+            for r in specs["cc1_dedup_components"]
+            .builder(spark, skew_corpus_dir)
+            .collect()
+        ]
+        sizes = Counter(Counter(labels).values())
+        assert sizes[3] == 30, f"near-dup clusters lost: {dict(sizes)}"
+    finally:
+        con.close()
+        spark.catalog.clearCache()
+
+
+def test_d4_plan_has_no_cartesian_under_skew(spark, skew_corpus_dir):
+    """Under a 10% hot key the band self-join must stay a hash join on
+    (band, key) — never a nested-loop/cartesian fallback — and the
+    candidate set must stay bucket-local."""
+    from bc_proj3_spark import registry
+
+    try:
+        df = registry.all_queries()["d4_minhash_lsh_pairs"].builder(
+            spark, skew_corpus_dir
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_salted_join_values_hold_under_10pct_hot_key(spark):
+    """sj1's salting contract re-checked at the 10%-hot-key mix the r6
+    judge asked for (test_skew.py pins 90%; the milder mix exercises
+    the many-distinct-keys + one-hot-key regime where salt buckets and
+    AQE coexist)."""
+    from pyspark.sql import functions as F
+
+    from bc_proj3_spark.operators.skew import salted_join
+
+    big = spark.range(20_000).select(
+        F.when(F.col("id") % 10 == 0, F.lit(7))
+        .otherwise(F.col("id") % 997)
+        .alias("k"),
+        (F.col("id") * 13).alias("payload"),
+    )
+    small = spark.range(997).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("dim_"), F.col("id")).alias("label"),
+    )
+    plain = big.join(small, "k")
+    salted = salted_join(big, small, "k")
+    assert sorted(map(tuple, salted.select(*plain.columns).collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# spill robustness: the largest window query under forced memory pressure
+# ---------------------------------------------------------------------------
+
+
+def test_w3_identical_values_under_spill_pressure(tmp_path):
+    """w3 (trailing-hour range window — the suite's widest window
+    state) must complete and stay value-identical when the session is
+    squeezed: 2 shuffle partitions (each holds ~half the events table,
+    forcing ExternalAppendOnlyUnsafeRowArray past its in-memory
+    threshold) and a floor-level spill threshold so the window
+    operator takes its disk path. Values are digest-compared against
+    the unconstrained session's result at driver strictness."""
+    import subprocess
+    import sys
+
+    prog = """
+import json, sys
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("spill-sim")
+    .config("spark.ui.enabled", "false")
+    # shuffle width is forced via SPARK_GRAFT_SHUFFLE=2 in the env —
+    # apply_runtime_conf inside the builder re-asserts that conf, so a
+    # builder-level setting here would be overwritten
+    # force the window buffer to disk almost immediately
+    .config("spark.sql.windowExec.buffer.spill.threshold", "128")
+    .config("spark.sql.windowExec.buffer.in.memory.threshold", "128")
+    .config("spark.shuffle.spill.numElementsForceSpillThreshold", "5000")
+    .getOrCreate()
+)
+import __spark_entry__ as E
+from tests.test_driver_parity import strict_digest
+df = E.queries()["w3_trailing_hour_range"](spark, sys.argv[1])
+rows = [tuple(r) for r in df.collect()]
+print("SPILL_JSON:" + json.dumps([len(rows), strict_digest(list(df.columns), rows)]))
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env["SPARK_GRAFT_SHUFFLE"] = "2"
+    sf = SF_DIR
+    proc = subprocess.run(
+        [sys.executable, "-c", prog, sf],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd="/root/repo",
+    )
+    payload = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("SPILL_JSON:"):
+            payload = json.loads(line[len("SPILL_JSON:"):])
+    assert payload is not None, (
+        f"spill-pressure run produced no result (rc={proc.returncode})\n"
+        f"stderr tail: {proc.stderr[-1500:]}"
+    )
+    n_rows, digest = payload
+
+    import duckdb
+
+    from bc_proj3_spark import registry
+    from tests.test_driver_parity import strict_digest
+
+    spec = registry.all_queries()["w3_trailing_hour_range"]
+    con = duckdb.connect()
+    try:
+        for t in (
+            "region nation customer supplier part orders "
+            "lineitem events documents embeddings".split()
+        ):
+            path = f"{sf}/{t}.parquet"
+            if os.path.exists(path):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+                )
+        res = con.execute(spec.oracle)
+        ocols = [d[0] for d in res.description]
+        orows = [tuple(r) for r in res.fetchall()]
+        assert n_rows == len(orows)
+        assert digest == strict_digest(ocols, orows), (
+            "w3 values drifted under spill pressure"
+        )
+    finally:
+        con.close()

@@ -1,0 +1,81 @@
+"""Permanent sf0.1 strict sweep for iterative / accumulating queries.
+
+The r6 post-mortem (cc3): ROUND of values sitting ON the rounding
+lattice — the signature of iterative protocols that divide accumulated
+state by small integers — hits .5 ties that Spark (HALF_UP on the
+decimal string) and DuckDB (binary-value) resolve differently. The
+divergence is INVISIBLE at sf0.01 (no tie happens to land on the seam)
+and guaranteed at scale. So every iterative/accumulating query is
+value-verified at sf0.1 — 10× the driver's correctness scale — once
+per round, as a standing pre-registration gate (VERDICT r6 item 3).
+
+Set SPARK_GRAFT_SKIP_SF01=1 to skip during tight inner-loop iteration;
+the full-suite run the driver records must leave it unset.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from bc_proj3_spark.plans.tables import TABLE_NAMES
+
+SF01_DIR = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
+
+pytestmark = [
+    pytest.mark.sf01,
+    pytest.mark.skipif(
+        os.environ.get("SPARK_GRAFT_SKIP_SF01") == "1",
+        reason="sf0.1 sweep disabled via SPARK_GRAFT_SKIP_SF01",
+    ),
+    pytest.mark.skipif(
+        not os.path.isdir(SF01_DIR), reason=f"{SF01_DIR} not present"
+    ),
+]
+
+#: Iterative fixpoints (graph protocols), accumulating recursions
+#: (CUSUM, EWMA), and the double-heavy estimators the r6 judge put in
+#: the same blow-up-only-at-scale class. cc3 (PageRank) is the query
+#: that motivated the gate; cur1 joined after its r7 exact-rank
+#: threshold rewrite (boundary comparisons on derived doubles).
+SF01_QUERIES = [
+    "pi1_power_iteration",
+    "pi2_spectral_gap",
+    "cc2_star_components",
+    "cc3_pagerank",
+    "cc4_bfs_distance",
+    "cur1_curriculum_schedule",
+    "e19_cusum_changepoint",
+    "ts2_ewma",
+    "d11_minhash_calibration",
+    "er1_fuzzy_name_pairs",
+    "s5_kmeans_assign",
+    "fe2_train_scaled",
+]
+
+
+@pytest.fixture(scope="module")
+def sf01_con():
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = f"{SF01_DIR}/{name}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SF01_QUERIES)
+def test_sf01_strict_values(name, spark, sf01_con):
+    from bc_proj3_spark import registry
+    from tests.conftest import compare_to_oracle
+
+    spec = registry.all_queries()[name]
+    try:
+        compare_to_oracle(spark, sf01_con, spec, sf_dir=SF01_DIR)
+    finally:
+        spark.catalog.clearCache()
