@@ -737,3 +737,207 @@ def sp11_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("max_shard"),
         F.sum("n_moved").cast("bigint").alias("moved_from_prev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sp12 — DSIR: data selection via importance resampling
+# ---------------------------------------------------------------------------
+
+#: hashed-bigram feature space (buckets). 4096 keeps the ratio table
+#: broadcast-trivial while leaving bucket collisions rare at test SFs;
+#: the DSIR paper itself runs with hashed features (10k buckets).
+DSIR_BUCKETS = 4096
+#: the target distribution: English documents (the corpus's majority
+#: class — a realistic "select more target-like raw data" setup).
+DSIR_TARGET_LANG = "en"
+#: selected fraction: top 1/DSIR_KEEP_DIV of the corpus by gumbel-key.
+DSIR_KEEP_DIV = 5
+
+
+def _sp12_oracle() -> str:
+    from bc_proj3_spark.functions.text import sql_tokenize
+
+    u = (
+        f"(({sql_hash60(_sql_seeded('dsir', 'CAST(doc_id AS VARCHAR)'))} "
+        f"% 1000000000) + 0.5) / 1000000000.0"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, {sql_tokenize('text')} AS w FROM documents
+),
+bg AS (
+  SELECT doc_id, lang,
+    unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                          i -> w[i] || ' ' || w[i+1])) AS g
+  FROM toks
+),
+bgb AS (
+  SELECT doc_id, lang,
+         {sql_hash60(_sql_seeded('dsirf', 'g'))} % {DSIR_BUCKETS} AS b
+  FROM bg
+),
+cnt AS (
+  SELECT b,
+         CAST(COUNT(*) AS BIGINT) AS c_r,
+         CAST(count_if(lang = '{DSIR_TARGET_LANG}') AS BIGINT) AS c_t
+  FROM bgb GROUP BY b
+),
+tot AS (
+  SELECT CAST(SUM(c_r) AS BIGINT) AS n_r, CAST(SUM(c_t) AS BIGINT) AS n_t
+  FROM cnt
+),
+ratio AS (
+  SELECT b,
+         ROUND(LN(((c_t + 1) * (n_r + {DSIR_BUCKETS}))::DOUBLE
+                  / ((c_r + 1) * (n_t + {DSIR_BUCKETS}))), 9) AS lr
+  FROM cnt, tot
+),
+dw AS (
+  SELECT bgb.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         SUM(CAST(lr AS DECIMAL(28,10))) AS wsum
+  FROM bgb JOIN ratio USING (b) GROUP BY bgb.doc_id
+),
+alldocs AS (
+  SELECT d.doc_id, d.lang,
+         COALESCE(dw.n_grams, 0) AS n_grams,
+         COALESCE(dw.wsum, CAST(0 AS DECIMAL(28,10))) AS wsum
+  FROM documents d LEFT JOIN dw USING (doc_id)
+),
+keyed AS (
+  SELECT doc_id, lang, n_grams,
+         CAST(wsum AS DOUBLE) AS weight,
+         wsum + CAST(ROUND(-LN(-LN({u})), 9) AS DECIMAL(28,10)) AS sel_key
+  FROM alldocs
+)
+SELECT doc_id, lang, CAST(n_grams AS BIGINT) AS n_grams, weight
+FROM keyed
+QUALIFY row_number() OVER (ORDER BY sel_key DESC, doc_id)
+  <= greatest((SELECT COUNT(*) FROM documents) // {DSIR_KEEP_DIV}, 1)
+"""
+
+
+@register("sp12_dsir_select", _sp12_oracle())
+def sp12_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit two bag-of-hashed-
+    bigram unigram models — target (documents in DSIR_TARGET_LANG) and
+    raw (the whole corpus) — score every document by its summed
+    log-likelihood ratio, and resample WITHOUT replacement via
+    deterministic Gumbel-top-k (key = weight + Gumbel(content hash)),
+    keeping the top 1/DSIR_KEEP_DIV of the corpus. This completes the
+    pipeline's select-not-just-filter story: f1 thresholds, sp5/sp6
+    reweight known mixes, sp12 *learns* what target-like means from the
+    target sample itself.
+
+    Determinism/oracle discipline: the Gumbel noise derives from the
+    seeded content hash (no RNG), its transcendental chain is rounded
+    to the 9-decimal lattice, and both the per-gram log-ratios and the
+    selection key accumulate in exact DECIMAL(28,10) — both engines
+    order candidates identically, with doc_id as the total-order
+    tiebreak. The LN argument is formed as an exact-integer product
+    ratio ((c+1)·(N+B) < 2^53 at any test SF) so both engines see the
+    same double; a production variant would subtract logs instead once
+    cross-engine verification is no longer needed.
+
+    Scale shape (100 TB posture): the bigram stream is ONE fanout
+    explode, persisted so the bucket-count aggregate and the scoring
+    join share the pass (the r7 shingle-index A/B: caching the hash
+    fanout beats recomputing it); the ratio table is bounded by
+    DSIR_BUCKETS — broadcast by construction, never data-dependent;
+    per-doc weights are one map-side-combinable aggregate; selection is
+    a distributed TakeOrdered (top-k), never a global sort or a
+    single-partition window."""
+    from pyspark import StorageLevel
+
+    from bc_proj3_spark.functions.text import tokenize
+    from bc_proj3_spark.plans.tables import fanout
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # parquet metadata count — no data scan
+    k = max(n_docs // DSIR_KEEP_DIV, 1)
+
+    toks = fanout(docs.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", tokenize(F.col("text")).alias("w")
+    )
+    idx = F.when(
+        F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat(
+                    F.element_at("w", i), F.lit(" "), F.element_at("w", i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    bgb = bg.select(
+        "doc_id",
+        "lang",
+        (hash60(_seeded("dsirf", F.col("g"))) % DSIR_BUCKETS).alias("b"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bgb.count()  # one explode pass feeds counts AND scoring
+
+    cnt = bgb.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_r"),
+        F.sum(
+            (F.col("lang") == DSIR_TARGET_LANG).cast("bigint")
+        ).cast("bigint").alias("c_t"),
+    )
+    tot = cnt.agg(
+        F.sum("c_r").cast("bigint").alias("n_r"),
+        F.sum("c_t").cast("bigint").alias("n_t"),
+    )
+    lr = F.round(
+        F.log(
+            ((F.col("c_t") + 1) * (F.col("n_r") + F.lit(DSIR_BUCKETS))).cast(
+                "double"
+            )
+            / ((F.col("c_r") + 1) * (F.col("n_t") + F.lit(DSIR_BUCKETS)))
+        ),
+        9,
+    )
+    ratio = cnt.crossJoin(F.broadcast(tot)).select("b", lr.alias("lr"))
+
+    dec = "decimal(28,10)"
+    dw = (
+        bgb.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.col("lr").cast(dec)).alias("wsum"),
+        )
+    )
+    u = (
+        (
+            hash60(_seeded("dsir", F.col("doc_id").cast("string")))
+            % F.lit(1000000000)
+        )
+        + F.lit(0.5)
+    ) / F.lit(1000000000.0)
+    gumbel = F.round(-F.log(-F.log(u)), 9).cast(dec)
+    keyed = (
+        docs.select("doc_id", "lang")
+        .join(dw, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("wsum"), F.lit(0).cast(dec)).alias("wsum"),
+        )
+        .withColumn("sel_key", F.col("wsum") + gumbel)
+    )
+    return (
+        keyed.orderBy(F.col("sel_key").desc(), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id",
+            "lang",
+            "n_grams",
+            F.col("wsum").cast("double").alias("weight"),
+        )
+    )

@@ -58,6 +58,7 @@ _BNLJ_OK = {
     "d12_semdedup",  # inherits s5's K=8 centroid-table cross
     "cur1_curriculum_schedule",  # 1-row percentile-threshold cross
     "prof3_corpus_datasheet",  # 1-row corpus-totals cross
+    "sp12_dsir_select",  # 1-row bigram-totals cross into the ratio table
 }
 
 #: streaming queries — their builders execute a full streaming job;

@@ -215,6 +215,58 @@ def test_salted_join_values_hold_under_10pct_hot_key(spark):
 
 
 # ---------------------------------------------------------------------------
+# sp12 — DSIR importance resampling invariants
+# ---------------------------------------------------------------------------
+
+
+def test_sp12_dsir_enriches_target_and_sizes_correctly(spark, oracle_con):
+    """DSIR's contract: the selected set is (a) exactly ⌊n/keep_div⌋
+    docs, (b) enriched toward the target language relative to the base
+    rate (the likelihood-ratio weights must actually steer selection),
+    and (c) deterministic — two runs pick identical doc_ids."""
+    from bc_proj3_spark.operators.sampling import (
+        DSIR_KEEP_DIV,
+        DSIR_TARGET_LANG,
+        sp12_dsir_select,
+    )
+
+    try:
+        sel = sp12_dsir_select(spark, SF_DIR).collect()
+        n_docs, n_target = oracle_con.execute(
+            "SELECT COUNT(*), "
+            f"count_if(lang = '{DSIR_TARGET_LANG}') FROM documents"
+        ).fetchone()
+        assert len(sel) == max(n_docs // DSIR_KEEP_DIV, 1)
+        base_rate = n_target / n_docs
+        sel_rate = sum(r["lang"] == DSIR_TARGET_LANG for r in sel) / len(sel)
+        assert sel_rate > base_rate, (
+            f"no target enrichment: selected {sel_rate:.2f} "
+            f"vs base {base_rate:.2f}"
+        )
+        spark.catalog.clearCache()
+        again = sp12_dsir_select(spark, SF_DIR).collect()
+        assert sorted(r["doc_id"] for r in sel) == sorted(
+            r["doc_id"] for r in again
+        )
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_sp12_selection_is_takeordered_not_global_sort(spark):
+    """The top-k must plan as TakeOrderedAndProject (distributed
+    partial top-k), never a global Sort + Limit — the shape that
+    funnels the corpus through one partition at 100 TB."""
+    from bc_proj3_spark.operators.sampling import sp12_dsir_select
+
+    try:
+        df = sp12_dsir_select(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan[:2000]
+    finally:
+        spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
 # spill robustness: the largest window query under forced memory pressure
 # ---------------------------------------------------------------------------
 

@@ -53,6 +53,7 @@ SF01_QUERIES = [
     "er1_fuzzy_name_pairs",
     "s5_kmeans_assign",
     "fe2_train_scaled",
+    "sp12_dsir_select",
 ]
 
 
