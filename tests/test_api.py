@@ -56,3 +56,15 @@ def test_rotation_maps_reference_real_queries():
     names = set(all_queries())
     assert set(_VERIFIED_ROUND) <= names, sorted(set(_VERIFIED_ROUND) - names)
     assert set(_SHOWCASE_FIRST) <= names, sorted(set(_SHOWCASE_FIRST) - names)
+
+
+def test_showcase_list_contains_only_unverified_queries():
+    """_SHOWCASE_FIRST only orders the round-0 (never-driver-verified)
+    block — a name that has since earned a _VERIFIED_ROUND pin is stale
+    there and signals the list wasn't trimmed during rotation. Keeping
+    the two disjoint is what guarantees the prefix arithmetic (pins +
+    round-0 block) stays exact and no rotation slot is displaced."""
+    from bc_proj3_spark.registry import _SHOWCASE_FIRST, _VERIFIED_ROUND
+
+    stale = sorted(set(_SHOWCASE_FIRST) & set(_VERIFIED_ROUND))
+    assert not stale, f"verified queries still in _SHOWCASE_FIRST: {stale}"
