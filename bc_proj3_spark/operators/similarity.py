@@ -698,3 +698,85 @@ def d12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s7 — semantic decontamination against a held-out benchmark set
+# ---------------------------------------------------------------------------
+
+#: the first N_BENCH vectors stand in for a held-out eval/benchmark
+#: embedding set; everything else is the training-candidate corpus.
+N_BENCH = 32
+#: max-cosine threshold above which a candidate is flagged as a
+#: semantic duplicate of benchmark content (p99 of the testdata's
+#: max-cosine distribution is ~0.42, so ~1-2% of docs flag — the
+#: realistic contamination-rate regime).
+DECON_TAU = 0.40
+
+_S7_ORACLE = f"""
+WITH {_SQL_BASE},
+c AS (SELECT vec_id, v, nrm FROM e WHERE vec_id >= {N_BENCH}),
+b AS (SELECT vec_id AS bench_id, v AS bv, nrm AS bn FROM e
+      WHERE vec_id < {N_BENCH}),
+scored AS (
+  SELECT c.vec_id, b.bench_id,
+         {_sql_dot('c.v', 'b.bv')} / (c.nrm * b.bn) AS cosine
+  FROM c, b
+)
+SELECT vec_id, bench_id, cosine,
+       cosine >= {DECON_TAU} AS contaminated
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, bench_id) AS rn
+  FROM scored
+) t WHERE rn = 1
+"""
+
+
+@register("s7_semantic_decontaminate", _S7_ORACLE)
+def s7_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: for every training-candidate
+    vector, the nearest held-out benchmark vector by cosine and a
+    contamination flag at DECON_TAU — the semantic complement of d7's
+    n-gram decontamination (paraphrased or re-tokenized benchmark
+    leakage that exact n-grams miss is exactly what embedding
+    similarity catches; modern data cards report both).
+
+    Determinism: cosines use the module's sequential-fold convention
+    (bit-identical across engines), and the nearest-benchmark pick
+    breaks cosine ties by bench_id, so both engines select the same
+    row. The flag compares an exact double against a literal.
+
+    Scale shape: the benchmark set is a constant-size broadcast
+    (N_BENCH × DIM doubles); the corpus is scanned once, never
+    shuffled for scoring — only (corpus × 1) winner rows move through
+    the per-vector top-1 aggregation. s1's plan with k=1 and a fixed
+    probe side; at a billion vectors the same plan holds (benchmark
+    sets are KBs)."""
+    corpus = _corpus(spark, sf_dir)
+    cand = corpus.filter(F.col("vec_id") >= N_BENCH)
+    bench = corpus.filter(F.col("vec_id") < N_BENCH).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    scored = cand.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "bench_id",
+        (_dot(F.col("v"), F.col("bv")) / (F.col("nrm") * F.col("bn"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("bench_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "bench_id",
+            "cosine",
+            (F.col("cosine") >= DECON_TAU).alias("contaminated"),
+        )
+    )

@@ -246,11 +246,12 @@ _SHOWCASE_FIRST: tuple[str, ...] = (
     "sk6_bloom_membership",
     "t13_langid_confusion",
     "t15_skipgram_pairs",
-    # NOTE: sp12_dsir_select (new in r7) is deliberately ABSENT from
-    # this list: absent names rank after every listed one, so the one
-    # new registration sorts at position 51 — outside the ~50-slot
-    # prefix — and cannot displace any of the 48 rotation slots. It
-    # enters the prefix normally in r8.
+    # NOTE: the r7 additions (sp12_dsir_select, s7_semantic_
+    # decontaminate) are deliberately ABSENT from this list: absent
+    # names rank after every listed one, so the new registrations sort
+    # at positions 51-52 — outside the ~50-slot prefix — and cannot
+    # displace any of the 48 rotation slots. They enter the prefix
+    # normally in r8.
 )
 _SHOWCASE_RANK = {n: i for i, n in enumerate(_SHOWCASE_FIRST)}
 

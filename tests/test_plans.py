@@ -59,6 +59,7 @@ _BNLJ_OK = {
     "cur1_curriculum_schedule",  # 1-row percentile-threshold cross
     "prof3_corpus_datasheet",  # 1-row corpus-totals cross
     "sp12_dsir_select",  # 1-row bigram-totals cross into the ratio table
+    "s7_semantic_decontaminate",  # inherits s1's broadcast-bench cross
 }
 
 #: streaming queries — their builders execute a full streaming job;

@@ -54,6 +54,7 @@ SF01_QUERIES = [
     "s5_kmeans_assign",
     "fe2_train_scaled",
     "sp12_dsir_select",
+    "s7_semantic_decontaminate",
 ]
 
 
