@@ -267,6 +267,106 @@ def test_sp12_selection_is_takeordered_not_global_sort(spark):
 
 
 # ---------------------------------------------------------------------------
+# config-drift robustness: values invariant to AQE and shuffle width
+# ---------------------------------------------------------------------------
+
+#: one representative per hot plan family: multi-join aggregate,
+#: event-time window, LSH dedup chain, sessionization, exact weighted
+#: median (order-statistic), HLL sketch merge.
+AQE_OFF_QUERIES = [
+    "q9_product_profit",
+    "w3_trailing_hour_range",
+    "d4_minhash_lsh_pairs",
+    "e2_sessionization",
+    "a13_weighted_median",
+    "sk4_hll_estimate",
+]
+
+
+def test_values_invariant_to_aqe_off_and_odd_shuffle_width(oracle_con):
+    """A cluster operator may run under any AQE/shuffle configuration
+    (the driver's posture differs from ours; ops teams flip AQE for
+    incident triage). Values must not depend on either: replay one
+    representative query per hot family in a fresh JVM with AQE fully
+    OFF and a deliberately odd shuffle width (7), digest-compared to
+    the DuckDB oracle at driver strictness. Catches partition-order /
+    runtime-replan value dependence that the default-config suite
+    can't see."""
+    import subprocess
+    import sys
+
+    prog = """
+import json, sys
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("aqe-off-sim")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    .config("spark.sql.adaptive.skewJoin.enabled", "false")
+    .getOrCreate()
+)
+import __spark_entry__ as E
+from tests.test_driver_parity import strict_digest
+qs = E.queries()
+out = {}
+for name in json.loads(sys.argv[2]):
+    try:
+        df = qs[name](spark, sys.argv[1])
+        # the builder's apply_runtime_conf re-asserts adaptive=true;
+        # flip it back AFTER plan construction and BEFORE the action —
+        # runtime SQL confs are read at execution, so this genuinely
+        # executes the plan without AQE
+        for kk in ("spark.sql.adaptive.enabled",
+                   "spark.sql.adaptive.coalescePartitions.enabled",
+                   "spark.sql.adaptive.skewJoin.enabled"):
+            spark.conf.set(kk, "false")
+        rows = [tuple(r) for r in df.collect()]
+        out[name] = [len(rows), strict_digest(list(df.columns), rows)]
+    except Exception as exc:
+        out[name] = f"ERROR: {exc!r}"[:300]
+    spark.catalog.clearCache()
+print("AQEOFF_JSON:" + json.dumps(out))
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env["SPARK_GRAFT_SHUFFLE"] = "7"
+    proc = subprocess.run(
+        [sys.executable, "-c", prog, SF_DIR, json.dumps(AQE_OFF_QUERIES)],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+        cwd="/root/repo",
+    )
+    payload = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("AQEOFF_JSON:"):
+            payload = json.loads(line[len("AQEOFF_JSON:"):])
+    assert payload is not None, (
+        f"aqe-off run produced no result (rc={proc.returncode})\n"
+        f"stderr tail: {proc.stderr[-1500:]}"
+    )
+
+    from bc_proj3_spark import registry
+    from tests.test_driver_parity import strict_digest
+
+    specs = registry.all_queries()
+    for name in AQE_OFF_QUERIES:
+        got = payload[name]
+        assert not isinstance(got, str), f"{name}: {got}"
+        n_rows, digest = got
+        res = oracle_con.execute(specs[name].oracle)
+        ocols = [d[0] for d in res.description]
+        orows = [tuple(r) for r in res.fetchall()]
+        assert n_rows == len(orows), f"{name}: rows {n_rows} != {len(orows)}"
+        assert digest == strict_digest(ocols, orows), (
+            f"{name}: values drifted under AQE-off / shuffle-width-7"
+        )
+
+
+# ---------------------------------------------------------------------------
 # spill robustness: the largest window query under forced memory pressure
 # ---------------------------------------------------------------------------
 
