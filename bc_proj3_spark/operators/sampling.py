@@ -941,3 +941,72 @@ def sp12_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wsum").cast("double").alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sp13 — rebalance the corpus to a target language mix
+# ---------------------------------------------------------------------------
+
+#: target language shares in percent (sums to 100). Languages absent
+#: from this dict are excluded from the rebalanced corpus.
+MIX_TARGET: dict[str, int] = {
+    "en": 30, "de": 20, "es": 20, "fr": 15, "zh": 15,
+}
+
+
+def _sp13_oracle() -> str:
+    vals = ", ".join(f"('{k}', {v})" for k, v in MIX_TARGET.items())
+    coin = sql_hash60(_sql_seeded("mixr", "CAST(d.doc_id AS VARCHAR)"))
+    return f"""
+WITH tgt(lang, share) AS (VALUES {vals}),
+cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+cap AS (
+  SELECT MIN(n * 100 // share) AS t FROM cnt JOIN tgt USING (lang)
+),
+par AS (
+  SELECT cnt.lang, cnt.n,
+         (SELECT t FROM cap) * tgt.share // 100 AS k
+  FROM cnt JOIN tgt USING (lang)
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN par ON par.lang = d.lang
+WHERE {coin} % par.n < par.k
+"""
+
+
+@register("sp13_mix_rebalance", _sp13_oracle())
+def sp13_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to MIX_TARGET language shares: the largest
+    achievable total under the target is T = min_d(n_d·100/s_d) (the
+    binding domain is kept whole-ish; abundant domains are thinned),
+    each domain's budget is k_d = T·s_d/100, and membership is a
+    deterministic per-doc coin (hash % n_d < k_d) — the data-mixing
+    step that turns prof3's as-is composition into the mix the training
+    plan actually wants.
+
+    Budget arithmetic is all-integer (no float seam); membership uses
+    the content-addressed hash family, so the kept set is stable under
+    re-runs, engine choice, and corpus append order. Rate-based
+    thinning keeps selection MAP-SIDE (a per-domain exact-k rank would
+    funnel each language through one window partition at 100 TB);
+    achieved counts are binomial-tight around k_d, which is what
+    production mixers accept in exchange for a shuffle-free plan.
+    Scale: one tiny per-lang count aggregate broadcast back over a
+    single scan; languages outside MIX_TARGET drop via the inner
+    join."""
+    docs = table(spark, sf_dir, "documents")
+    tgt = docs.sparkSession.createDataFrame(
+        list(MIX_TARGET.items()), "lang string, share bigint"
+    )
+    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    j = cnt.join(tgt, "lang")
+    cap = j.agg(F.min(F.expr("n * 100 div share")).alias("t"))
+    par = j.crossJoin(F.broadcast(cap)).select(
+        "lang", "n", F.expr("t * share div 100").alias("k")
+    )
+    coin = hash60(_seeded("mixr", F.col("doc_id").cast("string")))
+    return (
+        docs.join(F.broadcast(par), "lang")
+        .filter(coin % F.col("n") < F.col("k"))
+        .select("doc_id", "lang")
+    )

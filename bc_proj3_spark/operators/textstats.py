@@ -1292,3 +1292,67 @@ def lab2_lf_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
         ).alias("n_conflict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t23 — tokenizer fertility per language
+# ---------------------------------------------------------------------------
+
+_T23_ORACLE = f"""
+WITH per AS (
+  SELECT lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_ws,
+         len(regexp_extract_all(lower(text), '{BPE_RE}')) AS n_bpe,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_ws) AS BIGINT) AS total_words,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_ws) AS BIGINT) AS fertility,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_bpe) AS BIGINT)
+         AS chars_per_bpe
+FROM per
+GROUP BY lang
+"""
+
+
+@register("t23_tokenizer_fertility", _T23_ORACLE)
+def t23_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE tokens per whitespace word) and
+    compression (chars per BPE token) per language — the standard
+    multilingual tokenizer-health report: a language whose fertility
+    runs far above the corpus norm pays more context budget per word
+    and trains on fewer effective words per token (the metric
+    motivating vocabulary rebalancing in multilingual models). Uses
+    t5's two segmentations so the numbers are consistent with the
+    registered token-cost operator.
+
+    Determinism: integer token counts sum exactly; the two ratios are
+    single IEEE divisions of exact integers — bit-identical across
+    engines with no rounding step (t5's chars_per_token precedent).
+    Scale: scan-side regex counts, one map-side-combinable aggregate
+    keyed by lang; nothing corpus-sized moves."""
+    docs = fanout(table(spark, sf_dir, "documents"))
+    n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), F.lit(0))
+    )
+    per = docs.select(
+        "lang",
+        n_ws.alias("n_ws"),
+        n_bpe.alias("n_bpe"),
+        F.length("text").alias("n_chars"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").cast("bigint").alias("total_words"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+        (
+            F.sum("n_bpe").cast("double") / F.sum("n_ws").cast("bigint")
+        ).alias("fertility"),
+        (
+            F.sum("n_chars").cast("double") / F.sum("n_bpe").cast("bigint")
+        ).alias("chars_per_bpe"),
+    )

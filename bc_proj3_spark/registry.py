@@ -247,11 +247,11 @@ _SHOWCASE_FIRST: tuple[str, ...] = (
     "t13_langid_confusion",
     "t15_skipgram_pairs",
     # NOTE: the r7 additions (sp12_dsir_select, s7_semantic_
-    # decontaminate) are deliberately ABSENT from this list: absent
-    # names rank after every listed one, so the new registrations sort
-    # at positions 51-52 — outside the ~50-slot prefix — and cannot
-    # displace any of the 48 rotation slots. They enter the prefix
-    # normally in r8.
+    # decontaminate, t23_tokenizer_fertility, sp13_mix_rebalance) are
+    # deliberately ABSENT from this list: absent names rank after
+    # every listed one, so the new registrations sort at positions
+    # 51-54 — outside the ~50-slot prefix — and cannot displace any of
+    # the 48 rotation slots. They enter the prefix normally in r8.
 )
 _SHOWCASE_RANK = {n: i for i, n in enumerate(_SHOWCASE_FIRST)}
 

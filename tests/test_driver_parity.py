@@ -137,10 +137,12 @@ STRICT_VALUE_QUERIES = [
     "sp11_epoch_shuffle",
     "cur1_curriculum_schedule",
     "dq2_referential_integrity",
-    # r7's two new operators (sort AFTER the 48 rotation slots — see
+    # r7's new operators (sort AFTER the 48 rotation slots — see
     # registry._SHOWCASE_FIRST), pre-flighted at driver strictness
     "sp12_dsir_select",
     "s7_semantic_decontaminate",
+    "t23_tokenizer_fertility",
+    "sp13_mix_rebalance",
 ]
 
 

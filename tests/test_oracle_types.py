@@ -58,6 +58,12 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     # upstream CTE cast — decimal-exact accumulation the per-alias
     # regex can't see (the cast is a different select item)
     ("sql2_top_order_per_customer", "cust_total"),
+    # integer-sum ratios: SUM over exact ints is order-insensitive;
+    # the single IEEE division of two exact integers is identical on
+    # both engines, and leaving it UNROUNDED avoids the ROUND-tie
+    # seam entirely (t5's chars_per_token precedent)
+    ("t23_tokenizer_fertility", "fertility"),
+    ("t23_tokenizer_fertility", "chars_per_bpe"),
 }
 
 #: Accumulation forms that are exact without ROUND:

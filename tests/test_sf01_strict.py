@@ -55,6 +55,7 @@ SF01_QUERIES = [
     "fe2_train_scaled",
     "sp12_dsir_select",
     "s7_semantic_decontaminate",
+    "t23_tokenizer_fertility",
 ]
 
 
