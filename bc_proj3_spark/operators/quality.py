@@ -1157,3 +1157,57 @@ def fe3_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("oof_mean_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq8 — l-diversity audit (dq5's sensitive-attribute companion)
+# ---------------------------------------------------------------------------
+
+#: required distinct sensitive values per quasi-identifier class.
+L_DIVERSE = 3
+
+#: account-balance band edges (cents avoided: c_acctbal is DECIMAL in
+#: TPC-H but the BAND comparison is against integer literals, exact in
+#: both engines).
+_BAL_LOW = 0
+_BAL_HIGH = 5000
+
+_DQ8_ORACLE = f"""
+SELECT c_nationkey, c_mktsegment,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT CASE
+              WHEN c_acctbal < {_BAL_LOW} THEN 'debt'
+              WHEN c_acctbal < {_BAL_HIGH} THEN 'low'
+              ELSE 'high' END) AS BIGINT) AS n_sensitive,
+       COUNT(DISTINCT CASE
+              WHEN c_acctbal < {_BAL_LOW} THEN 'debt'
+              WHEN c_acctbal < {_BAL_HIGH} THEN 'low'
+              ELSE 'high' END) >= {L_DIVERSE} AS meets_l
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+@register("dq8_l_diversity", _DQ8_ORACLE)
+def dq8_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: dq5 guards against re-identification by class
+    SIZE, but a class where every member shares one sensitive value
+    (here: the account-balance band) leaks that value to anyone who can
+    place a person in the class — the homogeneity attack k-anonymity
+    cannot see. Per quasi-identifier class (nation × market segment):
+    size, distinct sensitive bands present, and a meets-l flag. All
+    classes are returned (dq5's convention) so the auditor sees the
+    margin. One combiner-absorbed groupBy; distinct-count state is
+    bounded by the 3-value band domain, output by the QI domain
+    product — both corpus-size-independent at any scale."""
+    cust = table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < _BAL_LOW, F.lit("debt"))
+        .when(F.col("c_acctbal") < _BAL_HIGH, F.lit("low"))
+        .otherwise(F.lit("high"))
+    )
+    return cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(band).alias("n_sensitive"),
+        (F.countDistinct(band) >= L_DIVERSE).alias("meets_l"),
+    )

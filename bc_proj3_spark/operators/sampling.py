@@ -1010,3 +1010,91 @@ def sp13_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(coin % F.col("n") < F.col("k"))
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# sp14 — fractional epoch up-sampling (data-recipe materialization)
+# ---------------------------------------------------------------------------
+
+#: epochs per language in integer PERCENT (250 = 2.5 epochs): curated /
+#: scarce languages are repeated, abundant ones thinned — the "epochs
+#: over the mix" column of a training-data recipe (the published
+#: LLM recipes repeat books/wiki 2-3x while web text runs <1 epoch).
+#: Integer percent avoids any float seam in the budget arithmetic.
+EPOCH_PCT: dict[str, int] = {
+    "en": 250, "de": 200, "es": 125, "fr": 100, "zh": 40,
+}
+
+
+def _sp14_oracle() -> str:
+    vals = ", ".join(f"('{k}', {v})" for k, v in EPOCH_PCT.items())
+    coin = sql_hash60(_sql_seeded("epoch", "CAST(d.doc_id AS VARCHAR)"))
+    return f"""
+WITH rec(lang, pct) AS (VALUES {vals}),
+rep AS (
+  SELECT d.doc_id, d.lang,
+         len(string_split(d.text, ' ')) AS n_tokens,
+         pct // 100 + CASE WHEN {coin} % 100 < pct % 100 THEN 1 ELSE 0 END
+           AS n_epochs
+  FROM documents d JOIN rec ON rec.lang = d.lang
+),
+x AS (
+  SELECT doc_id, lang, n_tokens, unnest(range(1, n_epochs + 1)) AS epoch
+  FROM rep
+)
+SELECT lang, CAST(epoch AS BIGINT) AS epoch,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM x
+GROUP BY lang, epoch
+"""
+
+
+@register("sp14_epoch_upsample", _sp14_oracle())
+def sp14_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a data recipe's epoch column: each document is
+    repeated floor(pct/100) times and once more with probability
+    (pct mod 100)/100 via a deterministic content-addressed coin — so
+    a 2.5-epoch language shows two full epochs plus a ~half-size third,
+    and a 0.4-epoch language is thinned to a ~40% single epoch. The
+    verified output is the per-(lang, epoch) doc/token census — the
+    table a training run's data loader is provisioned from.
+
+    Teammate ops: sp5 temperature-weights sources, sp13 rebalances to
+    target shares, cur1 schedules phases; sp14 is the REPEAT dimension
+    (epochs > 1) none of them express, and the epoch tag is what sp11's
+    per-epoch shard shuffle keys on downstream.
+
+    Scale shape: zero-shuffle row expansion — the recipe is a literal
+    map, membership and repeat count are map-side hash arithmetic, and
+    ``explode(sequence(...))`` streams through whole-stage codegen;
+    the only exchange is the final bounded (lang × epochs) aggregate.
+    Repeats are TAGGED, not copied: downstream stages key on
+    (doc_id, epoch) and payload bytes are stored once."""
+    docs = table(spark, sf_dir, "documents")
+    rec = docs.sparkSession.createDataFrame(
+        list(EPOCH_PCT.items()), "lang string, pct bigint"
+    )
+    coin = hash60(_seeded("epoch", F.col("doc_id").cast("string"))) % 100
+    rep = (
+        docs.join(F.broadcast(rec), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+            (
+                F.expr("pct div 100")
+                + F.when(coin < F.col("pct") % 100, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_epochs"),
+        )
+        .filter(F.col("n_epochs") > 0)
+    )
+    x = rep.select(
+        "lang",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(1), F.col("n_epochs"))).alias("epoch"),
+    )
+    return x.groupBy("lang", F.col("epoch").cast("bigint").alias("epoch")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )

@@ -780,3 +780,87 @@ def s7_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cosine") >= DECON_TAU).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s8 — hard-negative mining for contrastive / embedding training
+# ---------------------------------------------------------------------------
+
+#: pairs at or above this cosine are near-duplicates (s3's regime) —
+#: too close to be semantically distinct, so they are excluded from the
+#: negative pool (training on them teaches the model to separate
+#: duplicates, the classic false-negative failure of contrastive runs).
+HARD_NEG_CEIL = NEARDUP_THRESHOLD
+HARD_NEG_K = TOP_K
+
+_S8_ORACLE = f"""
+WITH {_SQL_BASE},
+qa AS (
+  SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+  FROM e WHERE vec_id < {N_QUERIES}
+),
+neg AS (
+  SELECT query_id, e.vec_id, e.label,
+         {_sql_dot('qv', 'v')} / (qn * nrm) AS cosine
+  FROM qa, e
+  WHERE e.vec_id <> query_id AND e.label <> qlabel
+),
+hard AS (SELECT * FROM neg WHERE cosine < {HARD_NEG_CEIL})
+SELECT query_id, vec_id, label, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM hard
+) t WHERE rn <= {HARD_NEG_K}
+"""
+
+
+@register("s8_hard_negatives", _S8_ORACLE)
+def s8_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each anchor vector, the HARD_NEG_K
+    most-similar vectors that are (a) a DIFFERENT label (not positives)
+    and (b) below the near-duplicate ceiling (not undetected
+    duplicates) — "similar but provably not the same", the pairs that
+    carry the gradient signal in contrastive embedding training
+    (easy random negatives are already separated; near-dup false
+    negatives are actively harmful — both are filtered here).
+
+    Determinism: sequential-fold cosines (bit-identical across
+    engines), doubles compared against literal thresholds, vec_id
+    tiebreak on the per-anchor ranking.
+
+    Scale shape: s1's plan with two extra map-side predicates — the
+    anchor batch broadcasts over ONE corpus scan, label/ceiling
+    filters run before the per-anchor top-k, and only (anchors × k)
+    ranked rows ever move. At billion-vector scale the anchor batch is
+    the unit of work (mine per training batch); swapping the scan side
+    for s2's LSH-bucketed candidates keeps the same downstream
+    filter/rank shape."""
+    corpus = _corpus(spark, sf_dir)
+    anchors = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    neg = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") < HARD_NEG_CEIL)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        neg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HARD_NEG_K)
+        .select("query_id", "vec_id", "label", "cosine")
+    )

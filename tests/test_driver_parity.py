@@ -143,6 +143,10 @@ STRICT_VALUE_QUERIES = [
     "s7_semantic_decontaminate",
     "t23_tokenizer_fertility",
     "sp13_mix_rebalance",
+    "ch3_content_defined_chunks",
+    "s8_hard_negatives",
+    "sp14_epoch_upsample",
+    "dq8_l_diversity",
 ]
 
 

@@ -60,6 +60,7 @@ _BNLJ_OK = {
     "prof3_corpus_datasheet",  # 1-row corpus-totals cross
     "sp12_dsir_select",  # 1-row bigram-totals cross into the ratio table
     "s7_semantic_decontaminate",  # inherits s1's broadcast-bench cross
+    "s8_hard_negatives",  # inherits s1's broadcast-anchor cross
     "sp13_mix_rebalance",  # 1-row capacity-minimum cross into the budget table
 }
 

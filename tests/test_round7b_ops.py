@@ -1,0 +1,179 @@
+"""Round-7 second-session additions: invariants the DuckDB oracles
+can't express for the four new operators (ch3 content-defined
+chunking, s8 hard-negative mining, sp14 epoch up-sampling, dq8
+l-diversity) — edit locality, exclusion semantics, recipe arithmetic,
+and plan-shape pins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+# ---------------------------------------------------------------------------
+# ch3 — content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+def test_ch3_roundtrip_reconstructs_document(spark):
+    """Chunks partition the token stream: concatenating chunk_text in
+    chunk_id order must reproduce every document verbatim (no token
+    lost or duplicated at a boundary) — the lossless-cover guarantee
+    ch1's overlapping windows deliberately do not make."""
+    from bc_proj3_spark.operators.chunking import ch3_content_defined_chunks
+
+    chunks = ch3_content_defined_chunks(spark, SF_DIR)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "chunk_text"))
+                ).getField("chunk_text"),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bad = (
+        rebuilt.join(docs, "doc_id")
+        .filter(F.col("rebuilt") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_ch3_edit_locality(spark):
+    """The content-defined promise: inserting one token near the head
+    of a document leaves every chunk after the edited region
+    hash-identical (only chunks overlapping the edit window change).
+    Under ch1's fixed stride the same edit shifts EVERY downstream
+    boundary. Crafted doc: long enough for several chunks; the edit
+    lands in chunk 0."""
+    from bc_proj3_spark.operators.chunking import cdc_chunks
+
+    base_tokens = [f"tok{i * 7 % 97}x{i}" for i in range(400)]
+    edited_tokens = base_tokens[:3] + ["INSERTED"] + base_tokens[3:]
+    frame = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(base_tokens)),
+            Row(doc_id=2, text=" ".join(edited_tokens)),
+        ]
+    )
+    out = cdc_chunks(frame).select("doc_id", "chunk_hash").collect()
+    h1 = {r.chunk_hash for r in out if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in out if r.doc_id == 2}
+    assert len(h1) > 4, "crafted doc should split into several chunks"
+    # all but the edited chunk(s) survive the insertion unchanged
+    shared = h1 & h2
+    assert len(shared) >= len(h1) - 2, (
+        f"edit reshaped {len(h1) - len(shared)} of {len(h1)} chunks — "
+        "boundaries are not content-defined"
+    )
+
+
+def test_ch3_plan_is_shuffle_free(spark):
+    """ch3 is pure map-side codegen: no Exchange anywhere in the
+    physical plan (fanout's round-robin repartition is exempt — it is
+    the parallelism seed, not an operator shuffle — so the pin runs on
+    the kernel over a pre-partitioned frame)."""
+    from bc_proj3_spark.operators.chunking import cdc_chunks
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = (
+        cdc_chunks(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# s8 — hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+def test_s8_exclusion_semantics(spark):
+    """Every mined hard negative must be (a) a different vector than
+    its anchor, (b) a different label (never a positive), and (c)
+    strictly below the near-duplicate ceiling; at most HARD_NEG_K rows
+    per anchor, ranked by cosine."""
+    from bc_proj3_spark.operators.similarity import (
+        HARD_NEG_CEIL,
+        HARD_NEG_K,
+        N_QUERIES,
+        s8_hard_negatives,
+    )
+
+    rows = s8_hard_negatives(spark, SF_DIR).collect()
+    emb = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    per_anchor: dict[int, int] = {}
+    for r in rows:
+        assert r.vec_id != r.query_id
+        assert r.label != emb[r.query_id], "positive leaked into negatives"
+        assert r.cosine < HARD_NEG_CEIL
+        per_anchor[r.query_id] = per_anchor.get(r.query_id, 0) + 1
+    assert set(per_anchor) <= set(range(N_QUERIES))
+    assert all(v <= HARD_NEG_K for v in per_anchor.values())
+
+
+# ---------------------------------------------------------------------------
+# sp14 — fractional epoch up-sampling
+# ---------------------------------------------------------------------------
+
+
+def test_sp14_recipe_arithmetic(spark):
+    """Full epochs are exact replicas (identical doc counts per epoch
+    1..floor(pct/100)); the fractional epoch is a strict subset; langs
+    outside the recipe never appear; epoch count never exceeds
+    ceil(pct/100)."""
+    from bc_proj3_spark.operators.sampling import EPOCH_PCT, sp14_epoch_upsample
+
+    rows = sp14_epoch_upsample(spark, SF_DIR).collect()
+    by_lang: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.epoch] = r.n_docs
+    assert set(by_lang) <= set(EPOCH_PCT)
+    for lang, epochs in by_lang.items():
+        pct = EPOCH_PCT[lang]
+        full, frac = pct // 100, pct % 100
+        assert max(epochs) <= full + (1 if frac else 0)
+        full_counts = {epochs[e] for e in range(1, full + 1) if e in epochs}
+        assert len(full_counts) <= 1, f"{lang}: full epochs differ in size"
+        if full and (full + 1) in epochs:
+            assert epochs[full + 1] < epochs[full], (
+                f"{lang}: fractional epoch not a strict subset"
+            )
+
+
+# ---------------------------------------------------------------------------
+# dq8 — l-diversity
+# ---------------------------------------------------------------------------
+
+
+def test_dq8_flag_consistency(spark):
+    """n_sensitive is bounded by the 3-value band domain and meets_l
+    is exactly (n_sensitive >= L_DIVERSE) in every class."""
+    from bc_proj3_spark.operators.quality import L_DIVERSE, dq8_l_diversity
+
+    rows = dq8_l_diversity(spark, SF_DIR).collect()
+    assert rows, "audit must be non-degenerate at sf0.01"
+    for r in rows:
+        assert 1 <= r.n_sensitive <= 3
+        assert r.meets_l == (r.n_sensitive >= L_DIVERSE)
+        assert r.n >= r.n_sensitive

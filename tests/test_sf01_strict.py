@@ -56,6 +56,7 @@ SF01_QUERIES = [
     "sp12_dsir_select",
     "s7_semantic_decontaminate",
     "t23_tokenizer_fertility",
+    "s8_hard_negatives",
 ]
 
 
