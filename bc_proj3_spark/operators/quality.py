@@ -1211,3 +1211,71 @@ def dq8_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(band).alias("n_sensitive"),
         (F.countDistinct(band) >= L_DIVERSE).alias("meets_l"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dp1 — differentially-private count release (binomial mechanism)
+# ---------------------------------------------------------------------------
+
+#: binomial-mechanism parameters: noise = bit_count(60-bit hash) - 30
+#: ~ Binomial(60, 1/2) - 30, variance 15 (sigma ~ 3.87). For counting
+#: queries (L2 sensitivity 1) that sigma gives (eps, delta)-DP with
+#: eps ~ sqrt(2 ln(1.25/delta))/sigma ~ 1.4 at delta = 1e-6 — the
+#: binomial mechanism of Dwork et al. 2006, the integer-exact
+#: approximation of Gaussian noise used when engines must agree
+#: bit-for-bit (no logs, no floats, no platform-dependent rounding).
+DP_COINS = 60
+DP_SHIFT = DP_COINS // 2
+
+
+_DP1_ORACLE = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*)
+            + bit_count(({sql_hash60(_sql_seeded('dp1',
+                'CAST(c_nationkey AS VARCHAR)', 'c_mktsegment'))}))
+            - {DP_SHIFT} AS BIGINT) AS noisy_n
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+@register("dp1_dp_counts", _DP1_ORACLE)
+def dp1_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of the dq5/dq8 quasi-identifier
+    class counts: every (nation x market segment) cell is published
+    with additive binomial noise instead of its true size — the
+    release step that lets the governance family's audit tables leave
+    the trust boundary. The noise draw is Binomial(60, 1/2) - 30 via
+    the popcount of the cell's 60-bit keyed hash: pure integer
+    arithmetic, so both engines produce the identical release (the
+    draw is seeded/content-addressed here for reproducibility and
+    verification; a production release swaps the public seed for a
+    secret per-release one, which changes no plan shape).
+
+    Scale shape: one combiner-absorbed groupBy on the QI key; the
+    noise is a map-side expression over the group keys, added after
+    aggregation — output bounded by the QI domain product at any
+    corpus size, and nothing about the mechanism touches row data."""
+    from bc_proj3_spark.functions.hashing import hash60
+    from bc_proj3_spark.operators.sampling import _seeded
+
+    cust = table(spark, sf_dir, "customer")
+    noise = (
+        F.bit_count(
+            hash60(
+                _seeded(
+                    "dp1",
+                    F.col("c_nationkey").cast("string"),
+                    F.col("c_mktsegment"),
+                )
+            )
+        )
+        - DP_SHIFT
+    )
+    return cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("n") + noise).cast("bigint").alias("noisy_n"),
+    )

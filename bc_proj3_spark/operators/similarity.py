@@ -864,3 +864,151 @@ def s8_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= HARD_NEG_K)
         .select("query_id", "vec_id", "label", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# s9 — ANN quality monitor: recall@k / MRR of s2's LSH vs exact KNN
+# ---------------------------------------------------------------------------
+
+_S9_ORACLE = f"""
+WITH {_SQL_BASE},
+ex_scored AS (
+  SELECT query_id, e.vec_id,
+         {_sql_dot('qv', 'v')} / (qn * nrm) AS cosine
+  FROM q, e
+  WHERE e.vec_id <> query_id
+),
+exact AS (
+  SELECT query_id, vec_id, rn FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM ex_scored
+  ) t WHERE rn <= {TOP_K}
+),
+cb AS MATERIALIZED ({_sql_bucket_union('e', 'vec_id')}),
+qb AS (SELECT vec_id AS query_id, t, bkt FROM cb WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id
+  FROM qb JOIN cb ON qb.t = cb.t AND qb.bkt = cb.bkt
+  WHERE cb.vec_id <> qb.query_id
+),
+ann_scored AS (
+  SELECT c.query_id, c.vec_id,
+         {_sql_dot('q.qv', 'e.v')} / (q.qn * e.nrm) AS cosine
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN e ON e.vec_id = c.vec_id
+),
+ann AS (
+  SELECT query_id, vec_id, rn AS ann_rn FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM ann_scored
+  ) t WHERE rn <= {TOP_K}
+),
+j AS (
+  SELECT x.query_id, x.rn, a.ann_rn
+  FROM exact x LEFT JOIN ann a
+    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+)
+SELECT query_id,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN ann_rn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(SUM(CASE WHEN ann_rn IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS recall_at_k,
+       MAX(CASE WHEN rn = 1
+                THEN COALESCE(CAST(1 AS DOUBLE) / ann_rn, CAST(0 AS DOUBLE))
+                ELSE CAST(0 AS DOUBLE) END) AS rr_top1
+FROM j GROUP BY query_id
+"""
+
+
+def _ranked(scored: DataFrame, rn_name: str, k: int = TOP_K) -> DataFrame:
+    """(query_id, vec_id, rn) top-k ranking — _top_k with the rank kept."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn(rn_name, F.row_number().over(w))
+        .filter(F.col(rn_name) <= k)
+        .select("query_id", "vec_id", rn_name)
+    )
+
+
+@register("s9_ann_recall", _S9_ORACLE)
+def s9_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality monitor: per query, recall@k of s2's LSH candidates
+    against s1's exact top-k ground truth, plus the reciprocal rank of
+    the TRUE nearest neighbor inside the ANN list (0 when missed) —
+    d11's sketch-calibration idea applied to the vector funnel. This is
+    the number that tells you whether the LSH table/bit geometry is
+    still adequate as the corpus grows: recall decay shows up here
+    before it silently degrades every downstream retrieval consumer.
+
+    Determinism: both rankings use the module's sequential-fold cosines
+    (bit-identical across engines) with vec_id tiebreaks; recall and
+    reciprocal rank are single IEEE divisions of exact small integers —
+    deliberately unrounded (no ROUND-tie seam; EXACT_DOUBLE_OK).
+
+    Scale shape: the ground-truth side is the brute-force scan you run
+    over a SAMPLED query set (queries × corpus, embarrassingly
+    parallel, the corpus never shuffles); the ANN side reuses s2's
+    (table, bucket) equi-join plan. The corpus projection is persisted
+    so both sides share one materialization; the two ranked lists are
+    (queries × k)-row intermediates, localCheckpointed so the final
+    join+aggregate never re-triggers either search. At production
+    scale this runs periodically over ~1e3 sampled queries — cost is
+    one brute-force pass by construction, and the monitor is the
+    cheap insurance on the whole ANN stack."""
+    corpus = _corpus(spark, sf_dir).persist()
+    q = _queries(corpus)
+    ex_scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    exact = _ranked(ex_scored, "rn").localCheckpoint(eager=True)
+
+    cb = _bucketed(corpus)
+    qb = cb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "t", "bkt"
+    )
+    cand = (
+        qb.join(cb, ["t", "bkt"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    ann_scored = (
+        cand.join(q, "query_id")
+        .join(corpus.select("vec_id", "v", "nrm"), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    ann = _ranked(ann_scored, "ann_rn").localCheckpoint(eager=True)
+
+    j = exact.join(ann, ["query_id", "vec_id"], "left")
+    hit = F.when(F.col("ann_rn").isNotNull(), 1).otherwise(0)
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(hit).cast("bigint").alias("n_hits"),
+        (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("recall_at_k"),
+        F.max(
+            F.when(
+                F.col("rn") == 1,
+                F.coalesce(
+                    F.lit(1.0) / F.col("ann_rn"), F.lit(0.0)
+                ),
+            ).otherwise(F.lit(0.0))
+        ).alias("rr_top1"),
+    )

@@ -1681,3 +1681,97 @@ def e19_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cusum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts5 — weekday-profile seasonal decomposition of daily event volume
+# ---------------------------------------------------------------------------
+
+#: day-of-week as (epoch_days % 7) — identical integer arithmetic in
+#: both engines (Spark dayofweek() is 1=Sun..7, DuckDB dayofweek() is
+#: 0=Sun..6: a dialect seam avoided entirely). 0 = Thursday.
+_TS5_DOW_SPARK = "pmod(datediff(to_date(ts), DATE '1970-01-01'), 7)"
+_TS5_DOW_SQL = (
+    "((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7) + 7) % 7"
+)
+
+_TS5_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         {_TS5_DOW_SQL} AS dow,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY event_type, CAST(ts AS DATE), {_TS5_DOW_SQL}
+),
+w AS (
+  SELECT event_type, day, dow, n_events,
+         SUM(n_events) OVER (PARTITION BY event_type) AS s,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(n_events) OVER (PARTITION BY event_type, dow) AS sd,
+         COUNT(*) OVER (PARTITION BY event_type, dow) AS nd
+  FROM daily
+)
+SELECT event_type, day, CAST(dow AS INT) AS dow,
+       CAST(n_events AS BIGINT) AS n_events,
+       ROUND(CAST(sd * n - s * nd AS DOUBLE) / (n * nd), 6) AS seasonal,
+       ROUND(CAST(n_events * nd - sd AS DOUBLE) / nd, 6) AS residual
+FROM w
+"""
+
+
+@register("ts5_seasonal_decompose", _TS5_ORACLE)
+def ts5_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-profile decomposition of daily event volume per type:
+    seasonal_d = mean(volume on weekday d) − overall mean, and
+    residual_t = volume_t − weekday mean — the classical additive
+    seasonal split that separates "Mondays are always slow" from "this
+    Monday was anomalous". e12/e19 flag WHEN something deviates; ts5
+    produces the seasonal baseline they deviate FROM (and the residual
+    is the right input to feed them: de-seasonalized, a weekly rhythm
+    no longer trips the detector every Saturday).
+
+    Exactness: both components are kept in integer arithmetic over the
+    common denominator (seasonal·n·n_d = S_d·n − S·n_d; residual·n_d =
+    x_t·n_d − S_d — exact BIGINTs in any engine), divided back and
+    ROUND-wrapped only at the output (e19's protocol). Day-of-week is
+    epoch-days mod 7 on both engines (no dialect seam).
+
+    Scale shape: one scan → one (type, day) aggregate, map-side
+    combinable, output days × types sized; then two window exchanges
+    over that tiny table (whole-partition totals by type and by
+    (type, dow) need different hash keys — both are bounded by the
+    date-span × type domain, never by corpus rows)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr(_TS5_DOW_SPARK).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w_t = Window.partitionBy("event_type")
+    w_td = Window.partitionBy("event_type", "dow")
+    w = daily.select(
+        "event_type",
+        "day",
+        "dow",
+        "n_events",
+        F.sum("n_events").over(w_t).alias("s"),
+        F.count(F.lit(1)).over(w_t).alias("n"),
+        F.sum("n_events").over(w_td).alias("sd"),
+        F.count(F.lit(1)).over(w_td).alias("nd"),
+    )
+    return w.select(
+        "event_type",
+        "day",
+        F.col("dow").cast("int").alias("dow"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(
+            (F.col("sd") * F.col("n") - F.col("s") * F.col("nd")).cast("double")
+            / (F.col("n") * F.col("nd")),
+            6,
+        ).alias("seasonal"),
+        F.round(
+            (F.col("n_events") * F.col("nd") - F.col("sd")).cast("double")
+            / F.col("nd"),
+            6,
+        ).alias("residual"),
+    )

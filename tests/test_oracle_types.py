@@ -64,6 +64,10 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     # seam entirely (t5's chars_per_token precedent)
     ("t23_tokenizer_fertility", "fertility"),
     ("t23_tokenizer_fertility", "chars_per_bpe"),
+    # integer-sum ratio (hits/k) and 1/rank reciprocal: single IEEE
+    # divisions of exact small integers, identical on both engines
+    ("s9_ann_recall", "recall_at_k"),
+    ("s9_ann_recall", "rr_top1"),
 }
 
 #: Accumulation forms that are exact without ROUND:

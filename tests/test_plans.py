@@ -62,6 +62,7 @@ _BNLJ_OK = {
     "s7_semantic_decontaminate",  # inherits s1's broadcast-bench cross
     "s8_hard_negatives",  # inherits s1's broadcast-anchor cross
     "sp13_mix_rebalance",  # 1-row capacity-minimum cross into the budget table
+    "s9_ann_recall",  # inherits s1's broadcast-query cross (ground truth side)
 }
 
 #: streaming queries — their builders execute a full streaming job;
