@@ -177,3 +177,97 @@ def test_dq8_flag_consistency(spark):
         assert 1 <= r.n_sensitive <= 3
         assert r.meets_l == (r.n_sensitive >= L_DIVERSE)
         assert r.n >= r.n_sensitive
+
+
+# ---------------------------------------------------------------------------
+# s9 — ANN recall monitor
+# ---------------------------------------------------------------------------
+
+
+def test_s9_metric_bounds(spark):
+    """One row per query vector; n_hits <= n_exact <= TOP_K; recall is
+    exactly n_hits/n_exact; reciprocal rank lives in [0, 1]; and the
+    funnel isn't degenerate (LSH recovers at least one true neighbor
+    somewhere, else the monitor itself is broken)."""
+    from bc_proj3_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        s9_ann_recall,
+    )
+
+    rows = s9_ann_recall(spark, SF_DIR).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_exact <= TOP_K
+        assert abs(r.recall_at_k - r.n_hits / r.n_exact) == 0.0
+        assert 0.0 <= r.rr_top1 <= 1.0
+    assert sum(r.n_hits for r in rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# dp1 — differentially-private counts
+# ---------------------------------------------------------------------------
+
+
+def test_dp1_noise_bounded_and_deterministic(spark):
+    """Binomial(60, 1/2) - 30 noise is bounded by +/-DP_SHIFT around the
+    true class count, is not identically zero across the release (the
+    mechanism actually perturbs), and the seeded draw is reproducible
+    run-to-run."""
+    from bc_proj3_spark.operators.quality import DP_SHIFT, dp1_dp_counts
+
+    truth = {
+        (r.c_nationkey, r.c_mktsegment): r.n
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = dp1_dp_counts(spark, SF_DIR).collect()
+    assert len(rows) == len(truth)
+    noises = []
+    for r in rows:
+        noise = r.noisy_n - truth[(r.c_nationkey, r.c_mktsegment)]
+        assert abs(noise) <= DP_SHIFT
+        noises.append(noise)
+    assert any(n != 0 for n in noises), "release must actually perturb"
+    again = {
+        (r.c_nationkey, r.c_mktsegment): r.noisy_n
+        for r in dp1_dp_counts(spark, SF_DIR).collect()
+    }
+    assert again == {
+        (r.c_nationkey, r.c_mktsegment): r.noisy_n for r in rows
+    }
+
+
+# ---------------------------------------------------------------------------
+# ts5 — seasonal decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_ts5_components_reconstruct_volume(spark):
+    """Additive identity: overall mean + seasonal + residual must equal
+    the day's observed volume (within the 1e-6 output rounding), and
+    the nd-weighted seasonal profile sums to ~0 per event type — the
+    defining constraints of the decomposition."""
+    from collections import defaultdict
+
+    from bc_proj3_spark.plans.events import ts5_seasonal_decompose
+
+    rows = ts5_seasonal_decompose(spark, SF_DIR).collect()
+    assert rows
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    for et, rs in by_type.items():
+        mean = sum(r.n_events for r in rs) / len(rs)
+        for r in rs:
+            assert abs(mean + r.seasonal + r.residual - r.n_events) < 1e-4
+        # nd-weighted seasonal sum: group days by dow, weight = group size
+        dow_groups = defaultdict(int)
+        seasonal_of = {}
+        for r in rs:
+            dow_groups[r.dow] += 1
+            seasonal_of[r.dow] = r.seasonal
+        wsum = sum(seasonal_of[d] * nd for d, nd in dow_groups.items())
+        assert abs(wsum) < 1e-2
