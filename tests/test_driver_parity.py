@@ -147,6 +147,9 @@ STRICT_VALUE_QUERIES = [
     "s8_hard_negatives",
     "sp14_epoch_upsample",
     "dq8_l_diversity",
+    "s9_ann_recall",
+    "dp1_dp_counts",
+    "ts5_seasonal_decompose",
 ]
 
 

@@ -57,6 +57,8 @@ SF01_QUERIES = [
     "s7_semantic_decontaminate",
     "t23_tokenizer_fertility",
     "s8_hard_negatives",
+    "s9_ann_recall",  # double-heavy cosine rankings on both funnel sides
+    "ts5_seasonal_decompose",  # ROUND of derived integer-ratio doubles
 ]
 
 
