@@ -801,3 +801,125 @@ def cc5_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g3 — degree assortativity of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_G3_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+directed AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL
+  SELECT v, u FROM edges
+),
+deg AS (
+  SELECT src AS node, COUNT(*) AS d FROM directed GROUP BY src
+),
+stamped AS (
+  SELECT CAST(ds.d AS HUGEINT) AS x, CAST(dd.d AS HUGEINT) AS y
+  FROM directed e
+  JOIN deg ds ON ds.node = e.src
+  JOIN deg dd ON dd.node = e.dst
+),
+s AS (
+  SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM stamped
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST(m * sxy - sx * sx AS DOUBLE)
+         / CAST(m * sxx - sx * sx AS DOUBLE) AS assortativity
+FROM s
+"""
+
+
+@register("g3_degree_assortativity", _G3_ORACLE)
+def g3_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase part graph (mb1's edge
+    contract): the Pearson correlation of endpoint degrees across
+    edges — positive means hubs link to hubs (a core/periphery corpus
+    graph dedups and samples very differently from a disassortative
+    one), and the sign is the first thing to check before trusting
+    sampled-subgraph statistics at scale. Newman's formula, applied
+    over the symmetrized directed edge list, where Sum(x) = Sum(y) and
+    Sum(x^2) = Sum(y^2), so r collapses to
+    (M*Sxy - Sx^2) / (M*Sxx - Sx^2) — NO square root: the whole
+    statistic is exact integer algebra with ONE final IEEE division
+    (EXACT_DOUBLE_OK; both engines convert the identical exact
+    integers). Intermediates ride DECIMAL(38,0) / HUGEINT so the
+    moment products cannot overflow 64 bits.
+
+    Scale shape: the basket self-join is bounded by the data contract
+    (<= 7 lines per order, see mb1); degrees come from one groupBy on
+    the directed list; stamping degrees onto edges is two shuffle
+    joins on node id (degree table is node-sized — never broadcast
+    unmeasured, but these joins are plain hash equi-joins); the five
+    moments collapse in one combiner-absorbed aggregate to a single
+    row. The two 1-row count frames are crossJoined in (BNLJ-gated
+    pattern, tc1 precedent)."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    directed = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    deg = directed.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    stamped = (
+        directed.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("d", "x")
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("d").alias("y")),
+            "dst",
+        )
+        .select(
+            F.col("x").cast("decimal(38,0)").alias("x"),
+            F.col("y").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    s = stamped.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(s)
+        .select(
+            "n_nodes",
+            "n_edges",
+            (
+                (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+            ).alias("assortativity"),
+        )
+    )

@@ -1356,3 +1356,93 @@ def t23_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("double") / F.sum("n_bpe").cast("bigint")
         ).alias("chars_per_bpe"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lab3 — inter-annotator agreement (Cohen's kappa) between labeling functions
+# ---------------------------------------------------------------------------
+
+_LAB3_ORACLE = """
+WITH votes AS (
+  SELECT lang,
+         CASE WHEN text LIKE '%spark%' THEN 1
+              WHEN text LIKE '%slow%' THEN 0 ELSE -1 END AS a,
+         CASE WHEN n_chars >= 400 THEN 1
+              WHEN n_chars < 150 THEN 0 ELSE -1 END AS b
+  FROM documents
+),
+both_vote AS (
+  SELECT lang, a, b FROM votes WHERE a <> -1 AND b <> -1
+),
+cells AS (
+  SELECT lang,
+         COUNT(*) AS n,
+         SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
+         SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS a1,
+         SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS b1
+  FROM both_vote GROUP BY lang
+)
+SELECT lang,
+       CAST(n AS BIGINT) AS n_both,
+       CAST(agree AS BIGINT) AS n_agree,
+       CAST(agree AS DOUBLE) / n AS po,
+       CAST(n * agree - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE)
+         / CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE) AS kappa
+FROM cells
+"""
+
+
+@register("lab3_annotator_agreement", _LAB3_ORACLE)
+def lab3_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement between two of lab1's labeling
+    functions (keyword vs length), per language, on the documents where
+    BOTH vote: observed agreement po and chance-corrected Cohen's
+    kappa. This is the diagnostic lab2's coverage/conflict counts can't
+    give — conflict says the functions disagree, kappa says whether
+    their agreement is better than the marginals alone would produce
+    (kappa ~ 0 means the "agreement" is coincidence and one function is
+    adding no information; a per-language breakdown catches rules that
+    only work in English).
+
+    Exactness: the 2x2 contingency cells are exact integer sums; kappa
+    is computed on the common denominator — kappa = (N*agree - pe_num)
+    / (N^2 - pe_num) with pe_num = a1*b1 + a0*b0 — so both engines
+    divide the identical exact BIGINTs once (EXACT_DOUBLE_OK; no
+    ROUND-tie seam).
+
+    Scale shape: label votes are scan-side CASE expressions (lab1's
+    plan); one combiner-absorbed groupBy on lang — a single exchange
+    bounded by the language domain at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    a = (
+        F.when(F.col("text").contains("spark"), 1)
+        .when(F.col("text").contains("slow"), 0)
+        .otherwise(-1)
+    )
+    b = (
+        F.when(F.col("n_chars") >= 400, 1)
+        .when(F.col("n_chars") < 150, 0)
+        .otherwise(-1)
+    )
+    votes = docs.select("lang", a.alias("a"), b.alias("b")).filter(
+        (F.col("a") != -1) & (F.col("b") != -1)
+    )
+    cells = votes.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias("agree"),
+        F.sum(F.when(F.col("a") == 1, 1).otherwise(0)).alias("a1"),
+        F.sum(F.when(F.col("b") == 1, 1).otherwise(0)).alias("b1"),
+    )
+    pe_num = F.col("a1") * F.col("b1") + (F.col("n") - F.col("a1")) * (
+        F.col("n") - F.col("b1")
+    )
+    return cells.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_both"),
+        F.col("agree").cast("bigint").alias("n_agree"),
+        (F.col("agree").cast("double") / F.col("n")).alias("po"),
+        (
+            (F.col("n") * F.col("agree") - pe_num).cast("double")
+            / (F.col("n") * F.col("n") - pe_num).cast("double")
+        ).alias("kappa"),
+    )

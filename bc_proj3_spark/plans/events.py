@@ -1775,3 +1775,130 @@ def ts5_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts6 — autocorrelation function of daily event volume
+# ---------------------------------------------------------------------------
+
+#: ACF lags evaluated (1..MAX_ACF_LAG days on the observed daily series)
+MAX_ACF_LAG = 7
+
+_TS6_LEADS_SQL = ",\n         ".join(
+    f"LEAD(n_events, {lag}) OVER w AS x{lag}" for lag in range(1, MAX_ACF_LAG + 1)
+)
+_TS6_STACK_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT event_type, n, s, n_events AS x, {lag} AS lag, x{lag} AS xl"
+    f" FROM leads"
+    for lag in range(1, MAX_ACF_LAG + 1)
+)
+
+_TS6_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+st AS (
+  SELECT event_type, day, n_events,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(n_events) OVER (PARTITION BY event_type) AS s
+  FROM daily
+),
+leads AS (
+  SELECT event_type, n, s, n_events,
+         {_TS6_LEADS_SQL}
+  FROM st WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+stack AS (
+{_TS6_STACK_SQL}
+),
+agg AS (
+  SELECT event_type, lag,
+         SUM(CASE WHEN xl IS NOT NULL THEN 1 ELSE 0 END) AS n_pairs,
+         SUM(CASE WHEN xl IS NOT NULL
+                  THEN CAST(n * x - s AS HUGEINT) * (n * xl - s)
+                  ELSE CAST(0 AS HUGEINT) END) AS num,
+         SUM(CAST(n * x - s AS HUGEINT) * (n * x - s)) AS den
+  FROM stack GROUP BY event_type, lag
+)
+SELECT event_type, CAST(lag AS INT) AS lag,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+FROM agg
+"""
+
+
+@register("ts6_autocorrelation", _TS6_ORACLE)
+def ts6_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the observed daily event-volume series per
+    type at lags 1..7: THE diagnostic behind ts5 — a spike at lag 7
+    confirms the weekly rhythm ts5 models; a fat lag-1 says volume is
+    trending and e12's rolling window needs widening. Computed on the
+    observed-day series (the lag is "next observed day", matching how
+    ts2/e12 consume the series; gap-filling first is ts1's job).
+
+    Exactness: the centered products are kept on the n^2-scaled
+    integer lattice — (n*x_t - S) * (n*x_{{t+l}} - S) is an exact
+    integer for every pair, accumulated in DECIMAL(38,0) / HUGEINT so
+    nothing overflows or rounds; acf is ONE IEEE division of the two
+    exact moments, identical on both engines (EXACT_DOUBLE_OK — no
+    ROUND-tie seam). The denominator is the full-series sum of squares
+    (the classical ACF normalization), constant across lags.
+
+    Scale shape: one corpus scan -> (type, day) combiner-absorbed
+    aggregate (output = date-span x type domain); per-type totals and
+    the 7 leads are window functions over that tiny table (two
+    exchanges on the type key); the lag stack is built MAP-SIDE with
+    array+posexplode — one plan branch, not 7 re-reads (the sp11
+    lesson); the final groupBy is over (type, lag) <= 7*|types| rows."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w_t = Window.partitionBy("event_type")
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    leads = daily.select(
+        "event_type",
+        F.count(F.lit(1)).over(w_t).alias("n"),
+        F.sum("n_events").over(w_t).alias("s"),
+        F.col("n_events").alias("x"),
+        *[
+            F.lead("n_events", lag).over(w_ord).alias(f"x{lag}")
+            for lag in range(1, MAX_ACF_LAG + 1)
+        ],
+    )
+    stack = leads.select(
+        "event_type",
+        "n",
+        "s",
+        "x",
+        F.posexplode(
+            F.array(*[F.col(f"x{lag}") for lag in range(1, MAX_ACF_LAG + 1)])
+        ).alias("lag0", "xl"),
+    ).select(
+        "event_type",
+        "n",
+        "s",
+        "x",
+        (F.col("lag0") + 1).alias("lag"),
+        "xl",
+    )
+    cx = (F.col("n") * F.col("x") - F.col("s")).cast("decimal(38,0)")
+    cxl = (F.col("n") * F.col("xl") - F.col("s")).cast("decimal(38,0)")
+    agg = stack.groupBy("event_type", "lag").agg(
+        F.sum(F.when(F.col("xl").isNotNull(), 1).otherwise(0)).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("xl").isNotNull(), cx * cxl).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("num"),
+        F.sum(cx * cx).alias("den"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+            "acf"
+        ),
+    )

@@ -150,6 +150,9 @@ STRICT_VALUE_QUERIES = [
     "s9_ann_recall",
     "dp1_dp_counts",
     "ts5_seasonal_decompose",
+    "lab3_annotator_agreement",
+    "g3_degree_assortativity",
+    "ts6_autocorrelation",
 ]
 
 

@@ -68,6 +68,15 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     # divisions of exact small integers, identical on both engines
     ("s9_ann_recall", "recall_at_k"),
     ("s9_ann_recall", "rr_top1"),
+    # contingency-cell ratios on common denominators: exact BIGINT
+    # numerator/denominator, one IEEE division
+    ("lab3_annotator_agreement", "po"),
+    ("lab3_annotator_agreement", "kappa"),
+    # Newman assortativity without the sqrt (symmetrized form): exact
+    # DECIMAL/HUGEINT moments, one IEEE division
+    ("g3_degree_assortativity", "assortativity"),
+    # n^2-scaled integer ACF moments, one IEEE division
+    ("ts6_autocorrelation", "acf"),
 }
 
 #: Accumulation forms that are exact without ROUND:

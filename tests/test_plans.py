@@ -63,6 +63,7 @@ _BNLJ_OK = {
     "s8_hard_negatives",  # inherits s1's broadcast-anchor cross
     "sp13_mix_rebalance",  # 1-row capacity-minimum cross into the budget table
     "s9_ann_recall",  # inherits s1's broadcast-query cross (ground truth side)
+    "g3_degree_assortativity",  # three 1-row moment/count frames crossed
 }
 
 #: streaming queries — their builders execute a full streaming job;

@@ -271,3 +271,66 @@ def test_ts5_components_reconstruct_volume(spark):
             seasonal_of[r.dow] = r.seasonal
         wsum = sum(seasonal_of[d] * nd for d, nd in dow_groups.items())
         assert abs(wsum) < 1e-2
+
+
+# ---------------------------------------------------------------------------
+# lab3 — Cohen's kappa
+# ---------------------------------------------------------------------------
+
+
+def test_lab3_kappa_bounds_and_identity(spark):
+    """po in [0,1]; kappa <= 1 always; kappa reconstructs from the
+    integer cells (the common-denominator identity); agreement counts
+    are consistent."""
+    from bc_proj3_spark.operators.textstats import lab3_annotator_agreement
+
+    rows = lab3_annotator_agreement(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_agree <= r.n_both
+        assert 0.0 <= r.po <= 1.0
+        assert r.kappa <= 1.0
+        assert abs(r.po - r.n_agree / r.n_both) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# g3 — degree assortativity
+# ---------------------------------------------------------------------------
+
+
+def test_g3_single_row_pearson_bounds(spark):
+    """One row; assortativity is a Pearson correlation so it lives in
+    [-1, 1]; the graph is non-degenerate at sf0.01."""
+    from bc_proj3_spark.operators.graph import g3_degree_assortativity
+
+    rows = g3_degree_assortativity(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_nodes > 0 and r.n_edges > 0
+    assert -1.0 <= r.assortativity <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# ts6 — autocorrelation
+# ---------------------------------------------------------------------------
+
+
+def test_ts6_lag_structure_and_bounds(spark):
+    """Exactly MAX_ACF_LAG rows per event type; n_pairs = n_days - lag
+    (clamped at 0); |acf| <= 1 by Cauchy-Schwarz (partial-pair
+    numerator over the full-series denominator)."""
+    from collections import defaultdict
+
+    from bc_proj3_spark.plans.events import MAX_ACF_LAG, ts6_autocorrelation
+
+    rows = ts6_autocorrelation(spark, SF_DIR).collect()
+    assert rows
+    by_type = defaultdict(dict)
+    for r in rows:
+        by_type[r.event_type][r.lag] = r
+    for et, lags in by_type.items():
+        assert sorted(lags) == list(range(1, MAX_ACF_LAG + 1))
+        n_days = lags[1].n_pairs + 1
+        for lag, r in lags.items():
+            assert r.n_pairs == max(n_days - lag, 0)
+            assert abs(r.acf) <= 1.0

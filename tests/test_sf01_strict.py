@@ -59,6 +59,8 @@ SF01_QUERIES = [
     "s8_hard_negatives",
     "s9_ann_recall",  # double-heavy cosine rankings on both funnel sides
     "ts5_seasonal_decompose",  # ROUND of derived integer-ratio doubles
+    "g3_degree_assortativity",  # >2^53 exact-int moment conversions to double
+    "ts6_autocorrelation",  # >2^53 exact-int moment conversions to double
 ]
 
 
