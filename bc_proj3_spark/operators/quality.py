@@ -1279,3 +1279,114 @@ def dp1_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         (F.col("n") + noise).cast("bigint").alias("noisy_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq9 — t-closeness audit (ordered-EMD companion to dq5/dq8)
+# ---------------------------------------------------------------------------
+
+#: t-closeness threshold: a QI class passes when the earth-mover's
+#: distance between its sensitive-band distribution and the global one
+#: is at most T_CLOSE = T_CLOSE_NUM / T_CLOSE_DEN (0.2, the value used
+#: throughout the t-closeness literature for 3-way ordinal attributes).
+T_CLOSE_NUM = 1
+T_CLOSE_DEN = 5
+
+_DQ9_ORACLE = f"""
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS n_c,
+         SUM(CASE WHEN c_acctbal < {_BAL_LOW} THEN 1 ELSE 0 END) AS cd,
+         SUM(CASE WHEN c_acctbal >= {_BAL_LOW}
+                   AND c_acctbal < {_BAL_HIGH} THEN 1 ELSE 0 END) AS cl
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+),
+g AS (
+  SELECT CAST(SUM(n_c) AS HUGEINT) AS n,
+         CAST(SUM(cd) AS HUGEINT) AS gd,
+         CAST(SUM(cl) AS HUGEINT) AS gl
+  FROM cls
+),
+e AS (
+  SELECT c_nationkey, c_mktsegment, n_c, n,
+         ABS(n * cd - n_c * gd)
+           + ABS(n * (cd + cl) - n_c * (gd + gl)) AS emd_num
+  FROM cls, g
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(n_c AS BIGINT) AS n,
+       CAST(emd_num AS DOUBLE) / CAST(2 * n_c * n AS DOUBLE) AS emd,
+       emd_num * {T_CLOSE_DEN} <= 2 * n_c * n * {T_CLOSE_NUM} AS meets_t
+FROM e
+"""
+
+
+@register("dq9_t_closeness", _DQ9_ORACLE)
+def dq9_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit completing the dq5 → dq8 privacy ladder:
+    l-diversity counts distinct sensitive bands per quasi-identifier
+    class but is satisfied by a 98/1/1 split that still leaks the
+    dominant value (the skewness attack). t-closeness instead bounds
+    the earth-mover's distance between each class's band DISTRIBUTION
+    and the global one. The balance bands are ORDERED (debt < low <
+    high), so the 1-D EMD under Li et al.'s (ICDE 2007) ordinal ground
+    distance — adjacent bands 1/(m-1) apart, m = 3 — is the sum of
+    absolute cumulative-share gaps at the two interior cut points,
+    divided by m-1; it lives in [0, 1] and the 0.2 threshold is the
+    paper's working value.
+
+    Exactness: both cumulative gaps ride the (n_c * n)-scaled integer
+    lattice — emd_num = |n*cumC - n_c*cumG| summed over the cuts is an
+    exact DECIMAL(38,0)/HUGEINT integer, emd is ONE IEEE division by
+    the exact 2*n_c*n (EXACT_DOUBLE_OK), and the meets-t flag is the
+    all-integer comparison emd_num*5 <= 2*n_c*n — no float ever enters
+    a decision.
+
+    Scale shape: one combiner-absorbed groupBy collapses the corpus to
+    the QI-domain class table (nation x segment) with the band tallies
+    as conditional sums — the band dimension never shuffles; the class
+    table is localCheckpointed (it feeds both the global 1-row total
+    and the output — one FileScan); the global total crossJoins back
+    in (1-row broadcast, BNLJ-gated)."""
+    cust = table(spark, sf_dir, "customer")
+    cls = (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_c"),
+            F.sum(
+                (F.col("c_acctbal") < _BAL_LOW).cast("long")
+            ).alias("cd"),
+            F.sum(
+                (
+                    (F.col("c_acctbal") >= _BAL_LOW)
+                    & (F.col("c_acctbal") < _BAL_HIGH)
+                ).cast("long")
+            ).alias("cl"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    g = cls.agg(
+        F.sum("n_c").cast("decimal(38,0)").alias("n"),
+        F.sum("cd").cast("decimal(38,0)").alias("gd"),
+        F.sum("cl").cast("decimal(38,0)").alias("gl"),
+    )
+    emd_num = F.abs(
+        F.col("n") * F.col("cd") - F.col("n_c") * F.col("gd")
+    ) + F.abs(
+        F.col("n") * (F.col("cd") + F.col("cl"))
+        - F.col("n_c") * (F.col("gd") + F.col("gl"))
+    )
+    return cls.crossJoin(F.broadcast(g)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n_c").cast("bigint").alias("n"),
+        (
+            emd_num.cast("double")
+            / (F.lit(2) * F.col("n_c") * F.col("n")).cast("double")
+        ).alias("emd"),
+        (
+            emd_num * T_CLOSE_DEN
+            <= F.lit(2) * F.col("n_c") * F.col("n") * T_CLOSE_NUM
+        ).alias("meets_t"),
+    )

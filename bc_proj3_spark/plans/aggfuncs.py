@@ -968,3 +968,136 @@ def a15_distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 9).alias("skewness"),
         F.round(kurt, 9).alias("excess_kurtosis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat3 — two-sample Kolmogorov–Smirnov distance
+# ---------------------------------------------------------------------------
+
+#: the two customer segments whose balance distributions stat3 compares
+KS_SEG_A = "BUILDING"
+KS_SEG_B = "AUTOMOBILE"
+
+#: value-bucket width (cents >> 16): the two-level prefix sum runs one
+#: tiny bucket-offset window plus per-bucket windows — never one global
+#: single-partition cumulative window over the whole value domain.
+KS_BUCKET_SHIFT = 16
+
+_STAT3_ORACLE = f"""
+WITH pts AS (
+  SELECT CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS v,
+         CASE WHEN c_mktsegment = '{KS_SEG_A}' THEN 1 ELSE 0 END AS a,
+         CASE WHEN c_mktsegment = '{KS_SEG_B}' THEN 1 ELSE 0 END AS b
+  FROM customer
+  WHERE c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+),
+per_v AS (
+  SELECT v, SUM(a) AS ca, SUM(b) AS cb FROM pts GROUP BY v
+),
+cum AS (
+  SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+         SUM(cb) OVER (ORDER BY v) AS cum_b
+  FROM per_v
+),
+n AS (
+  SELECT CAST(SUM(ca) AS HUGEINT) AS na, CAST(SUM(cb) AS HUGEINT) AS nb
+  FROM per_v
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(MAX(ABS(nb * cum_a - na * cum_b)) AS BIGINT) AS d_scaled,
+       CAST(MAX(ABS(nb * cum_a - na * cum_b)) AS DOUBLE)
+         / CAST(na * nb AS DOUBLE) AS d
+FROM cum, n
+GROUP BY na, nb
+"""
+
+
+@register("stat3_ks_test", _STAT3_ORACLE)
+def stat3_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the account-
+    balance distributions of two customer segments: the whole-shape
+    companion to stat2's mean test (a t-test is blind to equal-mean /
+    different-shape drift, exactly what a training-data mixture shift
+    looks like). D = sup_x |F_A(x) - F_B(x)|, evaluated at every
+    observed distinct value.
+
+    Exactness: balances are exact integer CENTS (stat2's convention);
+    the ECDF gap is kept on the n_a*n_b-scaled integer lattice —
+    d_scaled = max |n_b*cumA(v) - n_a*cumB(v)| is an exact integer
+    (DECIMAL(38,0)/HUGEINT products, safe past 2^63 at any corpus
+    size), and d is ONE IEEE division of two exact integers
+    (EXACT_DOUBLE_OK).
+
+    Scale shape: one segment-filtered scan collapses to the
+    distinct-value table (combiner-absorbed; bounded by the cents
+    domain, ~1.1M rows at ANY corpus size) which is localCheckpointed
+    (it feeds the totals, the bucket offsets, and the cumulative pass —
+    one FileScan, repo discipline). The running ECDF uses a TWO-LEVEL
+    prefix sum: per-bucket totals (cents >> 16, <= ~17 buckets) get a
+    tiny exclusive running-total window, broadcast back as offsets;
+    the per-value cumulative window is PARTITIONED BY bucket — no
+    global single-partition window anywhere. The 1-row totals frame
+    crossJoins in (BNLJ-gated, tc1 precedent) and one max-aggregate
+    collapses to the single output row."""
+    from pyspark.sql.window import Window
+
+    cust = table(spark, sf_dir, "customer")
+    pts = cust.filter(
+        F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B)
+    ).select(
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("v"),
+        (F.col("c_mktsegment") == KS_SEG_A).cast("long").alias("a"),
+        (F.col("c_mktsegment") == KS_SEG_B).cast("long").alias("b"),
+    )
+    per_v = (
+        pts.groupBy("v")
+        .agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+        .withColumn("bkt", F.shiftright("v", KS_BUCKET_SHIFT))
+        .localCheckpoint(eager=True)
+    )
+    n1 = per_v.agg(
+        F.sum("ca").cast("decimal(38,0)").alias("na"),
+        F.sum("cb").cast("decimal(38,0)").alias("nb"),
+    )
+    w_bkt = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        per_v.groupBy("bkt")
+        .agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("ta").over(w_bkt), F.lit(0)).alias("off_a"),
+            F.coalesce(F.sum("tb").over(w_bkt), F.lit(0)).alias("off_b"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_v.join(F.broadcast(offsets), "bkt").select(
+        (F.col("off_a") + F.sum("ca").over(w_in))
+        .cast("decimal(38,0)")
+        .alias("cum_a"),
+        (F.col("off_b") + F.sum("cb").over(w_in))
+        .cast("decimal(38,0)")
+        .alias("cum_b"),
+    )
+    diff = F.abs(
+        F.col("nb") * F.col("cum_a") - F.col("na") * F.col("cum_b")
+    )
+    return (
+        cum.crossJoin(F.broadcast(n1))
+        .agg(
+            F.max(F.col("na")).cast("bigint").alias("n_a"),
+            F.max(F.col("nb")).cast("bigint").alias("n_b"),
+            F.max(diff).cast("bigint").alias("d_scaled"),
+            (
+                F.max(diff).cast("double")
+                / F.max(F.col("na") * F.col("nb")).cast("double")
+            ).alias("d"),
+        )
+    )

@@ -1902,3 +1902,169 @@ def ts6_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acf"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts7 — OLS trend of daily event volume
+# ---------------------------------------------------------------------------
+
+_TS7_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+x AS (
+  SELECT event_type,
+         CAST(day - MIN(day) OVER (PARTITION BY event_type) AS HUGEINT) AS xi,
+         CAST(n_events AS HUGEINT) AS yi
+  FROM daily
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(xi) AS sx, SUM(yi) AS sy,
+         SUM(xi * xi) AS sxx, SUM(xi * yi) AS sxy, SUM(yi * yi) AS syy
+  FROM x GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_per_day,
+       CAST(sy * sxx - sx * sxy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept,
+       CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+         / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE) AS r2
+FROM m
+"""
+
+
+@register("ts7_trend_slope", _TS7_ORACLE)
+def ts7_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares trend of the observed daily event-volume
+    series per type: slope (events/day), intercept (fitted volume at
+    the series start), and r-squared. The companion ts6's lag-1 ACF
+    can't distinguish "trending" from "sticky" — the fitted slope (and
+    how much of the variance it explains) is the number a capacity
+    planner or drift monitor actually wants before extrapolating
+    ingest volume.
+
+    Exactness: x is the day offset from the per-type series start
+    (small integers), y the daily count; all five OLS moments are
+    exact DECIMAL(38,0)/HUGEINT sums, and slope/intercept/r2 are each
+    ONE IEEE division of two exactly-computed integers — identical on
+    both engines (EXACT_DOUBLE_OK; the r2 numerator/denominator are
+    products of exact integers, still well inside 38 digits since the
+    centered moments are bounded by (day span)^2 x volume^2).
+
+    Scale shape: one corpus scan collapses to the (type, day)
+    aggregate (combiner-absorbed; output = date span x type domain);
+    the series-start MIN is one window over that tiny table; the five
+    moments collapse in a second combiner-absorbed groupBy bounded by
+    the type domain. Corpus size only affects the first aggregate's
+    map side."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w_t = Window.partitionBy("event_type")
+    x = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.min("day").over(w_t))
+        .cast("decimal(38,0)")
+        .alias("xi"),
+        F.col("n_events").cast("decimal(38,0)").alias("yi"),
+    )
+    m = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+        F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
+        F.sum(F.col("yi") * F.col("yi")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        (num.cast("double") / den.cast("double")).alias("slope_per_day"),
+        (
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+                "double"
+            )
+            / den.cast("double")
+        ).alias("intercept"),
+        ((num * num).cast("double") / (den * deny).cast("double")).alias(
+            "r2"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts8 — burstiness (Fano factor) of daily event volume
+# ---------------------------------------------------------------------------
+
+_TS8_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(n_events AS HUGEINT)) AS s,
+         SUM(CAST(n_events AS HUGEINT) * n_events) AS sxx
+  FROM daily GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(s AS BIGINT) AS n_events,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_daily,
+       CAST(n * sxx - s * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS fano
+FROM m
+"""
+
+
+@register("ts8_dispersion", _TS8_ORACLE)
+def ts8_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (Fano factor, population variance / mean) of
+    the daily event-volume series per type: the one-number burstiness
+    diagnostic — a Poisson arrival process sits at 1.0, a bursty /
+    campaign-driven stream far above it, a rate-limited one below. It
+    decides whether e12's z-score window or e19's CUSUM threshold can
+    assume near-Poisson noise, and which event families need
+    per-day (not per-second) capacity headroom.
+
+    Exactness: fano = (n*Sxx - S^2) / (n*S) on exact DECIMAL(38,0) /
+    HUGEINT moments — population variance over the mean collapses to
+    ONE IEEE division of two exact integers (EXACT_DOUBLE_OK), and the
+    mean is one exact-integer division alongside.
+
+    Scale shape: identical to ts6/ts7 — one combiner-absorbed corpus
+    aggregate to the (type, day) table, then one type-bounded moment
+    aggregate; no windows at all."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    y = F.col("n_events").cast("decimal(38,0)")
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(y).alias("s"),
+        F.sum(y * y).alias("sxx"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("s").cast("bigint").alias("n_events"),
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "mean_daily"
+        ),
+        (
+            (F.col("n") * F.col("sxx") - F.col("s") * F.col("s")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("s")).cast("double")
+        ).alias("fano"),
+    )

@@ -153,6 +153,10 @@ STRICT_VALUE_QUERIES = [
     "lab3_annotator_agreement",
     "g3_degree_assortativity",
     "ts6_autocorrelation",
+    "ts7_trend_slope",
+    "ts8_dispersion",
+    "stat3_ks_test",
+    "dq9_t_closeness",
 ]
 
 

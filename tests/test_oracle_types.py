@@ -77,6 +77,18 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     ("g3_degree_assortativity", "assortativity"),
     # n^2-scaled integer ACF moments, one IEEE division
     ("ts6_autocorrelation", "acf"),
+    # OLS moments on the day-offset integer lattice: each statistic is
+    # one IEEE division of exactly-computed integer moment products
+    ("ts7_trend_slope", "slope_per_day"),
+    ("ts7_trend_slope", "intercept"),
+    ("ts7_trend_slope", "r2"),
+    # exact integer daily-count moments, one IEEE division each
+    ("ts8_dispersion", "mean_daily"),
+    ("ts8_dispersion", "fano"),
+    # KS distance: exact n_a*n_b-scaled integer ECDF gap, one division
+    ("stat3_ks_test", "d"),
+    # ordinal EMD on the 2*n_c*n-scaled integer lattice, one division
+    ("dq9_t_closeness", "emd"),
 }
 
 #: Accumulation forms that are exact without ROUND:

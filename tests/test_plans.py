@@ -64,6 +64,8 @@ _BNLJ_OK = {
     "sp13_mix_rebalance",  # 1-row capacity-minimum cross into the budget table
     "s9_ann_recall",  # inherits s1's broadcast-query cross (ground truth side)
     "g3_degree_assortativity",  # three 1-row moment/count frames crossed
+    "stat3_ks_test",  # 1-row sample-size frame crossed into the ECDF table
+    "dq9_t_closeness",  # 1-row global band-total frame crossed into classes
 }
 
 #: streaming queries — their builders execute a full streaming job;

@@ -334,3 +334,134 @@ def test_ts6_lag_structure_and_bounds(spark):
         for lag, r in lags.items():
             assert r.n_pairs == max(n_days - lag, 0)
             assert abs(r.acf) <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# ts7 — OLS trend
+# ---------------------------------------------------------------------------
+
+
+def test_ts7_matches_direct_least_squares(spark):
+    """slope/intercept/r2 agree with a NumPy least-squares fit over the
+    same daily series (to float tolerance), and r2 lives in [0, 1]."""
+    import numpy as np
+
+    from bc_proj3_spark.plans.events import ts7_trend_slope
+    from bc_proj3_spark.plans.tables import table
+
+    rows = {r.event_type: r for r in ts7_trend_slope(spark, SF_DIR).collect()}
+    assert rows
+    daily = (
+        table(spark, SF_DIR, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day.toordinal(), r["count"]))
+    for et, r in rows.items():
+        pts = sorted(series[et])
+        x = np.array([p[0] - pts[0][0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        assert r.n_days == len(pts)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(r.slope_per_day - slope) < 1e-6 * max(1.0, abs(slope))
+        assert abs(r.intercept - intercept) < 1e-6 * max(1.0, abs(intercept))
+        corr = np.corrcoef(x, y)[0, 1]
+        assert abs(r.r2 - corr * corr) < 1e-9
+        assert 0.0 <= r.r2 <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# ts8 — Fano factor
+# ---------------------------------------------------------------------------
+
+
+def test_ts8_moment_identities(spark):
+    """fano = population variance / mean of the daily series, exactly;
+    n_events reconciles with the series total."""
+    from bc_proj3_spark.plans.events import ts8_dispersion
+    from bc_proj3_spark.plans.tables import table
+
+    rows = {r.event_type: r for r in ts8_dispersion(spark, SF_DIR).collect()}
+    assert rows
+    daily = (
+        table(spark, SF_DIR, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append(r["count"])
+    for et, r in rows.items():
+        ys = series[et]
+        n, s = len(ys), sum(ys)
+        sxx = sum(v * v for v in ys)
+        assert r.n_days == n and r.n_events == s
+        assert r.mean_daily == s / n
+        assert r.fano == (n * sxx - s * s) / (n * s)
+        assert r.fano > 0.0
+
+
+# ---------------------------------------------------------------------------
+# stat3 — two-sample KS
+# ---------------------------------------------------------------------------
+
+
+def test_stat3_matches_exact_python_ks(spark):
+    """d_scaled equals the exact integer KS statistic recomputed from
+    the raw cents values in Python, and d is its single division."""
+    from bc_proj3_spark.plans.aggfuncs import KS_SEG_A, KS_SEG_B, stat3_ks_test
+    from bc_proj3_spark.plans.tables import table
+
+    [r] = stat3_ks_test(spark, SF_DIR).collect()
+    cust = (
+        table(spark, SF_DIR, "customer")
+        .filter(F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
+        .select(
+            F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("v"),
+            "c_mktsegment",
+        )
+        .collect()
+    )
+    a = sorted(x.v for x in cust if x.c_mktsegment == KS_SEG_A)
+    b = sorted(x.v for x in cust if x.c_mktsegment == KS_SEG_B)
+    na, nb = len(a), len(b)
+    assert (r.n_a, r.n_b) == (na, nb)
+    best, ca, cb = 0, 0, 0
+    for v in sorted(set(a) | set(b)):
+        while ca < na and a[ca] <= v:
+            ca += 1
+        while cb < nb and b[cb] <= v:
+            cb += 1
+        best = max(best, abs(nb * ca - na * cb))
+    assert r.d_scaled == best
+    assert r.d == best / (na * nb)
+    assert 0.0 < r.d <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# dq9 — t-closeness
+# ---------------------------------------------------------------------------
+
+
+def test_dq9_emd_bounds_and_flag_consistency(spark):
+    """emd lives in [0, 1]; the integer meets_t flag agrees with the
+    emd value against the 0.2 threshold (exact fractions, so the
+    comparison can be replayed in Python rationals)."""
+    from fractions import Fraction
+
+    from bc_proj3_spark.operators.quality import dq9_t_closeness
+
+    rows = dq9_t_closeness(spark, SF_DIR).collect()
+    assert rows
+    assert any(r.meets_t for r in rows)
+    for r in rows:
+        assert 0.0 <= r.emd <= 1.0
+        # reconstruct the exact fraction from the double: emd is one
+        # IEEE division of exact ints, so comparing the double to 0.2
+        # only at a safe distance; the exact check is the flag itself
+        if abs(r.emd - 0.2) > 1e-9:
+            assert r.meets_t == (r.emd < 0.2)

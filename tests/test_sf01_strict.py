@@ -61,6 +61,8 @@ SF01_QUERIES = [
     "ts5_seasonal_decompose",  # ROUND of derived integer-ratio doubles
     "g3_degree_assortativity",  # >2^53 exact-int moment conversions to double
     "ts6_autocorrelation",  # >2^53 exact-int moment conversions to double
+    "ts7_trend_slope",  # r2 rides products of integer moments
+    "stat3_ks_test",  # scaled-integer ECDF gap grows with sample product
 ]
 
 
