@@ -923,3 +923,144 @@ def g3_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("assortativity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# g4 — rich-club coefficient of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+#: degree thresholds at which the rich-club density is evaluated
+RICH_CLUB_KS = (2, 4, 8, 16)
+
+_G4_KS_SQL = ", ".join(str(k) for k in RICH_CLUB_KS)
+
+_G4_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+directed AS (
+  SELECT u AS src FROM edges
+  UNION ALL
+  SELECT v FROM edges
+),
+deg AS (
+  SELECT src AS node, COUNT(*) AS d FROM directed GROUP BY src
+),
+stamped AS (
+  SELECT ds.d AS du, dd.d AS dv
+  FROM edges e
+  JOIN deg ds ON ds.node = e.u
+  JOIN deg dd ON dd.node = e.v
+),
+ks AS (SELECT UNNEST([{_G4_KS_SQL}]) AS k),
+agg AS (
+  SELECT k,
+         (SELECT CAST(COUNT(*) AS HUGEINT) FROM deg WHERE d > k) AS nk,
+         (SELECT CAST(COUNT(*) AS HUGEINT) FROM stamped
+           WHERE du > k AND dv > k) AS ek
+  FROM ks
+)
+SELECT CAST(k AS INT) AS k,
+       CAST(nk AS BIGINT) AS n_rich,
+       CAST(ek AS BIGINT) AS n_edges_rich,
+       CAST(2 * ek AS DOUBLE) / CAST(nk * (nk - 1) AS DOUBLE) AS phi
+FROM agg
+WHERE nk >= 2
+"""
+
+
+@register("g4_rich_club", _G4_ORACLE)
+def g4_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the co-purchase part graph (g3's edge
+    contract): at each degree threshold k, the edge density phi(k) =
+    2*E_k / (N_k*(N_k-1)) among the nodes of degree > k. A rising
+    phi(k) means the hubs form a densely wired core — the structural
+    signature behind g3's assortativity sign, and the thing to know
+    before sampling "representative" subgraphs or trusting that
+    removing one hub breaks few duplicate clusters.
+
+    Exactness: N_k and E_k are exact integer conditional counts; phi
+    is ONE IEEE division of two exact integers (EXACT_DOUBLE_OK;
+    intermediates ride DECIMAL(38,0)/HUGEINT so N_k^2 survives past
+    2^63 at any corpus size). Degenerate thresholds (fewer than two
+    rich nodes) are dropped identically on both engines.
+
+    Scale shape: the basket self-join is contract-bounded (mb1); the
+    degree table comes from one groupBy; stamping degrees onto the
+    undirected edge list is two hash equi-joins on node id; then ALL
+    thresholds reduce in ONE pass each over deg and stamped —
+    conditional sums per k, so adding thresholds adds columns, not
+    scans. The two 1-row threshold frames cross in (BNLJ-gated) and
+    inline-explode to the per-k output."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    directed = edges.select(F.col("u").alias("src")).union(
+        edges.select(F.col("v").alias("src"))
+    )
+    deg = directed.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    stamped = (
+        edges.join(
+            deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"
+        ).join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v"
+        )
+    )
+    nk_row = deg.agg(
+        *[
+            F.sum((F.col("d") > k).cast("long"))
+            .cast("decimal(38,0)")
+            .alias(f"nk_{k}")
+            for k in RICH_CLUB_KS
+        ]
+    )
+    ek_row = stamped.agg(
+        *[
+            F.sum(((F.col("du") > k) & (F.col("dv") > k)).cast("long"))
+            .cast("decimal(38,0)")
+            .alias(f"ek_{k}")
+            for k in RICH_CLUB_KS
+        ]
+    )
+    per_k = nk_row.crossJoin(ek_row).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("k"),
+                        F.col(f"nk_{k}").alias("nk"),
+                        F.col(f"ek_{k}").alias("ek"),
+                    )
+                    for k in RICH_CLUB_KS
+                ]
+            )
+        )
+    )
+    return per_k.filter(F.col("nk") >= 2).select(
+        "k",
+        F.col("nk").cast("bigint").alias("n_rich"),
+        F.col("ek").cast("bigint").alias("n_edges_rich"),
+        (
+            (F.lit(2) * F.col("ek")).cast("double")
+            / (F.col("nk") * (F.col("nk") - 1)).cast("double")
+        ).alias("phi"),
+    )

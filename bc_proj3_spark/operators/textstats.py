@@ -1446,3 +1446,76 @@ def lab3_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("n") - pe_num).cast("double")
         ).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t24 — lexical diversity (type-token ratio and hapax share) per language
+# ---------------------------------------------------------------------------
+
+_T24_ORACLE = r"""
+WITH tok AS (
+  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS t
+  FROM documents
+),
+cf AS (SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY lang, t),
+m AS (
+  SELECT lang,
+         COUNT(*) AS v,
+         SUM(c) AS n_tok,
+         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax
+  FROM cf GROUP BY lang
+)
+SELECT lang,
+       CAST(v AS BIGINT) AS vocab,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(hapax AS BIGINT) AS n_hapax,
+       CAST(v AS DOUBLE) / CAST(n_tok AS DOUBLE) AS ttr,
+       CAST(hapax AS DOUBLE) / CAST(v AS DOUBLE) AS hapax_frac
+FROM m
+"""
+
+
+@register("t24_lexical_diversity", _T24_ORACLE)
+def t24_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per language: vocabulary size, corpus token
+    count, hapax legomena count (tokens occurring exactly once), and
+    the two ratios a corpus curator reads off them — type-token ratio
+    (template/boilerplate corpora collapse toward 0) and hapax share
+    of the vocabulary (natural language sits near 0.4-0.6 by Zipf's
+    law; a scrape full of serial numbers or OCR noise drifts toward
+    1.0, a tiny fixed template toward 0). t21's Zipf slope fits the
+    head of the frequency distribution; this reads the tail.
+
+    Exactness: all three counts are exact integers off one token-
+    frequency aggregate (t21's whitespace-token contract); ttr and
+    hapax_frac are each ONE IEEE division of two exact BIGINTs
+    (EXACT_DOUBLE_OK).
+
+    Scale shape: explode -> (lang, token) combiner-absorbed groupBy
+    (the map side absorbs duplicate tokens within a partition), then a
+    vocabulary-bounded second aggregate per language; nothing but the
+    16-byte-ish token keys ever shuffles, and the output is bounded by
+    the language domain."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+    )
+    cf = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c"))
+    m = cf.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("c").alias("n_tok"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax"),
+    )
+    return m.select(
+        "lang",
+        F.col("v").cast("bigint").alias("vocab"),
+        F.col("n_tok").cast("bigint").alias("n_tokens"),
+        F.col("hapax").cast("bigint").alias("n_hapax"),
+        (F.col("v").cast("double") / F.col("n_tok").cast("double")).alias(
+            "ttr"
+        ),
+        (F.col("hapax").cast("double") / F.col("v").cast("double")).alias(
+            "hapax_frac"
+        ),
+    )

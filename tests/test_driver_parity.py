@@ -157,6 +157,8 @@ STRICT_VALUE_QUERIES = [
     "ts8_dispersion",
     "stat3_ks_test",
     "dq9_t_closeness",
+    "g4_rich_club",
+    "t24_lexical_diversity",
 ]
 
 

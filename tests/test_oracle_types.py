@@ -89,6 +89,11 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     ("stat3_ks_test", "d"),
     # ordinal EMD on the 2*n_c*n-scaled integer lattice, one division
     ("dq9_t_closeness", "emd"),
+    # rich-club density: exact integer counts, one IEEE division
+    ("g4_rich_club", "phi"),
+    # vocabulary-count ratios: exact BIGINTs, one IEEE division each
+    ("t24_lexical_diversity", "ttr"),
+    ("t24_lexical_diversity", "hapax_frac"),
 }
 
 #: Accumulation forms that are exact without ROUND:

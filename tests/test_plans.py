@@ -66,6 +66,7 @@ _BNLJ_OK = {
     "g3_degree_assortativity",  # three 1-row moment/count frames crossed
     "stat3_ks_test",  # 1-row sample-size frame crossed into the ECDF table
     "dq9_t_closeness",  # 1-row global band-total frame crossed into classes
+    "g4_rich_club",  # two 1-row threshold-count frames crossed
 }
 
 #: streaming queries — their builders execute a full streaming job;

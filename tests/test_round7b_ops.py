@@ -465,3 +465,54 @@ def test_dq9_emd_bounds_and_flag_consistency(spark):
         # only at a safe distance; the exact check is the flag itself
         if abs(r.emd - 0.2) > 1e-9:
             assert r.meets_t == (r.emd < 0.2)
+
+
+# ---------------------------------------------------------------------------
+# g4 — rich club
+# ---------------------------------------------------------------------------
+
+
+def test_g4_threshold_monotonicity_and_bounds(spark):
+    """Raising k can only shrink the club: n_rich and n_edges_rich are
+    non-increasing in k; phi is a density in (0, 1]; every emitted
+    threshold has at least two rich nodes."""
+    from bc_proj3_spark.operators.graph import g4_rich_club
+
+    rows = sorted(g4_rich_club(spark, SF_DIR).collect(), key=lambda r: r.k)
+    assert rows
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_rich <= prev.n_rich
+        assert cur.n_edges_rich <= prev.n_edges_rich
+    for r in rows:
+        assert r.n_rich >= 2
+        assert 0.0 <= r.phi <= 1.0
+        assert r.phi == 2 * r.n_edges_rich / (r.n_rich * (r.n_rich - 1))
+
+
+# ---------------------------------------------------------------------------
+# t24 — lexical diversity
+# ---------------------------------------------------------------------------
+
+
+def test_t24_matches_python_token_census(spark):
+    """vocab / token / hapax counts (and both ratios) replay exactly
+    from a Python recount over the collected documents."""
+    from collections import Counter
+
+    from bc_proj3_spark.operators.textstats import t24_lexical_diversity
+    from bc_proj3_spark.plans.tables import table
+
+    rows = {r.lang: r for r in t24_lexical_diversity(spark, SF_DIR).collect()}
+    assert rows
+    docs = table(spark, SF_DIR, "documents").select("lang", "text").collect()
+    by_lang = {}
+    for d in docs:
+        by_lang.setdefault(d.lang, Counter()).update(d.text.strip().split())
+    assert set(rows) == set(by_lang)
+    for lang, cf in by_lang.items():
+        r = rows[lang]
+        v, n_tok = len(cf), sum(cf.values())
+        hapax = sum(1 for c in cf.values() if c == 1)
+        assert (r.vocab, r.n_tokens, r.n_hapax) == (v, n_tok, hapax)
+        assert r.ttr == v / n_tok
+        assert r.hapax_frac == hapax / v

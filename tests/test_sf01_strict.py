@@ -63,6 +63,7 @@ SF01_QUERIES = [
     "ts6_autocorrelation",  # >2^53 exact-int moment conversions to double
     "ts7_trend_slope",  # r2 rides products of integer moments
     "stat3_ks_test",  # scaled-integer ECDF gap grows with sample product
+    "g4_rich_club",  # nk^2 decimal products convert to double
 ]
 
 
