@@ -1101,3 +1101,161 @@ def stat3_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stat4 — Poisson-bootstrap confidence interval for the mean
+# ---------------------------------------------------------------------------
+
+#: number of bootstrap resamples (b = 0..B-1; b = -1 is the identity
+#: pass carrying the point estimate through the same plan)
+BOOT_B = 20
+
+#: integer inverse CDF of Poisson(1) on a 0..9999 lattice: r < CUT[w]
+#: => weight w (floor(1e4 * CDF(w)) thresholds — exact integers, so
+#: both engines draw the identical deterministic weight)
+_POIS_CUTS = (3679, 7358, 9197, 9810, 9963, 9994, 9999)
+
+
+def _sql_pois_w(r: str) -> str:
+    branches = " ".join(
+        f"WHEN {r} < {c} THEN {w}" for w, c in enumerate(_POIS_CUTS)
+    )
+    return f"CASE {branches} ELSE {len(_POIS_CUTS)} END"
+
+
+def _pois_w(r) -> "F.Column":
+    w = F.when(r < _POIS_CUTS[0], 0)
+    for i, c in enumerate(_POIS_CUTS[1:], start=1):
+        w = w.when(r < c, i)
+    return w.otherwise(len(_POIS_CUTS))
+
+
+from bc_proj3_spark.functions.hashing import sql_hash60 as _sql_h60
+from bc_proj3_spark.operators.sampling import _sql_seeded as _sql_sd
+
+_STAT4_R = (
+    "("
+    + _sql_h60(
+        _sql_sd("stat4", "CAST(o_orderkey AS VARCHAR)", "CAST(b AS VARCHAR)")
+    )
+    + " % 10000)"
+)
+
+_STAT4_ORACLE = f"""
+WITH j AS (
+  SELECT c_mktsegment AS seg,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+rs AS (
+  SELECT seg, cents, b,
+         CASE WHEN b = -1 THEN 1
+              ELSE {_sql_pois_w(_STAT4_R)} END AS w
+  FROM j CROSS JOIN (SELECT UNNEST(range(-1, {BOOT_B})) AS b)
+),
+agg AS (
+  SELECT seg, b,
+         CAST(SUM(CAST(w AS HUGEINT) * cents) AS HUGEINT) AS s,
+         CAST(SUM(w) AS HUGEINT) AS wsum
+  FROM rs GROUP BY seg, b
+),
+means AS (
+  SELECT seg, b, wsum,
+         CAST(s AS DOUBLE) / CAST(100 * wsum AS DOUBLE) AS m
+  FROM agg
+)
+SELECT seg AS c_mktsegment,
+       CAST(MAX(CASE WHEN b = -1 THEN wsum END) AS BIGINT) AS n_orders,
+       MAX(CASE WHEN b = -1 THEN m END) AS mean_price,
+       MIN(CASE WHEN b >= 0 THEN m END) AS ci_lo,
+       MAX(CASE WHEN b >= 0 THEN m END) AS ci_hi
+FROM means
+GROUP BY seg
+"""
+
+
+@register("stat4_bootstrap_ci", _STAT4_ORACLE)
+def stat4_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap 95%-ish confidence interval for the mean
+    order value per customer segment, via the Poisson bootstrap (the
+    large-scale streaming form: resample multiplicities drawn per row,
+    never a with-replacement shuffle — Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google TR 2012). stat2 says
+    whether two segments differ; this says how wide each segment's own
+    estimate is — the error bar a dashboard or an A/A sanity check
+    needs. At B = {B} the reported interval is the exact-rank
+    [1st, Bth] order-statistic envelope of the resample means.
+
+    Determinism/exactness: the Poisson(1) multiplicity is an integer
+    inverse-CDF lookup on (seeded-hash mod 10000) — pure integer
+    CASE thresholds, so both engines draw the IDENTICAL resamples
+    (no RNG); each resample mean is ONE IEEE division of exact
+    DECIMAL(38,0)/HUGEINT sums (cents, stat2's convention), so the
+    doubles are bit-identical and min/max over them are too
+    (EXACT_DOUBLE_OK). b = -1 rides the identity weight and carries
+    the point estimate through the same plan.
+
+    Scale shape: one key-shuffle join (orders x customer), then a
+    MAP-SIDE (B+1)-way explode whose fan-out is absorbed by partial
+    aggregation before the only small shuffle — the (segment x B)
+    grid, ~100 groups at any corpus size; no resampled dataset is
+    ever materialized, and adding resamples widens the combiner
+    state, not the shuffle.""".replace("{B}", str(BOOT_B))
+    from bc_proj3_spark.functions.hashing import hash60
+    from bc_proj3_spark.operators.sampling import _seeded
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    j = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+        "o_orderkey",
+    )
+    rs = j.select(
+        "seg",
+        "cents",
+        "o_orderkey",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(-1, BOOT_B)])
+        ).alias("b"),
+    )
+    r = (
+        hash60(
+            _seeded(
+                "stat4",
+                F.col("o_orderkey").cast("string"),
+                F.col("b").cast("string"),
+            )
+        )
+        % 10000
+    )
+    w = F.when(F.col("b") == -1, 1).otherwise(_pois_w(r))
+    agg = rs.select("seg", "b", "cents", w.alias("w")).groupBy(
+        "seg", "b"
+    ).agg(
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("cents")).alias("s"),
+        F.sum("w").cast("decimal(38,0)").alias("wsum"),
+    )
+    means = agg.select(
+        "seg",
+        "b",
+        "wsum",
+        (
+            F.col("s").cast("double")
+            / (F.lit(100) * F.col("wsum")).cast("double")
+        ).alias("m"),
+    )
+    return means.groupBy("seg").agg(
+        F.max(F.when(F.col("b") == -1, F.col("wsum")))
+        .cast("bigint")
+        .alias("n_orders"),
+        F.max(F.when(F.col("b") == -1, F.col("m"))).alias("mean_price"),
+        F.min(F.when(F.col("b") >= 0, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("b") >= 0, F.col("m"))).alias("ci_hi"),
+    ).withColumnRenamed("seg", "c_mktsegment")

@@ -159,6 +159,7 @@ STRICT_VALUE_QUERIES = [
     "dq9_t_closeness",
     "g4_rich_club",
     "t24_lexical_diversity",
+    "stat4_bootstrap_ci",
 ]
 
 

@@ -94,6 +94,11 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     # vocabulary-count ratios: exact BIGINTs, one IEEE division each
     ("t24_lexical_diversity", "ttr"),
     ("t24_lexical_diversity", "hapax_frac"),
+    # each resample mean is one IEEE division of exact integer sums;
+    # min/max over bit-identical doubles are bit-identical
+    ("stat4_bootstrap_ci", "mean_price"),
+    ("stat4_bootstrap_ci", "ci_lo"),
+    ("stat4_bootstrap_ci", "ci_hi"),
 }
 
 #: Accumulation forms that are exact without ROUND:

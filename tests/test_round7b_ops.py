@@ -516,3 +516,67 @@ def test_t24_matches_python_token_census(spark):
         assert (r.vocab, r.n_tokens, r.n_hapax) == (v, n_tok, hapax)
         assert r.ttr == v / n_tok
         assert r.hapax_frac == hapax / v
+
+
+# ---------------------------------------------------------------------------
+# stat4 — Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+
+def test_stat4_full_python_replay(spark):
+    """The entire bootstrap replays exactly in Python: md5-derived
+    Poisson weights, per-resample means, and the order-statistic
+    envelope — bit-for-bit, since every number is an exact-integer
+    division. Also pins the envelope sanity (lo <= point <= hi)."""
+    import hashlib
+
+    from bc_proj3_spark.plans.aggfuncs import (
+        _POIS_CUTS,
+        BOOT_B,
+        stat4_bootstrap_ci,
+    )
+    from bc_proj3_spark.plans.tables import table
+
+    rows = {r.c_mktsegment: r for r in stat4_bootstrap_ci(spark, SF_DIR).collect()}
+    assert rows
+
+    orders = table(spark, SF_DIR, "orders")
+    cust = table(spark, SF_DIR, "customer")
+    j = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+            "o_orderkey",
+        )
+        .collect()
+    )
+
+    def pois_w(key: int, b: int) -> int:
+        h = int(hashlib.md5(f"stat4:{key}:{b}".encode()).hexdigest()[:15], 16)
+        r = h % 10000
+        for w, c in enumerate(_POIS_CUTS):
+            if r < c:
+                return w
+        return len(_POIS_CUTS)
+
+    segs = {}
+    for row in j:
+        segs.setdefault(row.seg, []).append((row.o_orderkey, row.cents))
+    for seg, pts in segs.items():
+        r = rows[seg]
+        assert r.n_orders == len(pts)
+        assert r.mean_price == sum(c for _, c in pts) / (100 * len(pts))
+        means = []
+        for b in range(BOOT_B):
+            s = wsum = 0
+            for key, cents in pts:
+                w = pois_w(key, b)
+                s += w * cents
+                wsum += w
+            means.append(s / (100 * wsum))
+        assert r.ci_lo == min(means)
+        assert r.ci_hi == max(means)
+        assert r.ci_lo <= r.mean_price <= r.ci_hi

@@ -64,6 +64,7 @@ SF01_QUERIES = [
     "ts7_trend_slope",  # r2 rides products of integer moments
     "stat3_ks_test",  # scaled-integer ECDF gap grows with sample product
     "g4_rich_club",  # nk^2 decimal products convert to double
+    "stat4_bootstrap_ci",  # order statistics over 20 resample-mean doubles
 ]
 
 
