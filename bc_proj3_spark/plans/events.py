@@ -2068,3 +2068,114 @@ def ts8_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("s")).cast("double")
         ).alias("fano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e21 — peak session concurrency (sweep line over session intervals)
+# ---------------------------------------------------------------------------
+
+#: sweep-line time-bucket width: one hour in microseconds. Bucket count
+#: is bounded by the calendar span of the corpus, never its row count.
+SWEEP_BUCKET_US = 3_600_000_000
+
+_E21_ORACLE = f"""
+WITH {_SQL_SESSIONS_CTE},
+iv AS (
+  SELECT user_id, session_seq,
+         MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+  FROM sessions GROUP BY user_id, session_seq
+),
+pts AS (
+  SELECT s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT e + 1, -1 FROM iv
+),
+net AS (SELECT t, SUM(d) AS nd FROM pts GROUP BY t),
+cum AS (SELECT t, SUM(nd) OVER (ORDER BY t) AS c FROM net),
+best AS (SELECT c, t FROM cum ORDER BY c DESC, t LIMIT 1),
+n AS (SELECT COUNT(*) AS ns FROM iv)
+SELECT CAST(ns AS BIGINT) AS n_sessions,
+       CAST(c AS BIGINT) AS peak_concurrent,
+       CAST(t AS BIGINT) AS first_peak_us
+FROM best, n
+"""
+
+
+@register("e21_peak_concurrency", _E21_ORACLE)
+def e21_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of simultaneously open sessions (e2's gap contract)
+    and the first microsecond it is reached: the classic sweep-line
+    interval problem, and the capacity number behind "how many
+    concurrent users must the serving tier hold". Each session
+    contributes +1 at its first event and -1 one microsecond after its
+    last (closed intervals), the deltas collapse per distinct
+    timestamp, and the running sum of the sweep is the concurrency
+    curve; its max is the answer.
+
+    Exactness: everything is exact integer microseconds and integer
+    deltas; the (peak, first-time) pair is picked by the total order
+    (concurrency DESC, time ASC) on both engines — no floats anywhere.
+
+    Scale shape: sessionization shuffles once on user_id (e2's plan);
+    the interval table is persisted (it feeds both the sweep and the
+    count — corpus-sized two-pass input, repo discipline). The running
+    sweep NEVER uses a global single-partition window: per-hour-bucket
+    totals get a tiny exclusive running-total window (bucket count is
+    calendar-bounded), broadcast back as offsets, and the per-time
+    cumulative window is PARTITIONED BY bucket (stat3's two-level
+    prefix sum). The peak row compiles to TakeOrderedAndProject
+    (never a global sort); the two 1-row frames cross in (BNLJ-gated)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
+    sessions = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.unix_micros(F.col("ts"))).alias("s"),
+            F.max(F.unix_micros(F.col("ts"))).alias("e"),
+        )
+        .persist()
+    )
+    pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).union(
+        iv.select((F.col("e") + 1).alias("t"), F.lit(-1).alias("d"))
+    )
+    net = pts.groupBy("t").agg(F.sum("d").alias("nd")).withColumn(
+        "bkt", F.expr(f"t DIV {SWEEP_BUCKET_US}")
+    )
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        net.groupBy("bkt")
+        .agg(F.sum("nd").alias("tot"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("tot").over(w_bkt), F.lit(0)).alias("off"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = net.join(F.broadcast(offsets), "bkt").select(
+        "t", (F.col("off") + F.sum("nd").over(w_in)).alias("c")
+    )
+    best = cum.orderBy(F.desc("c"), F.asc("t")).limit(1)
+    n = iv.agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    return n.crossJoin(best).select(
+        "n_sessions",
+        F.col("c").cast("bigint").alias("peak_concurrent"),
+        F.col("t").cast("bigint").alias("first_peak_us"),
+    )

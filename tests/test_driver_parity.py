@@ -160,6 +160,7 @@ STRICT_VALUE_QUERIES = [
     "g4_rich_club",
     "t24_lexical_diversity",
     "stat4_bootstrap_ci",
+    "e21_peak_concurrency",
 ]
 
 

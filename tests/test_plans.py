@@ -67,6 +67,7 @@ _BNLJ_OK = {
     "stat3_ks_test",  # 1-row sample-size frame crossed into the ECDF table
     "dq9_t_closeness",  # 1-row global band-total frame crossed into classes
     "g4_rich_club",  # two 1-row threshold-count frames crossed
+    "e21_peak_concurrency",  # 1-row session count crossed into 1-row peak
 }
 
 #: streaming queries — their builders execute a full streaming job;

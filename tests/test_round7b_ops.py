@@ -580,3 +580,45 @@ def test_stat4_full_python_replay(spark):
         assert r.ci_lo == min(means)
         assert r.ci_hi == max(means)
         assert r.ci_lo <= r.mean_price <= r.ci_hi
+
+
+# ---------------------------------------------------------------------------
+# e21 — peak concurrency
+# ---------------------------------------------------------------------------
+
+
+def test_e21_matches_python_sweep_over_e2_sessions(spark):
+    """The sweep replays exactly in Python over e2's session intervals
+    (same gap contract): session count, peak concurrency, and the
+    first peak microsecond all match; the peak plan compiles to
+    TakeOrderedAndProject (never a global sort)."""
+    from bc_proj3_spark.plans.events import (
+        e21_peak_concurrency,
+        e2_sessionization,
+    )
+
+    df = e21_peak_concurrency(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in df._jdf.queryExecution().executedPlan().toString()
+    [r] = df.collect()
+    iv = [
+        (s.session_start, s.session_end)
+        for s in e2_sessionization(spark, SF_DIR).collect()
+    ]
+    assert r.n_sessions == len(iv)
+
+    def us(ts):
+        import calendar
+
+        return calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+
+    deltas = {}
+    for s, e in iv:
+        deltas[us(s)] = deltas.get(us(s), 0) + 1
+        deltas[us(e) + 1] = deltas.get(us(e) + 1, 0) - 1
+    cum, peak, peak_t = 0, 0, None
+    for t in sorted(deltas):
+        cum += deltas[t]
+        if cum > peak:
+            peak, peak_t = cum, t
+    assert (r.peak_concurrent, r.first_peak_us) == (peak, peak_t)
+    assert 1 <= r.peak_concurrent <= r.n_sessions
