@@ -1202,7 +1202,14 @@ def stat4_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation before the only small shuffle — the (segment x B)
     grid, ~100 groups at any corpus size; no resampled dataset is
     ever materialized, and adding resamples widens the combiner
-    state, not the shuffle.""".replace("{B}", str(BOOT_B))
+    state, not the shuffle. The slim joined frame is repartitioned to
+    an EXPLICIT width before the explode: the join output is
+    byte-small, so AQE coalesces it (to ONE partition on the bench
+    host) and the (B+1)x hash expansion — the query's entire CPU —
+    would serialize on a single core; an explicit user width is
+    exempt from AQE coalescing and costs one shuffle of the
+    pre-fan-out rows (measured 7.3 s -> 1.5 s at sf0.1 steady
+    state).""".replace("{B}", str(BOOT_B))
     from bc_proj3_spark.functions.hashing import hash60
     from bc_proj3_spark.operators.sampling import _seeded
 
@@ -1216,7 +1223,7 @@ def stat4_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         ),
         "o_orderkey",
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "o_orderkey")
     rs = j.select(
         "seg",
         "cents",
