@@ -161,6 +161,7 @@ STRICT_VALUE_QUERIES = [
     "t24_lexical_diversity",
     "stat4_bootstrap_ci",
     "e21_peak_concurrency",
+    "a14_mad_outliers",
 ]
 
 

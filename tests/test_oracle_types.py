@@ -99,6 +99,9 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     ("stat4_bootstrap_ci", "mean_price"),
     ("stat4_bootstrap_ci", "ci_lo"),
     ("stat4_bootstrap_ci", "ci_hi"),
+    # doubled exact order statistics, one display division each
+    ("a14_mad_outliers", "median_bal"),
+    ("a14_mad_outliers", "mad_bal"),
 }
 
 #: Accumulation forms that are exact without ROUND:

@@ -622,3 +622,72 @@ def test_e21_matches_python_sweep_over_e2_sessions(spark):
             peak, peak_t = cum, t
     assert (r.peak_concurrent, r.first_peak_us) == (peak, peak_t)
     assert 1 <= r.peak_concurrent <= r.n_sessions
+
+
+# ---------------------------------------------------------------------------
+# two-level prefix sum — bucket width is a performance knob, not semantics
+# ---------------------------------------------------------------------------
+
+
+def test_stat3_bucket_width_invariance(spark, monkeypatch):
+    """The KS statistic is identical under a radically different value
+    bucketing (shift 16 -> 4): the two-level prefix sum is pure
+    plumbing."""
+    import bc_proj3_spark.plans.aggfuncs as A
+
+    base = A.stat3_ks_test(spark, SF_DIR).collect()
+    monkeypatch.setattr(A, "KS_BUCKET_SHIFT", 4)
+    narrow = A.stat3_ks_test(spark, SF_DIR).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, narrow))
+
+
+def test_e21_bucket_width_invariance(spark, monkeypatch):
+    """Peak concurrency is identical under minute-wide sweep buckets
+    (3600x more buckets than the hour default)."""
+    import bc_proj3_spark.plans.events as E
+
+    base = E.e21_peak_concurrency(spark, SF_DIR).collect()
+    monkeypatch.setattr(E, "SWEEP_BUCKET_US", 60_000_000)
+    narrow = E.e21_peak_concurrency(spark, SF_DIR).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, narrow))
+
+
+# ---------------------------------------------------------------------------
+# a14 — MAD outliers
+# ---------------------------------------------------------------------------
+
+
+def test_a14_matches_python_order_statistics(spark):
+    """Median, MAD, and the outlier census replay exactly in Python
+    from the raw cents values (statistics module median = the same
+    two-middle-order-statistics rule)."""
+    from statistics import median
+
+    from bc_proj3_spark.plans.aggfuncs import MAD_K, a14_mad_outliers
+    from bc_proj3_spark.plans.tables import table
+
+    rows = {r.c_mktsegment: r for r in a14_mad_outliers(spark, SF_DIR).collect()}
+    assert rows
+    cust = (
+        table(spark, SF_DIR, "customer")
+        .select(
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("v"),
+        )
+        .collect()
+    )
+    segs = {}
+    for c in cust:
+        segs.setdefault(c.c_mktsegment, []).append(c.v)
+    assert set(rows) == set(segs)
+    for seg, vs in segs.items():
+        r = rows[seg]
+        med = median(vs)
+        devs = [abs(v - med) for v in vs]
+        mad = median(devs)
+        assert r.n == len(vs)
+        assert r.median_bal == med / 100
+        assert r.mad_bal == mad / 100
+        assert r.n_outliers == sum(1 for d in devs if d > MAD_K * mad)
+        # uniform balances can legitimately yield 0 outliers at 3*MAD
+        assert 0 <= r.n_outliers < r.n
