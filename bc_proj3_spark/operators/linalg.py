@@ -555,3 +555,107 @@ def pi2_spectral_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("nrm") / F.col("nrm1"), 9).alias("gap_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# g5 — effective rank (participation ratio) of the embedding cloud
+# ---------------------------------------------------------------------------
+
+_G5_ORACLE = f"""
+WITH cells AS (
+  SELECT i, j, COUNT(*) AS cnt,
+         SUM(CAST(ROUND(
+           CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE), 9)
+           AS DECIMAL(28,10))) AS gd
+  FROM embeddings
+  CROSS JOIN generate_series(1, {GRAM_DIM}) t1(i)
+  CROSS JOIN generate_series(1, {GRAM_DIM}) t2(j)
+  WHERE j >= i
+  GROUP BY i, j
+),
+m AS (
+  SELECT MAX(CASE WHEN i = 1 AND j = 1 THEN cnt END) AS n,
+         SUM(CASE WHEN i = j THEN gd ELSE 0 END) AS tr,
+         SUM(CAST(ROUND(CAST(gd AS DOUBLE) * CAST(gd AS DOUBLE), 6)
+                  AS DECIMAL(38,6))
+             * CASE WHEN i = j THEN 1 ELSE 2 END) AS fro2
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n_vectors,
+       CAST(tr AS DOUBLE) AS trace,
+       CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE) / CAST(fro2 AS DOUBLE)
+         AS effective_rank
+FROM m
+"""
+
+
+@register("g5_effective_rank", _G5_ORACLE)
+def g5_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective dimensionality of the embedding cloud as the
+    participation ratio PR = (sum lambda_i)^2 / sum lambda_i^2 =
+    trace(G)^2 / ||G||_F^2 — computable from g1's Gram cells WITHOUT
+    any eigendecomposition (trace and Frobenius norm are basis-free).
+    PR ~ d means an isotropic, well-spread embedding space; PR ~ 1
+    means the cloud has collapsed onto a line — the anisotropy
+    pathology that silently breaks cosine-based dedup (s3/d12) and ANN
+    recall (s9), caught here with one number per corpus snapshot.
+    g1:257 materializes the matrix; this distills its health.
+
+    Determinism: cells follow g1's exact protocol (9-dp-rounded
+    products, DECIMAL(28,10) sums — association-order free); trace is
+    an exact decimal sum; each squared cell is ONE IEEE product of the
+    identical decimal-derived double, re-rounded to the 6-dp lattice
+    and decimal-summed, so fro2 is exact; trace and effective_rank are
+    deterministic IEEE expressions over those identical exact operands
+    on both engines (EXACT_DOUBLE_OK — no unordered double sum
+    anywhere).
+
+    Scale shape: g1's single corpus pass (map-side d(d+1)/2 fan-out,
+    combiner-absorbed, 2,080-cell output at any corpus size), then a
+    1-row aggregate over the cells; n_vectors rides the (1,1) cell's
+    count — no second corpus scan."""
+    emb = table(spark, sf_dir, "embeddings")
+    with_i = fanout(emb).select(
+        "embedding",
+        F.explode(F.sequence(F.lit(1), F.lit(GRAM_DIM))).alias("i"),
+    )
+    with_ij = with_i.select(
+        "embedding",
+        "i",
+        F.explode(F.sequence(F.col("i"), F.lit(GRAM_DIM))).alias("j"),
+    )
+    prod = F.round(
+        F.element_at("embedding", F.col("i")).cast("double")
+        * F.element_at("embedding", F.col("j")).cast("double"),
+        9,
+    ).cast("decimal(28,10)")
+    cells = (
+        with_ij.select("i", "j", prod.alias("p"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("p").alias("gd"))
+    )
+    gsq = F.round(
+        F.col("gd").cast("double") * F.col("gd").cast("double"), 6
+    ).cast("decimal(38,6)")
+    m = cells.agg(
+        F.max(
+            F.when((F.col("i") == 1) & (F.col("j") == 1), F.col("cnt"))
+        ).alias("n"),
+        F.sum(
+            F.when(F.col("i") == F.col("j"), F.col("gd")).otherwise(
+                F.lit(0).cast("decimal(28,10)")
+            )
+        ).alias("tr"),
+        F.sum(
+            gsq * F.when(F.col("i") == F.col("j"), 1).otherwise(2)
+        ).alias("fro2"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.col("tr").cast("double").alias("trace"),
+        (
+            F.col("tr").cast("double")
+            * F.col("tr").cast("double")
+            / F.col("fro2").cast("double")
+        ).alias("effective_rank"),
+    )

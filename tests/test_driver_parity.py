@@ -162,6 +162,7 @@ STRICT_VALUE_QUERIES = [
     "stat4_bootstrap_ci",
     "e21_peak_concurrency",
     "a14_mad_outliers",
+    "g5_effective_rank",
 ]
 
 

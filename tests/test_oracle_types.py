@@ -102,6 +102,10 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     # doubled exact order statistics, one display division each
     ("a14_mad_outliers", "median_bal"),
     ("a14_mad_outliers", "mad_bal"),
+    # exact decimal trace / Frobenius sums; deterministic IEEE
+    # conversions, one square and one division over identical operands
+    ("g5_effective_rank", "trace"),
+    ("g5_effective_rank", "effective_rank"),
 }
 
 #: Accumulation forms that are exact without ROUND:

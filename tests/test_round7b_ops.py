@@ -691,3 +691,29 @@ def test_a14_matches_python_order_statistics(spark):
         assert r.n_outliers == sum(1 for d in devs if d > MAD_K * mad)
         # uniform balances can legitimately yield 0 outliers at 3*MAD
         assert 0 <= r.n_outliers < r.n
+
+
+# ---------------------------------------------------------------------------
+# g5 — effective rank
+# ---------------------------------------------------------------------------
+
+
+def test_g5_bounds_and_numpy_cross_check(spark):
+    """1 <= PR <= GRAM_DIM always (Cauchy-Schwarz on the eigenvalue
+    vector); the value agrees with a NumPy eigendecomposition of the
+    exact Gram to float tolerance; n_vectors matches the table."""
+    import numpy as np
+
+    from bc_proj3_spark.operators.linalg import GRAM_DIM, g5_effective_rank
+    from bc_proj3_spark.plans.tables import table
+
+    [r] = g5_effective_rank(spark, SF_DIR).collect()
+    emb = table(spark, SF_DIR, "embeddings").select("embedding").collect()
+    X = np.array([e.embedding for e in emb], dtype=np.float64)
+    assert r.n_vectors == X.shape[0]
+    G = X.T @ X
+    lam = np.linalg.eigvalsh(G)
+    pr = lam.sum() ** 2 / (lam**2).sum()
+    assert 1.0 <= r.effective_rank <= GRAM_DIM
+    assert abs(r.trace - np.trace(G)) < 1e-3 * abs(np.trace(G))
+    assert abs(r.effective_rank - pr) < 1e-4 * pr

@@ -65,6 +65,7 @@ SF01_QUERIES = [
     "stat3_ks_test",  # scaled-integer ECDF gap grows with sample product
     "g4_rich_club",  # nk^2 decimal products convert to double
     "stat4_bootstrap_ci",  # order statistics over 20 resample-mean doubles
+    "g5_effective_rank",  # double-heavy decimal-lattice Gram reductions
 ]
 
 
