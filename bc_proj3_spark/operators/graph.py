@@ -884,9 +884,13 @@ def g3_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    # deg feeds both stamp joins and the node count: persist it (node-
+    # sized) so the directed list — two passes over the cached edge
+    # list — aggregates ONCE, not once per reference (r6 shared-subplan
+    # discipline; the r7 FileScan/IMTS audit caught the recompute)
     deg = directed.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
-    )
+    ).persist()
     stamped = (
         directed.join(deg.withColumnRenamed("node", "src"), "src")
         .withColumnRenamed("d", "x")
@@ -1015,9 +1019,11 @@ def g4_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed = edges.select(F.col("u").alias("src")).union(
         edges.select(F.col("v").alias("src"))
     )
+    # persist deg (g3's discipline): it feeds both stamp joins and the
+    # per-threshold rich-node census
     deg = directed.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
-    )
+    ).persist()
     stamped = (
         edges.join(
             deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"

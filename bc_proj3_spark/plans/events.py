@@ -2152,8 +2152,14 @@ def e21_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).union(
         iv.select((F.col("e") + 1).alias("t"), F.lit(-1).alias("d"))
     )
-    net = pts.groupBy("t").agg(F.sum("d").alias("nd")).withColumn(
-        "bkt", F.expr(f"t DIV {SWEEP_BUCKET_US}")
+    # net feeds both the bucket-offset aggregate and the cumulative
+    # pass: persist it (distinct-times-sized) so the corpus-wide delta
+    # aggregation runs once (r7 FileScan/IMTS audit)
+    net = (
+        pts.groupBy("t")
+        .agg(F.sum("d").alias("nd"))
+        .withColumn("bkt", F.expr(f"t DIV {SWEEP_BUCKET_US}"))
+        .persist()
     )
     w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
