@@ -1390,3 +1390,85 @@ def dq9_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(2) * F.col("n_c") * F.col("n") * T_CLOSE_NUM
         ).alias("meets_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dp2 — differentially-private mean release (clamp + binomial mechanism)
+# ---------------------------------------------------------------------------
+
+#: clamp bounds for the balance column, in cents: the sum's
+#: L1-sensitivity is exactly DP_CLAMP_HI - DP_CLAMP_LO per individual
+DP_CLAMP_LO = 0
+DP_CLAMP_HI = 1_000_000
+
+#: noise multiplier for the clamped-sum release: one binomial draw
+#: (sigma ~ 3.87) scaled to ~ sigma x 38,700 cents — proportionate to
+#: the 10^6-cent sensitivity the clamp enforces
+DP_SUM_SCALE = 10_000
+
+_DP2_ORACLE = f"""
+WITH g AS (
+  SELECT c_mktsegment,
+         COUNT(*) AS n,
+         SUM(LEAST(GREATEST(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT),
+                            {DP_CLAMP_LO}), {DP_CLAMP_HI})) AS s
+  FROM customer
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       CAST(n + bit_count(({sql_hash60(_sql_seeded('dp2n',
+           'c_mktsegment'))})) - {DP_SHIFT} AS BIGINT) AS noisy_n,
+       CAST(s + (bit_count(({sql_hash60(_sql_seeded('dp2s',
+           'c_mktsegment'))})) - {DP_SHIFT}) * {DP_SUM_SCALE} AS DOUBLE)
+         / CAST(100 * (n + bit_count(({sql_hash60(_sql_seeded('dp2n',
+           'c_mktsegment'))})) - {DP_SHIFT}) AS DOUBLE) AS noisy_mean
+FROM g
+"""
+
+
+@register("dp2_dp_mean", _DP2_ORACLE)
+def dp2_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private mean balance per segment, completing dp1:
+    the mean is released as noisy_sum / noisy_count with the value
+    column CLAMPED to [lo, hi] first — the clamp is what gives the sum
+    a finite sensitivity (hi - lo per individual), without it no noise
+    level is ever private. Both noise draws use dp1's binomial
+    mechanism (popcount of a keyed 60-bit hash - 30), with the sum's
+    draw scaled to the clamp range; independent seeds for the count
+    and sum channels ('dp2n'/'dp2s') so the two releases don't leak
+    through correlation.
+
+    Exactness: clamp, sums, and both noise channels are pure integer
+    arithmetic — both engines emit the identical release; noisy_mean
+    is ONE IEEE division of two exact integers (EXACT_DOUBLE_OK).
+
+    Scale shape: one combiner-absorbed groupBy on the segment key;
+    noise is a group-key expression added after aggregation; output
+    bounded by the segment domain at any corpus size."""
+    from bc_proj3_spark.functions.hashing import hash60
+    from bc_proj3_spark.operators.sampling import _seeded
+
+    cust = table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    clamped = F.least(
+        F.greatest(cents, F.lit(DP_CLAMP_LO)), F.lit(DP_CLAMP_HI)
+    )
+    g = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(clamped).alias("s")
+    )
+    noise_n = (
+        F.bit_count(hash60(_seeded("dp2n", F.col("c_mktsegment"))))
+        - DP_SHIFT
+    )
+    noise_s = (
+        F.bit_count(hash60(_seeded("dp2s", F.col("c_mktsegment"))))
+        - DP_SHIFT
+    ) * DP_SUM_SCALE
+    return g.select(
+        "c_mktsegment",
+        (F.col("n") + noise_n).cast("bigint").alias("noisy_n"),
+        (
+            (F.col("s") + noise_s).cast("double")
+            / (F.lit(100) * (F.col("n") + noise_n)).cast("double")
+        ).alias("noisy_mean"),
+    )

@@ -2185,3 +2185,119 @@ def e21_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("bigint").alias("peak_concurrent"),
         F.col("t").cast("bigint").alias("first_peak_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts9 — lagged cross-correlation between two event-type volume series
+# ---------------------------------------------------------------------------
+
+#: the hypothesized leading / lagging series
+XCORR_LEAD = "view"
+XCORR_LAG_TYPE = "purchase"
+
+#: lags evaluated: does today's lead-series volume predict the lagging
+#: series 0..MAX_XCORR_LAG days later?
+MAX_XCORR_LAG = 6
+
+_TS9_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events
+  WHERE event_type IN ('{XCORR_LEAD}', '{XCORR_LAG_TYPE}')
+  GROUP BY event_type, CAST(ts AS DATE)
+),
+a AS (SELECT day, n_events AS x FROM daily WHERE event_type = '{XCORR_LEAD}'),
+b AS (SELECT day, n_events AS y FROM daily
+      WHERE event_type = '{XCORR_LAG_TYPE}'),
+pairs AS (
+  SELECT l.lag, CAST(a.x AS HUGEINT) AS x, CAST(b.y AS HUGEINT) AS y
+  FROM a
+  CROSS JOIN (SELECT UNNEST(range(0, {MAX_XCORR_LAG + 1})) AS lag) l
+  JOIN b ON b.day = a.day + CAST(l.lag AS INT)
+),
+m AS (
+  SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / SQRT(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE))
+         AS xcorr
+FROM m
+WHERE n >= 2 AND n * sxx > sx * sx AND n * syy > sy * sy
+"""
+
+
+@register("ts9_cross_correlation", _TS9_ORACLE)
+def ts9_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged Pearson cross-correlation between the daily volume of a
+    hypothesized LEADING event type (views) and a LAGGING one
+    (purchases) at lags 0..6 days: the lag with the peak says how far
+    ahead browsing volume predicts buying volume — the cheap
+    lead-indicator screen to run before building any forecasting
+    feature on top of e3's attribution joins. Pairs are formed on
+    observed days only (x_t, y_{{t+l}}); degenerate lags (under two
+    pairs or zero variance) are dropped identically on both engines.
+
+    Exactness: the five moments per lag are exact DECIMAL(38,0)/
+    HUGEINT sums; xcorr is the deterministic IEEE chain num / sqrt(den)
+    where num and den are exactly-computed integers converted once —
+    IEEE sqrt and division are correctly rounded on both engines, so
+    the doubles are bit-identical (EXACT_DOUBLE_OK; no unordered
+    double accumulation anywhere).
+
+    Scale shape: one type-filtered corpus scan collapses to the
+    (type, day) aggregate (predicate pushed to the scan); the lag
+    dimension fans out MAP-SIDE on the tiny lead-series table (one
+    plan branch, ts6's lesson) into ONE equi-join on calendar day
+    (date-span-bounded sides); the moment aggregate is bounded by the
+    lag count."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin(XCORR_LEAD, XCORR_LAG_TYPE))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .persist()
+    )
+    a = daily.filter(F.col("event_type") == XCORR_LEAD).select(
+        "day", F.col("n_events").alias("x")
+    )
+    b = daily.filter(F.col("event_type") == XCORR_LAG_TYPE).select(
+        F.col("day").alias("bday"), F.col("n_events").alias("y")
+    )
+    fanned = a.select(
+        "day",
+        "x",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(MAX_XCORR_LAG))
+        ).alias("lag"),
+    ).withColumn("tday", F.date_add(F.col("day"), F.col("lag")))
+    pairs = fanned.join(b, fanned["tday"] == b["bday"]).select(
+        "lag",
+        F.col("x").cast("decimal(38,0)").alias("x"),
+        F.col("y").cast("decimal(38,0)").alias("y"),
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        m.filter((F.col("n") >= 2) & (denx > 0) & (deny > 0))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").cast("bigint").alias("n_pairs"),
+            (
+                num.cast("double") / F.sqrt((denx * deny).cast("double"))
+            ).alias("xcorr"),
+        )
+    )

@@ -163,6 +163,8 @@ STRICT_VALUE_QUERIES = [
     "e21_peak_concurrency",
     "a14_mad_outliers",
     "g5_effective_rank",
+    "ts9_cross_correlation",
+    "dp2_dp_mean",
 ]
 
 

@@ -106,6 +106,11 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     # conversions, one square and one division over identical operands
     ("g5_effective_rank", "trace"),
     ("g5_effective_rank", "effective_rank"),
+    # exact integer moments; num / sqrt(den) is a deterministic IEEE
+    # chain (correctly-rounded sqrt + one division) on both engines
+    ("ts9_cross_correlation", "xcorr"),
+    # integer-exact DP release; one IEEE division
+    ("dp2_dp_mean", "noisy_mean"),
 }
 
 #: Accumulation forms that are exact without ROUND:

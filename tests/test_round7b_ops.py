@@ -717,3 +717,98 @@ def test_g5_bounds_and_numpy_cross_check(spark):
     assert 1.0 <= r.effective_rank <= GRAM_DIM
     assert abs(r.trace - np.trace(G)) < 1e-3 * abs(np.trace(G))
     assert abs(r.effective_rank - pr) < 1e-4 * pr
+
+
+# ---------------------------------------------------------------------------
+# ts9 — cross-correlation
+# ---------------------------------------------------------------------------
+
+
+def test_ts9_matches_numpy_and_bounds(spark):
+    """|xcorr| <= 1 at every lag; lag-0 (and every lag) agrees with a
+    NumPy Pearson correlation over the same matched day pairs."""
+    import numpy as np
+
+    from bc_proj3_spark.plans.events import (
+        MAX_XCORR_LAG,
+        XCORR_LAG_TYPE,
+        XCORR_LEAD,
+        ts9_cross_correlation,
+    )
+    from bc_proj3_spark.plans.tables import table
+
+    rows = {r.lag: r for r in ts9_cross_correlation(spark, SF_DIR).collect()}
+    assert rows and set(rows) <= set(range(MAX_XCORR_LAG + 1))
+    daily = (
+        table(spark, SF_DIR, "events")
+        .filter(F.col("event_type").isin(XCORR_LEAD, XCORR_LAG_TYPE))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .collect()
+    )
+    a, b = {}, {}
+    for r in daily:
+        (a if r.event_type == XCORR_LEAD else b)[r.day.toordinal()] = r["count"]
+    for lag, r in rows.items():
+        xs, ys = [], []
+        for d, x in a.items():
+            if d + lag in b:
+                xs.append(x)
+                ys.append(b[d + lag])
+        assert r.n_pairs == len(xs)
+        ref = np.corrcoef(xs, ys)[0, 1]
+        assert abs(r.xcorr - ref) < 1e-9
+        assert abs(r.xcorr) <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# dp2 — DP mean
+# ---------------------------------------------------------------------------
+
+
+def test_dp2_noise_bounds_and_replay(spark):
+    """The release replays exactly in Python (clamp, md5 popcount
+    noise, one division); noise never exceeds the binomial mechanism's
+    hard bounds (|noise_n| <= 30, |noise_s| <= 30 * DP_SUM_SCALE)."""
+    import hashlib
+
+    from bc_proj3_spark.operators.quality import (
+        DP_CLAMP_HI,
+        DP_CLAMP_LO,
+        DP_SHIFT,
+        DP_SUM_SCALE,
+        dp2_dp_mean,
+    )
+    from bc_proj3_spark.plans.tables import table
+
+    rows = {r.c_mktsegment: r for r in dp2_dp_mean(spark, SF_DIR).collect()}
+    assert rows
+    cust = (
+        table(spark, SF_DIR, "customer")
+        .select(
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("v"),
+        )
+        .collect()
+    )
+
+    def noise(seed: str, seg: str) -> int:
+        h = int(
+            hashlib.md5(f"{seed}:{seg}".encode()).hexdigest()[:15], 16
+        )
+        return bin(h).count("1") - DP_SHIFT
+
+    segs = {}
+    for c in cust:
+        segs.setdefault(c.c_mktsegment, []).append(
+            min(max(c.v, DP_CLAMP_LO), DP_CLAMP_HI)
+        )
+    assert set(rows) == set(segs)
+    for seg, vs in segs.items():
+        r = rows[seg]
+        nn = len(vs) + noise("dp2n", seg)
+        ns = sum(vs) + noise("dp2s", seg) * DP_SUM_SCALE
+        assert r.noisy_n == nn
+        assert r.noisy_mean == ns / (100 * nn)
+        assert abs(r.noisy_n - len(vs)) <= DP_SHIFT
+        assert abs(ns - sum(vs)) <= DP_SHIFT * DP_SUM_SCALE

@@ -66,6 +66,7 @@ SF01_QUERIES = [
     "g4_rich_club",  # nk^2 decimal products convert to double
     "stat4_bootstrap_ci",  # order statistics over 20 resample-mean doubles
     "g5_effective_rank",  # double-heavy decimal-lattice Gram reductions
+    "ts9_cross_correlation",  # sqrt chain over >2^53 integer moment products
 ]
 
 
