@@ -280,6 +280,14 @@ AQE_OFF_QUERIES = [
     "e2_sessionization",
     "a13_weighted_median",
     "sk4_hll_estimate",
+    # r7 fourth-session plan families: the two-level bucketed prefix
+    # sum (offsets are computed per-bucket then broadcast — partition
+    # layout must not leak into the cumulative values) and the
+    # explicit-width bootstrap fan-out (whose repartition exists
+    # precisely because of AQE coalescing — values must be identical
+    # with AQE off entirely)
+    "stat3_ks_test",
+    "stat4_bootstrap_ci",
 ]
 
 
