@@ -245,3 +245,17 @@ def test_aggregated_doubles_are_round_wrapped(described):
         "DOUBLE outputs built from double aggregates must be "
         f"ROUND-wrapped on both engines (or EXACT_DOUBLE_OK'd): {bad}"
     )
+
+
+def test_exact_double_ok_entries_are_live(described):
+    """Every EXACT_DOUBLE_OK exemption must name a registered query and
+    one of its actual oracle output columns — a stale or misspelled
+    entry would silently re-open the unrounded-aggregate lint hole for
+    the column it was meant to cover."""
+    stale = [
+        (name, col)
+        for name, col in EXACT_DOUBLE_OK
+        if name not in described
+        or col not in {c for c, _ in described[name]}
+    ]
+    assert not stale, f"EXACT_DOUBLE_OK entries match nothing: {stale}"
