@@ -1472,3 +1472,119 @@ def dp2_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(100) * (F.col("n") + noise_n)).cast("double")
         ).alias("noisy_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cal2 — isotonic (PAV) calibration of a monotone rate curve
+# ---------------------------------------------------------------------------
+
+#: length-bin width in characters; bins are LEAST(9, n_chars DIV width)
+CAL2_BIN_CHARS = 100
+
+_CAL2_ORACLE = f"""
+WITH bins AS (
+  SELECT LEAST(9, CAST(n_chars // {CAL2_BIN_CHARS} AS INTEGER)) AS bin,
+         COUNT(*) AS w,
+         SUM(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS s
+  FROM documents GROUP BY LEAST(9, CAST(n_chars // {CAL2_BIN_CHARS} AS INTEGER))
+),
+cum AS (
+  SELECT bin, w, s,
+         SUM(w) OVER (ORDER BY bin) AS cw,
+         SUM(s) OVER (ORDER BY bin) AS cs
+  FROM bins
+),
+pairs AS (
+  SELECT j.bin AS j, k.bin AS k,
+         CAST(k.cs - (j.cs - j.s) AS DOUBLE)
+           / CAST(k.cw - (j.cw - j.w) AS DOUBLE) AS avgjk
+  FROM cum j JOIN cum k ON j.bin <= k.bin
+),
+mins AS (
+  SELECT i.bin AS bin, p.j, MIN(p.avgjk) AS mn
+  FROM bins i JOIN pairs p ON p.j <= i.bin AND p.k >= i.bin
+  GROUP BY i.bin, p.j
+),
+fit AS (SELECT bin, MAX(mn) AS iso_rate FROM mins GROUP BY bin)
+SELECT b.bin,
+       CAST(b.w AS BIGINT) AS n_docs,
+       CAST(b.s AS DOUBLE) / b.w AS raw_rate,
+       f.iso_rate
+FROM bins b JOIN fit f ON b.bin = f.bin
+"""
+
+
+@register("cal2_isotonic_calibration", _CAL2_ORACLE)
+def cal2_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (pool-adjacent-violators) of a label rate
+    over an ordered feature: the weighted monotone fit of P(contains
+    'spark' | length bin). cal1 DIAGNOSES miscalibration (reliability
+    bins); this is the REPAIR step - the classic distribution-free
+    recalibration map applied to a score before sp5-style temperature
+    sampling consumes it as a probability. The fit uses the max-min
+    characterization fitted[i] = max_(j<=i) min_(k>=i) pooledrate(j,k),
+    which is the exact PAV solution without any sequential pooling
+    loop.
+
+    Exactness: per-bin weights and label sums are exact integers; each
+    pooled rate is ONE IEEE division of two exact cumulative-integer
+    differences - deterministic on both engines - and the min/max
+    lattice over those identical doubles selects identically
+    (EXACT_DOUBLE_OK; cur1's no-interpolation rule holds - no pooled
+    rate is ever interpolated or re-accumulated in floating point).
+
+    Scale shape: the corpus scan collapses map-side-combinably to 10
+    bin rows; every subsequent join (the triangular (j,k) pair grid
+    and the (i, pair) cover grid) is bounded at B^2 = 100 and B^3/2
+    rows for B = 10 bins REGARDLESS of corpus size - BNLJ over
+    broadcast 10-row tables is the intended plan (gated in
+    test_plans._BNLJ_OK). Corpus size affects only the first
+    aggregate's map side."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    bins = (
+        docs.groupBy(
+            F.least(
+                F.lit(9),
+                F.expr(f"n_chars DIV {CAL2_BIN_CHARS}").cast("int"),
+            ).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("w"),
+            F.sum(
+                F.when(F.col("text").contains("spark"), 1).otherwise(0)
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "w",
+        "s",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("s").over(w_cum).alias("cs"),
+    )
+    j, k = cum.alias("j"), cum.alias("k")
+    pairs = j.join(k, F.col("j.bin") <= F.col("k.bin")).select(
+        F.col("j.bin").alias("j"),
+        F.col("k.bin").alias("k"),
+        (
+            (F.col("k.cs") - (F.col("j.cs") - F.col("j.s"))).cast("double")
+            / (F.col("k.cw") - (F.col("j.cw") - F.col("j.w"))).cast("double")
+        ).alias("avgjk"),
+    )
+    mins = (
+        bins.select(F.col("bin").alias("i"))
+        .join(pairs, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("avgjk").alias("mn"))
+    )
+    fit = mins.groupBy("i").agg(F.max("mn").alias("iso_rate"))
+    return bins.join(fit, bins.bin == fit.i).select(
+        "bin",
+        F.col("w").cast("bigint").alias("n_docs"),
+        (F.col("s").cast("double") / F.col("w")).alias("raw_rate"),
+        "iso_rate",
+    )

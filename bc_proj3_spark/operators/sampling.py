@@ -1098,3 +1098,134 @@ def sp14_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sp15 — padded-batch waste: length-sorted vs random batching
+# ---------------------------------------------------------------------------
+
+#: data-loader geometry: documents are batched BATCH_SIZE at a time
+#: within each of BATCH_SHARDS independent loader shards (a real
+#: multi-worker loader batches per worker, never globally).
+BATCH_SIZE = 32
+BATCH_SHARDS = 16
+
+_SP15_H = sql_hash60(_sql_seeded("bat", "CAST(doc_id AS VARCHAR)"))
+
+_SP15_ORACLE = f"""
+WITH lens AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS ln,
+         {_SP15_H} AS h
+  FROM documents
+),
+stacked AS (
+  SELECT 'sorted' AS strategy, h % {BATCH_SHARDS} AS shard, ln,
+         ROW_NUMBER() OVER (
+           PARTITION BY h % {BATCH_SHARDS} ORDER BY ln, doc_id) AS rn
+  FROM lens
+  UNION ALL
+  SELECT 'random', h % {BATCH_SHARDS}, ln,
+         ROW_NUMBER() OVER (
+           PARTITION BY h % {BATCH_SHARDS} ORDER BY h, doc_id)
+  FROM lens
+),
+batches AS (
+  SELECT strategy, shard, (rn - 1) // {BATCH_SIZE} AS b,
+         COUNT(*) AS cnt, MAX(ln) AS mx, SUM(ln) AS tok
+  FROM stacked GROUP BY strategy, shard, (rn - 1) // {BATCH_SIZE}
+)
+SELECT strategy,
+       CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_batches,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(mx * cnt) AS BIGINT) AS padded_tokens,
+       CAST(SUM(mx * cnt - tok) AS BIGINT) AS waste_tokens,
+       CAST(SUM(mx * cnt - tok) AS DOUBLE)
+         / CAST(SUM(mx * cnt) AS DOUBLE) AS waste_frac
+FROM batches GROUP BY strategy
+"""
+
+
+@register("sp15_length_bucketing", _SP15_ORACLE)
+def sp15_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste ledger for the two classic data-loader batching
+    strategies: hash-random batches vs length-sorted batches, at
+    BATCH_SIZE docs per batch within BATCH_SHARDS loader shards. A
+    padded batch costs max-length x batch-size tokens of compute;
+    the delta between the two waste_frac numbers is the training
+    throughput a curator buys by sorting before batching (typically
+    2-5x less padding) - the number that justifies sp4's packing or
+    this op's cheaper sort-within-shard alternative.
+
+    Exactness: token lengths (t5's whitespace contract), batch
+    membership (seeded-hash shard + within-shard rank on a total
+    order), and all waste sums are exact integers; waste_frac is ONE
+    IEEE division of two exact BIGINTs (EXACT_DOUBLE_OK).
+
+    Scale shape: ONE corpus scan fans both strategies out map-side
+    (explode of two (strategy, sort-key) structs); the only wide
+    exchange is the window partitioned by (strategy, shard) - batching
+    is per-shard BY CONSTRUCTION (as a real multi-worker loader
+    batches), so no global sort exists at any corpus size and shard
+    count is the parallelism knob; the per-batch and per-strategy
+    aggregates ride the window's partitioning combiner-absorbed."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    h = hash60(_seeded("bat", F.col("doc_id").cast("string")))
+    lens = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ln"),
+        h.alias("h"),
+    )
+    stacked = lens.select(
+        "doc_id",
+        "ln",
+        (F.col("h") % BATCH_SHARDS).alias("shard"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("sorted").alias("strategy"), F.col("ln").alias("k1")
+                ),
+                F.struct(
+                    F.lit("random").alias("strategy"), F.col("h").alias("k1")
+                ),
+            )
+        ).alias("sk"),
+    ).select(
+        F.col("sk.strategy").alias("strategy"),
+        "shard",
+        "ln",
+        F.col("sk.k1").alias("k1"),
+        "doc_id",
+    )
+    w = Window.partitionBy("strategy", "shard").orderBy("k1", "doc_id")
+    batches = (
+        stacked.select(
+            "strategy",
+            "shard",
+            "ln",
+            ((F.row_number().over(w) - 1) / BATCH_SIZE)
+            .cast("bigint")
+            .alias("b"),
+        )
+        .groupBy("strategy", "shard", "b")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("ln").alias("mx"),
+            F.sum("ln").alias("tok"),
+        )
+    )
+    pad = F.col("mx") * F.col("cnt")
+    return batches.groupBy("strategy").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+        F.sum(pad).cast("bigint").alias("padded_tokens"),
+        F.sum(pad - F.col("tok")).cast("bigint").alias("waste_tokens"),
+        (
+            F.sum(pad - F.col("tok")).cast("double")
+            / F.sum(pad).cast("double")
+        ).alias("waste_frac"),
+    )

@@ -1441,3 +1441,300 @@ def a14_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_outliers").cast("bigint").alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a16 — Gini / concentration of customer spend per segment
+# ---------------------------------------------------------------------------
+
+#: spend-value bucket width (cents >> 20) for the two-level prefix sum —
+#: per-customer lifetime spend spans a wider domain than a balance
+#: column, so the bucket grid is coarser than stat3's (the bucket COUNT
+#: stays bounded by the value domain, never by corpus size).
+GINI_BUCKET_SHIFT = 20
+
+_A16_ORACLE = """
+WITH spend AS (
+  SELECT c_mktsegment AS seg, o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY seg, o_custkey
+),
+pv AS (SELECT seg, v, COUNT(*) AS cnt FROM spend GROUP BY seg, v),
+cum AS (
+  SELECT seg, v, cnt,
+         SUM(cnt) OVER (PARTITION BY seg ORDER BY v) AS c
+  FROM pv
+),
+tot AS (
+  SELECT seg, CAST(SUM(cnt) AS BIGINT) AS n,
+         SUM(CAST(v AS HUGEINT) * cnt) AS t
+  FROM pv GROUP BY seg
+),
+terms AS (
+  SELECT c.seg,
+         SUM(CAST(c.v AS HUGEINT)
+             * (2 * c.cnt * (c.c - c.cnt) + c.cnt * (c.cnt + 1))) AS s2,
+         SUM(CAST(c.v AS HUGEINT)
+             * GREATEST(LEAST(t.n // 10 - (t.n - c.c), c.cnt), 0)) AS topk
+  FROM cum c JOIN tot t ON c.seg = t.seg
+  GROUP BY c.seg
+)
+SELECT t.seg AS c_mktsegment,
+       t.n AS n_customers,
+       CAST(t.t AS DOUBLE) / 100 AS total_spend,
+       CAST(terms.s2 - (t.n + 1) * t.t AS DOUBLE)
+         / CAST(t.n * t.t AS DOUBLE) AS gini,
+       CAST(terms.topk AS DOUBLE) / CAST(t.t AS DOUBLE) AS top_decile_share
+FROM tot t JOIN terms ON t.seg = terms.seg
+"""
+
+
+@register("a16_gini_concentration", _A16_ORACLE)
+def a16_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-concentration profile per customer segment: Gini
+    coefficient of per-customer lifetime spend plus the share held by
+    the top decile of customers. The corpus-curation twin is source
+    concentration — a mixture whose Gini drifts toward 1 is becoming a
+    single-source corpus however many sources it nominally lists — and
+    the same two numbers are how revenue teams read whale-dependence.
+    prof3 reports the shares themselves; this collapses them into the
+    two scalars a dashboard can alarm on.
+
+    Exactness: per-customer spend is an exact BIGINT cents sum. With
+    values sorted ascending, ties carrying equal values make
+    sum(i * x_i) permutation-invariant, and a tie block with prior
+    cumulative count p and multiplicity m contributes exactly
+    x * (2*m*p + m*(m+1)) to 2*sum(i*x_i) — so gini =
+    (2*sum(i*x_i) - (n+1)*T) / (n*T) has exact DECIMAL(38,0)/HUGEINT
+    numerator and denominator and is ONE IEEE division
+    (EXACT_DOUBLE_OK, g3's convention); top_decile_share takes
+    max(0, min(k - rows_above, m)) customers from each block at
+    k = n DIV 10 — all-integer selection, one division.
+
+    Scale shape: orders collapses map-side-combinably to per-customer
+    totals (one key shuffle shared with the customer join), then to
+    the (seg, distinct-spend) count table, which is localCheckpointed
+    (it feeds totals, bucket offsets, and the ranked pass — one
+    FileScan per input). The ranked cumulative count runs stat3's
+    TWO-LEVEL prefix sum — per-bucket totals (cents >> 20) get a tiny
+    running-total window broadcast back as offsets; the per-value
+    window is PARTITIONED BY (seg, bucket) — never a single-partition
+    global sort even at 10^9 customers. The 5-row totals broadcast
+    back onto the collapsed table only."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("v")
+        )
+    )
+    pv = (
+        spend.groupBy("seg", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bkt", F.shiftright("v", GINI_BUCKET_SHIFT))
+        .localCheckpoint(eager=True)
+    )
+    tot = pv.groupBy("seg").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("cnt")).alias("t"),
+    )
+    w_bkt = (
+        Window.partitionBy("seg")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        pv.groupBy("seg", "bkt")
+        .agg(F.sum("cnt").alias("tc"))
+        .select(
+            "seg",
+            "bkt",
+            F.coalesce(F.sum("tc").over(w_bkt), F.lit(0)).alias("off"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("seg", "bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = pv.join(F.broadcast(offsets), ["seg", "bkt"]).select(
+        "seg",
+        "v",
+        "cnt",
+        (F.col("off") + F.sum("cnt").over(w_in)).alias("c"),
+    )
+    k = F.expr("n DIV 10")
+    take = F.greatest(
+        F.least(k - (F.col("n") - F.col("c")), F.col("cnt")), F.lit(0)
+    )
+    terms = (
+        cum.join(F.broadcast(tot), "seg")
+        .groupBy("seg")
+        .agg(
+            F.sum(
+                F.col("v").cast("decimal(38,0)")
+                * (
+                    2 * F.col("cnt") * (F.col("c") - F.col("cnt"))
+                    + F.col("cnt") * (F.col("cnt") + 1)
+                )
+            ).alias("s2"),
+            F.sum(F.col("v").cast("decimal(38,0)") * take).alias("topk"),
+        )
+    )
+    num = F.col("s2") - (F.col("n") + 1).cast("decimal(38,0)") * F.col("t")
+    den = F.col("n").cast("decimal(38,0)") * F.col("t")
+    return tot.join(terms, "seg").select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("n").cast("bigint").alias("n_customers"),
+        (F.col("t").cast("double") / 100).alias("total_spend"),
+        (num.cast("double") / den.cast("double")).alias("gini"),
+        (F.col("topk").cast("double") / F.col("t").cast("double")).alias(
+            "top_decile_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat5 — Mann–Whitney U (rank-sum) test between customer segments
+# ---------------------------------------------------------------------------
+
+_STAT5_ORACLE = f"""
+WITH pts AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+         CASE WHEN c_mktsegment = '{KS_SEG_A}' THEN 1 ELSE 0 END AS a,
+         CASE WHEN c_mktsegment = '{KS_SEG_B}' THEN 1 ELSE 0 END AS b
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+),
+pv AS (
+  SELECT v, SUM(a) AS ca, SUM(b) AS cb FROM pts GROUP BY v
+),
+cum AS (
+  SELECT v, ca, cb, ca + cb AS m,
+         SUM(ca + cb) OVER (ORDER BY v) - (ca + cb) AS p
+  FROM pv
+),
+agg AS (
+  SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+         CAST(SUM(cb) AS HUGEINT) AS nb,
+         SUM(CAST(ca AS HUGEINT) * (2 * p + m + 1)) AS r2a,
+         SUM(CAST(m AS HUGEINT) * m * m - m) AS t3
+  FROM cum
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+       CAST(r2a - na * (na + 1) AS DOUBLE) / 2 AS u_a,
+       CAST(r2a - na * (na + 1) - na * nb AS DOUBLE)
+         / (2 * SQRT(
+             (CAST(na * nb AS DOUBLE)
+              / CAST(12 * (na + nb) * (na + nb - 1) AS DOUBLE))
+             * CAST((na + nb) * (na + nb) * (na + nb) - (na + nb) - t3
+                    AS DOUBLE)
+           )) AS z
+FROM agg
+"""
+
+
+@register("stat5_mann_whitney", _STAT5_ORACLE)
+def stat5_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two customer
+    segments' order values, tie-corrected. Completes the two-sample
+    triad: stat2's Welch t compares means (and assumes the CLT has
+    kicked in), stat3's KS compares whole shapes (but over-rejects on
+    heavy discretization); the rank-sum U is the workhorse for skewed
+    money distributions - it tests stochastic dominance and is
+    invariant to any monotone transform of the values.
+
+    Exactness: doubled average ranks are exact integers (a tie block
+    with pooled prior count p and multiplicity m has 2*avgrank =
+    2p + m + 1), so 2*R_A = sum(ca * (2p + m + 1)) and u2_a =
+    2*U_A = 2*R_A - n_a*(n_a+1) are exact DECIMAL(38,0)/HUGEINT
+    integers; the tie correction sum(m^3 - m) likewise. z factors the
+    variance as (n_a*n_b / (12*N*(N-1))) * (N^3 - N - T3) so no
+    intermediate exceeds 38 digits below N ~ 2e12; both engines then
+    run the IDENTICAL IEEE chain div, mul, sqrt, div
+    (EXACT_DOUBLE_OK, ts9's num/sqrt(den) precedent).
+
+    Scale shape: stat3's collapse discipline - the segment-filtered
+    join collapses map-side-combinably to the distinct-cents table
+    (bounded by the value domain at any corpus size), localCheckpointed
+    once; the pooled prior count runs the TWO-LEVEL prefix sum
+    (per-bucket offsets broadcast back, per-value window PARTITIONED BY
+    bucket - no global single-partition window); one final 1-row
+    aggregate."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    pts = (
+        orders.join(
+            cust.filter(F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B)).select(
+                "c_custkey", "c_mktsegment"
+            ),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v"),
+            (F.col("c_mktsegment") == KS_SEG_A).cast("long").alias("a"),
+            (F.col("c_mktsegment") == KS_SEG_B).cast("long").alias("b"),
+        )
+    )
+    pv = (
+        pts.groupBy("v")
+        .agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+        .withColumn("m", F.col("ca") + F.col("cb"))
+        .withColumn("bkt", F.shiftright("v", KS_BUCKET_SHIFT))
+        .localCheckpoint(eager=True)
+    )
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        pv.groupBy("bkt")
+        .agg(F.sum("m").alias("tm"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("tm").over(w_bkt), F.lit(0)).alias("off"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = pv.join(F.broadcast(offsets), "bkt").select(
+        "ca",
+        "cb",
+        "m",
+        (F.col("off") + F.sum("m").over(w_in) - F.col("m")).alias("p"),
+    )
+    dec = "decimal(38,0)"
+    m_d = F.col("m").cast(dec)
+    agg = cum.agg(
+        F.sum("ca").cast(dec).alias("na"),
+        F.sum("cb").cast(dec).alias("nb"),
+        F.sum(
+            F.col("ca").cast(dec) * (2 * F.col("p") + F.col("m") + 1)
+        ).alias("r2a"),
+        F.sum(m_d * m_d * m_d - m_d).alias("t3"),
+    )
+    na, nb, r2a, t3 = F.col("na"), F.col("nb"), F.col("r2a"), F.col("t3")
+    nn = na + nb
+    u2 = r2a - na * (na + 1)
+    var = (
+        (na * nb).cast("double") / (12 * nn * (nn - 1)).cast("double")
+    ) * (nn * nn * nn - nn - t3).cast("double")
+    return agg.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        u2.cast("bigint").alias("u2_a"),
+        (u2.cast("double") / 2).alias("u_a"),
+        ((u2 - na * nb).cast("double") / (2 * F.sqrt(var))).alias("z"),
+    )

@@ -2301,3 +2301,213 @@ def ts9_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xcorr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e22 — ingest coverage gaps: missing hours per event type
+# ---------------------------------------------------------------------------
+
+_E22_ORACLE = """
+WITH idx AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h
+  FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+),
+bounds AS (
+  SELECT MIN(h) AS h0, MAX(h) AS h1 FROM idx
+),
+cal AS (
+  SELECT UNNEST(range(h0, h1 + 1)) AS h FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT t.event_type, c.h FROM types t CROSS JOIN cal c),
+miss AS (
+  SELECT g.event_type, g.h
+  FROM grid g LEFT JOIN idx i
+    ON g.event_type = i.event_type AND g.h = i.h
+  WHERE i.h IS NULL
+)
+SELECT t.event_type,
+       (SELECT CAST(h1 - h0 + 1 AS BIGINT) FROM bounds) AS n_hours_span,
+       (SELECT COUNT(*) FROM idx i WHERE i.event_type = t.event_type)
+         AS n_active_hours,
+       (SELECT COUNT(*) FROM miss m WHERE m.event_type = t.event_type)
+         AS n_missing_hours,
+       (SELECT make_timestamp(MIN(m.h) * 3600000000)
+        FROM miss m WHERE m.event_type = t.event_type) AS first_gap_hour
+FROM types t
+"""
+
+
+@register("e22_missing_hours", _E22_ORACLE)
+def e22_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest coverage-gap audit: for each event type, how many hours
+    of the platform's observed [first, last] hour range carry ZERO
+    events of that type, and when the first such gap opens. Every
+    downstream consumer of this table (e1's rollups, ts5-ts9's daily
+    series, the streaming drains) silently treats absence as zero —
+    this is the query that says whether zero means "no activity" or
+    "the collector was down", which is the first question any anomaly
+    in e12/e19 should be screened against.
+
+    Exactness: the hour index is floor(unix_micros / 3.6e9) — pure
+    integer arithmetic identical on both engines (no date_trunc /
+    timezone seam); all outputs are exact counts; the gap timestamp is
+    the index scaled back to epoch microseconds.
+
+    Scale shape: the corpus scan collapses map-side-combinably to the
+    (type, hour) table (bounded by span x type domain at any corpus
+    size). The calendar is explode(sequence(h0, h1)) off the 1-row
+    bounds aggregate (BNLJ-gated 1-row broadcast crossJoin) - the grid
+    is span-bounded, the anti-join and the final aggregates touch only
+    calendar-bounded rows; corpus size affects only the first
+    aggregate's map side."""
+    ev = table(spark, sf_dir, "events")
+    idx = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).alias("h"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    idx = idx.localCheckpoint(eager=True)
+    bounds = idx.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = idx.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    miss = grid.join(idx.select("event_type", "h"), ["event_type", "h"], "left_anti")
+    active = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_active_hours")
+    )
+    gaps = miss.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_missing_hours"),
+        F.min("h").alias("first_h"),
+    )
+    return (
+        active.join(gaps, "event_type", "left")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            (F.col("h1") - F.col("h0") + 1).cast("bigint").alias("n_hours_span"),
+            F.col("n_active_hours").cast("bigint").alias("n_active_hours"),
+            F.coalesce(F.col("n_missing_hours"), F.lit(0))
+            .cast("bigint")
+            .alias("n_missing_hours"),
+            F.timestamp_micros(F.col("first_h") * F.lit(3_600_000_000)).alias(
+                "first_gap_hour"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts10 — Theil–Sen robust trend of daily event volume
+# ---------------------------------------------------------------------------
+
+_TS10_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+x AS (
+  SELECT event_type,
+         CAST(day - MIN(day) OVER (PARTITION BY event_type) AS BIGINT) AS xi,
+         CAST(n_events AS BIGINT) AS yi
+  FROM daily
+),
+pairs AS (
+  SELECT a.event_type,
+         b.yi - a.yi AS dy,
+         b.xi - a.xi AS dx,
+         CAST(b.yi - a.yi AS DOUBLE) / CAST(b.xi - a.xi AS DOUBLE) AS slope
+  FROM x a JOIN x b
+    ON a.event_type = b.event_type AND a.xi < b.xi
+),
+ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY slope, dy, dx
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS np
+  FROM pairs
+),
+days AS (
+  SELECT event_type, COUNT(*) AS n_days FROM x GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(d.n_days AS BIGINT) AS n_days,
+       CAST(r.np AS BIGINT) AS n_pairs,
+       r.slope AS ts_slope
+FROM ranked r JOIN days d ON r.event_type = d.event_type
+WHERE r.rn = (r.np + 1) // 2
+"""
+
+
+@register("ts10_theil_sen", _TS10_ORACLE)
+def ts10_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event volume per type: the
+    median of all pairwise slopes. ts7's OLS slope has breakdown
+    point zero - one collector outage day (see e22) or one bot burst
+    (e16) drags the fitted trend arbitrarily; the Theil-Sen estimator
+    tolerates ~29% contaminated days, so the PAIR (ts7, ts10) is the
+    actual drift monitor: agreement means trust OLS's efficiency,
+    divergence means the days flagged by a14/e12 are driving it.
+
+    Exactness: each pairwise slope is ONE IEEE division of two exact
+    integers (dy/dx on the day-offset lattice) - deterministic and
+    identical on both engines; the median is an interpolation-FREE
+    lower-median order statistic (cur1's lesson) selected by the
+    total order (slope, dy, dx), so ties between equal doubles
+    resolve identically (EXACT_DOUBLE_OK).
+
+    Scale shape: the corpus collapses map-side-combinably to the
+    (type, day) table; the pair self-join and the ranking window run
+    over calendar-bounded rows (span^2/2 pairs per type - corpus-size
+    INDEPENDENT; ~400 rows per type here, bounded for any corpus at
+    the same date span). Corpus size affects only the first
+    aggregate's map side; no global sort ever sees fact rows."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w_t = Window.partitionBy("event_type")
+    x = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.min("day").over(w_t))
+        .cast("bigint")
+        .alias("xi"),
+        F.col("n_events").cast("bigint").alias("yi"),
+    ).localCheckpoint(eager=True)
+    a, b = x.alias("a"), x.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.xi") < F.col("b.xi")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("b.yi") - F.col("a.yi")).alias("dy"),
+        (F.col("b.xi") - F.col("a.xi")).alias("dx"),
+        (
+            (F.col("b.yi") - F.col("a.yi")).cast("double")
+            / (F.col("b.xi") - F.col("a.xi")).cast("double")
+        ).alias("slope"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("slope", "dy", "dx")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_t).alias("np"),
+    )
+    days = x.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        ranked.filter(F.col("rn") == F.expr("(np + 1) DIV 2"))
+        .join(F.broadcast(days), "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("np").cast("bigint").alias("n_pairs"),
+            F.col("slope").alias("ts_slope"),
+        )
+    )

@@ -111,6 +111,8 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     ("ts9_cross_correlation", "xcorr"),
     # integer-exact DP release; one IEEE division
     ("dp2_dp_mean", "noisy_mean"),
+    # exact BIGINT padded/waste token sums; one IEEE division
+    ("sp15_length_bucketing", "waste_frac"),
 }
 
 #: Accumulation forms that are exact without ROUND:

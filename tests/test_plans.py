@@ -68,6 +68,8 @@ _BNLJ_OK = {
     "dq9_t_closeness",  # 1-row global band-total frame crossed into classes
     "g4_rich_club",  # two 1-row threshold-count frames crossed
     "e21_peak_concurrency",  # 1-row session count crossed into 1-row peak
+    "e22_missing_hours",  # 1-row hour-bounds frame crossed into the grid
+    "cal2_isotonic_calibration",  # non-equi joins over broadcast 10-bin tables
 }
 
 #: streaming queries — their builders execute a full streaming job;
