@@ -1070,3 +1070,127 @@ def g4_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("nk") * (F.col("nk") - 1)).cast("double")
         ).alias("phi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g6 — k-core peeling census of the supported co-purchase graph
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3  # induced-degree floor a node needs to survive a peel
+KCORE_MIN_SUPPORT = 2  # edge keep-threshold: co-purchased in >= 2 orders
+KCORE_ROUNDS = 6  # unrolled peel rounds (census trajectory, cc3's style)
+
+
+def _g6_oracle() -> str:
+    head = f"""WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY u, v HAVING COUNT(*) >= {KCORE_MIN_SUPPORT}
+),
+a0 AS MATERIALIZED (
+  SELECT DISTINCT n FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) t
+)"""
+    steps, rows = [head], [
+        "SELECT 0 AS round, (SELECT COUNT(*) FROM a0) AS n_nodes,"
+        " (SELECT COUNT(*) FROM e0) AS n_edges"
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        p = i - 1
+        steps.append(f"""deg{i} AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM e{p} UNION ALL SELECT v FROM e{p}) t GROUP BY n
+),
+a{i} AS MATERIALIZED (SELECT n FROM deg{i} WHERE d >= {KCORE_K}),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM e{p}
+  WHERE u IN (SELECT n FROM a{i}) AND v IN (SELECT n FROM a{i})
+)""")
+        rows.append(
+            f"SELECT {i}, (SELECT COUNT(*) FROM a{i}),"
+            f" (SELECT COUNT(*) FROM e{i})"
+        )
+    return (
+        ",\n".join(steps)
+        + "\nSELECT CAST(round AS INTEGER) AS round,"
+        " CAST(n_nodes AS BIGINT) AS n_nodes,"
+        " CAST(n_edges AS BIGINT) AS n_edges FROM ("
+        + " UNION ALL ".join(rows)
+        + ") census"
+    )
+
+
+@register("g6_kcore", _g6_oracle())
+def g6_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling census of the support-thresholded co-purchase
+    graph: repeatedly delete nodes whose induced degree falls below
+    KCORE_K and report the (round, nodes, edges) trajectory. The
+    k-core is the standard "dense backbone" extractor - what survives
+    is the part of the graph where tc1's triangles and cc3's rank mass
+    concentrate, and the peel DEPTH at which a node dies (its coreness
+    round) is a robust centrality that, unlike raw degree, cannot be
+    inflated by pendant spam edges. The support>=KCORE_MIN_SUPPORT
+    edge filter is the principled sparsifier: a single shared order is
+    coincidence, repeated co-purchase is signal (mb1's lift logic).
+
+    Exactness: every quantity is an exact integer count; the peel is a
+    deterministic set fixpoint - no ordering, no floats - so both
+    engines' trajectories agree row-for-row (the oracle unrolls the
+    same KCORE_ROUNDS steps as MATERIALIZED CTEs, pi2's lesson).
+
+    Scale shape: the edge list shuffles once to build (support
+    aggregate); each peel round is one map-side-combinable degree
+    aggregate over the CURRENT edge list plus two semi joins against
+    the surviving-node set, and the edge list only ever SHRINKS -
+    per-round cost is O(current edges), the classic distributed
+    k-core schedule. Rounds are localCheckpointed eagerly (cc-family
+    O(1)-lineage discipline); the census rides those bounded per-round
+    jobs and assembles driver-side (KCORE_ROUNDS+1 rows of three
+    ints - a bounded collect, Bloom-literal precedent)."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= KCORE_MIN_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select("v"))
+        .distinct()
+        .count()
+    )
+    census = [(0, n_nodes, edges.count())]
+    e = edges
+    for i in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .union(e.select("v"))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= KCORE_K).select("n")
+        e = (
+            e.join(alive.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        census.append((i, alive.count(), e.count()))
+    return spark.createDataFrame(
+        [(int(r), int(n), int(m)) for r, n, m in census],
+        "round int, n_nodes long, n_edges long",
+    )

@@ -1012,3 +1012,147 @@ def s9_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0.0))
         ).alias("rr_top1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s10 — product-quantization codes + reconstruction error
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces (DIM/PQ_M = 16 dims each)
+PQ_K = 8  # sub-centroids per subspace (codes 0..7; s5's deterministic seeds)
+PQ_SUB = DIM // PQ_M
+
+
+def _sql_d2(a: str, b: str) -> str:
+    """Squared L2 over two DOUBLE[] lists — sequential fold, the same
+    IEEE order as the Spark twin below."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _d2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_S10_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+sub AS (
+  SELECT vec_id, m.m AS m, v[m.m * {PQ_SUB} + 1 : (m.m + 1) * {PQ_SUB}] AS sv
+  FROM e, (SELECT unnest(range(0, {PQ_M})) AS m) m
+),
+cb AS (
+  SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {PQ_K}
+),
+scored AS (
+  SELECT s.vec_id, s.m, cb.cid, {_sql_d2('s.sv', 'cb.cv')} AS d2
+  FROM sub s JOIN cb ON s.m = cb.m
+),
+best AS (
+  SELECT vec_id, m, cid, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+),
+packed AS (
+  SELECT vec_id,
+         list(cid ORDER BY m) AS code,
+         list_reduce(list(d2 ORDER BY m), (acc, x) -> acc + x) AS recon_err
+  FROM best GROUP BY vec_id
+)
+SELECT vec_id,
+       CAST(code[1] AS INTEGER) AS c0,
+       CAST(code[2] AS INTEGER) AS c1,
+       CAST(code[3] AS INTEGER) AS c2,
+       CAST(code[4] AS INTEGER) AS c3,
+       recon_err
+FROM packed
+"""
+
+
+@register("s10_pq_codes", _S10_ORACLE)
+def s10_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding of the embedding corpus: split
+    each vector into PQ_M subspaces, assign each subvector to its
+    nearest of PQ_K sub-centroids (squared L2, centroid-id tiebreak),
+    and emit the M-byte code plus the exact reconstruction error. PQ
+    is THE billion-vector scale path for the s-family — s1's exact
+    scan reads 256 bytes/vector, a PQ index reads M bytes and scans
+    codes with table lookups (ADC), so the SAME cluster holds 64x the
+    corpus; recon_err is the quality number that says how much recall
+    that compression will cost (s9 measures it end-to-end). Codebooks
+    are seeded deterministically from vec_id < PQ_K (s5's convention:
+    replaying a k-means++ RNG across engines buys nothing here);
+    refining them is s6's update step per subspace.
+
+    Exactness: every squared distance is a sequential fold over
+    doubles - the identical IEEE sequence on both engines - so the
+    (d2, cid) argmin selects identically; recon_err sums the M chosen
+    distances in subspace order via another sequential fold
+    (EXACT_DOUBLE_OK: deterministic scalar chain, never a parallel
+    accumulation).
+
+    Scale shape: the subspace fan-out is map-side (explode of M
+    slices); the codebook is PQ_M x PQ_K rows broadcast across ONE
+    corpus scan (corpus x K scored rows per subspace, never
+    corpus^2); the per-(vector, subspace) argmin is a map-side-
+    combinable MIN of the (d2, cid) struct - commutative, so Spark's
+    partial aggregation absorbs it before the only exchange, which
+    carries one row per (vector, subspace). At a billion vectors the
+    plan is one scan + one skinny shuffle."""
+    emb = fanout(table(spark, sf_dir, "embeddings"))
+    v = F.col("embedding").cast("array<double>")
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(v, m * PQ_SUB + 1, PQ_SUB).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    scored = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "cid", _d2(F.col("sv"), F.col("cv")).alias("d2")
+    )
+    best = scored.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d2", "cid")).alias("b")
+    )
+    packed = best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", F.col("b.cid").alias("cid")))),
+            lambda s: s.cid,
+        ).alias("code"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", F.col("b.d2").alias("d2")))),
+                lambda s: s.d2,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("recon_err"),
+    )
+    return packed.select(
+        "vec_id",
+        F.col("code")[0].cast("int").alias("c0"),
+        F.col("code")[1].cast("int").alias("c1"),
+        F.col("code")[2].cast("int").alias("c2"),
+        F.col("code")[3].cast("int").alias("c3"),
+        "recon_err",
+    )
