@@ -659,3 +659,183 @@ def g5_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("fro2").cast("double")
         ).alias("effective_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g7 — Johnson–Lindenstrauss random-projection distortion audit
+# ---------------------------------------------------------------------------
+
+import hashlib  # noqa: E402
+
+JL_DIM = 16  # target dimensionality (DIM -> JL_DIM, a 4x compression)
+JL_QUERIES = 5  # audit anchors: vec_id < JL_QUERIES (s1's query set)
+
+
+def _jl_sign(j: int, i: int) -> float:
+    """Deterministic ±1 projection entry — the md5-low-bit family
+    (similarity._hyperplane_sign's convention, its own 'jl' seed),
+    evaluated once in Python and baked into BOTH plans as literals."""
+    h = int(hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h & 1 else -1.0
+
+
+def _jl_row(j: int) -> list[float]:
+    return [_jl_sign(j, i) for i in range(DIM)]
+
+
+def _sql_jl_proj(v: str) -> str:
+    # flat ±v[i] addition chains (left-associative in both engines —
+    # the identical IEEE sequence as the Spark reduce below), not a
+    # list_reduce lambda: measured ~10x faster on both sides
+    comps = []
+    for j in range(JL_DIM):
+        terms = "".join(
+            ("+" if s > 0 else "-") + f"({v})[{i + 1}]"
+            for i, s in enumerate(_jl_row(j))
+        )
+        comps.append(f"({terms}) / 4.0")
+    return "[" + ",\n          ".join(comps) + "]"
+
+
+def _sql_jl_d2(a: str, b: str, n: int) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {n}), "
+        f"i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+_G7_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+proj AS (
+  SELECT vec_id, v, {_sql_jl_proj('v')} AS y FROM e
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, y AS qy FROM proj
+  WHERE vec_id < {JL_QUERIES}
+),
+ratios AS (
+  SELECT q.query_id,
+         {_sql_jl_d2('p.y', 'q.qy', JL_DIM)}
+           / {_sql_jl_d2('p.v', 'q.qv', DIM)} AS ratio
+  FROM proj p, q
+  WHERE p.vec_id <> q.query_id
+)
+SELECT query_id,
+       COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ROUND(ratio, 9) AS DECIMAL(28,10))) AS DOUBLE)
+             / COUNT(*), 9) AS mean_ratio,
+       MIN(ratio) AS min_ratio,
+       MAX(ratio) AS max_ratio,
+       ROUND(CAST(SUM(CASE WHEN ratio BETWEEN 0.8 AND 1.2
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 9) AS frac_in_band
+FROM ratios GROUP BY query_id
+"""
+
+
+@register("g7_jl_distortion", _G7_ORACLE)
+def g7_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss compression audit: project every
+    embedding through a fixed ±1/sqrt(k) matrix (DIM -> JL_DIM, 4x
+    smaller), then measure how squared pairwise distances to the s1
+    query anchors distort (ratio projected/original). This is the
+    dimension-compression twin of s10's code compression: PQ shrinks
+    BYTES per vector, JL shrinks the DIMENSION every distance
+    computation pays, and the distortion band (JL guarantees
+    1±eps w.h.p.) is the number that says whether the s2/s3 funnels
+    can run their candidate stage on 16-dim sketches. Signs come from
+    the md5 literal family — reproducible on any engine, no RNG state.
+
+    Determinism: each projected component and each squared distance
+    is a sequential fold over doubles (the similarity-family IEEE
+    convention), so every ratio is ONE deterministic division of two
+    deterministic scalars; min/max are selections; the mean follows
+    the round-then-decimal-sum convention; frac_in_band compares
+    identical doubles against literal bounds and ROUND-wraps its
+    integer ratio.
+
+    Scale shape: ONE corpus scan computes v and y map-side; the
+    JL_QUERIES anchor rows broadcast across it (s1's plan — corpus x
+    Q scored rows, never corpus^2); the summary is a Q-row
+    combiner-absorbed aggregate. At a billion vectors the projection
+    itself is the useful output and this audit rides the same scan.
+    One-time cost note: the 1024-term projection Project pays a ~15 s
+    per-JVM codegen/JIT compile on first execution (s1's warm-up
+    class, measured run0 18 s / run1+ 1.9 s at sf0.01) — a plan
+    constant, not a data cost."""
+    emb = fanout(table(spark, sf_dir, "embeddings"))
+    v = F.col("embedding").cast("array<double>")
+
+    def _proj_expr(name: str):
+        # flat left-associative ±v[i] chains — plain codegen'd
+        # arithmetic, NOT interpreted higher-order lambdas (the fold
+        # form measured ~10x slower and paid a pathological Janino
+        # compile), and ONE F.expr parse — not 1024 py4j Column calls
+        # (Column-by-Column construction alone cost ~5 s per build).
+        # The oracle writes the identical flat chain; Spark brackets
+        # are 0-based, DuckDB's 1-based.
+        comps = []
+        for j in range(JL_DIM):
+            terms = "".join(
+                ("+" if s > 0 else "-") + f"{name}[{i}]"
+                for i, s in enumerate(_jl_row(j))
+            )
+            comps.append(f"({terms}) / 4.0D")
+        return F.expr("array(" + ", ".join(comps) + ")")
+
+    def _d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # persist: the projected corpus feeds the anchor subset AND the
+    # pair scan — without the barrier Catalyst collapses the projection
+    # into the post-join stage and re-runs the 16 folds once per PAIR
+    # instead of once per vector (r6 shared-subplan discipline)
+    proj = (
+        emb.select("vec_id", v.alias("v"))
+        .select("vec_id", "v", _proj_expr("v").alias("y"))
+        .persist()
+    )
+    q = (
+        proj.filter(F.col("vec_id") < JL_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("y").alias("qy"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ratios = (
+        proj.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            (
+                _d2(F.col("y"), F.col("qy")) / _d2(F.col("v"), F.col("qv"))
+            ).alias("ratio"),
+        )
+    )
+    return ratios.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.round(F.col("ratio"), 9).cast("decimal(28,10)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_ratio"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
+        F.round(
+            F.sum(
+                F.when(F.col("ratio").between(0.8, 1.2), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("frac_in_band"),
+    )

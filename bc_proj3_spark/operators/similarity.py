@@ -1125,8 +1125,13 @@ def s10_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-    cb = sub.filter(F.col("vec_id") < PQ_K).select(
-        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    # PQ_M x PQ_K rows; materialized once so the broadcast side does
+    # not re-scan the corpus (r6 shared-subplan discipline, plan-pinned
+    # by test_round8_ops.test_s10_argmin_is_mapside_no_window)
+    cb = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
+        .localCheckpoint(eager=True)
     )
     scored = sub.join(F.broadcast(cb), "m").select(
         "vec_id", "m", "cid", _d2(F.col("sv"), F.col("cv")).alias("d2")

@@ -165,6 +165,18 @@ STRICT_VALUE_QUERIES = [
     "g5_effective_rank",
     "ts9_cross_correlation",
     "dp2_dp_mean",
+    # r8's new operators (outside the unchanged rotation prefix),
+    # pre-flighted at driver strictness before any prefix entry
+    "a16_gini_concentration",
+    "e22_missing_hours",
+    "ts10_theil_sen",
+    "stat5_mann_whitney",
+    "cal2_isotonic_calibration",
+    "sp15_length_bucketing",
+    "s10_pq_codes",
+    "g6_kcore",
+    "g7_jl_distortion",
+    "stat6_permutation_test",
 ]
 
 

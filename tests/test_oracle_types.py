@@ -113,6 +113,8 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     ("dp2_dp_mean", "noisy_mean"),
     # exact BIGINT padded/waste token sums; one IEEE division
     ("sp15_length_bucketing", "waste_frac"),
+    # exact integer extreme-count; one IEEE division by the literal B+1
+    ("stat6_permutation_test", "p_value"),
 }
 
 #: Accumulation forms that are exact without ROUND:

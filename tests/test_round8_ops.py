@@ -1,0 +1,253 @@
+"""Round-8 additions: invariants the DuckDB oracles can't express for
+the eight new operators — conservation laws (PAV mass preservation,
+padding ledgers, coverage accounting), ordering guarantees (isotone
+fit, monotone peel), algebraic identities (U_A + U_B = n_a*n_b,
+self-centroid zero error), and plan-shape pins (map-side argmin, one
+scan per strategy fan-out).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# a16 — Gini / concentration
+# ---------------------------------------------------------------------------
+
+
+def test_a16_gini_bounds_and_decile_floor(spark):
+    """0 <= gini < 1 on any real distribution, and the top decile can
+    never hold LESS than a proportional share: top_decile_share >=
+    (n DIV 10) / n with equality only under perfect equality."""
+    from bc_proj3_spark.plans.aggfuncs import a16_gini_concentration
+
+    rows = a16_gini_concentration(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+        floor = (r.n_customers // 10) / r.n_customers
+        assert r.top_decile_share >= floor
+        assert r.top_decile_share <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# e22 — coverage gaps
+# ---------------------------------------------------------------------------
+
+
+def test_e22_coverage_accounting(spark):
+    """active + missing hours must tile the span exactly, and the
+    first-gap timestamp exists iff a gap exists."""
+    from bc_proj3_spark.plans.events import e22_missing_hours
+
+    rows = e22_missing_hours(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_active_hours + r.n_missing_hours == r.n_hours_span
+        assert (r.first_gap_hour is None) == (r.n_missing_hours == 0)
+
+
+# ---------------------------------------------------------------------------
+# ts10 — Theil–Sen
+# ---------------------------------------------------------------------------
+
+
+def test_ts10_pair_count_is_triangular(spark):
+    """Every unordered day pair contributes exactly one slope:
+    n_pairs == n_days * (n_days - 1) / 2."""
+    from bc_proj3_spark.plans.events import ts10_theil_sen
+
+    rows = ts10_theil_sen(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# stat5 — Mann–Whitney U
+# ---------------------------------------------------------------------------
+
+
+def test_stat5_u_identity_under_segment_swap(spark):
+    """U_A + U_B = n_a * n_b (the rank-sum identity): recomputing with
+    the segments swapped must yield u2_b = 2*n_a*n_b - u2_a, and the
+    z statistics must be exact negations."""
+    import bc_proj3_spark.plans.aggfuncs as AG
+
+    base = AG.stat5_mann_whitney(spark, SF_DIR).collect()[0]
+    assert 0 <= base.u2_a <= 2 * base.n_a * base.n_b
+    orig_a, orig_b = AG.KS_SEG_A, AG.KS_SEG_B
+    try:
+        AG.KS_SEG_A, AG.KS_SEG_B = orig_b, orig_a
+        swapped = AG.stat5_mann_whitney(spark, SF_DIR).collect()[0]
+    finally:
+        AG.KS_SEG_A, AG.KS_SEG_B = orig_a, orig_b
+    assert swapped.n_a == base.n_b and swapped.n_b == base.n_a
+    assert swapped.u2_a == 2 * base.n_a * base.n_b - base.u2_a
+    assert abs(swapped.z + base.z) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# cal2 — isotonic (PAV)
+# ---------------------------------------------------------------------------
+
+
+def test_cal2_fit_is_isotone_and_mass_preserving(spark):
+    """The PAV fit must be (a) non-decreasing in the bin order, (b)
+    within [min raw, max raw], and (c) mass-preserving: sum(iso * w)
+    equals sum of raw label counts (pooling averages never create or
+    destroy positives)."""
+    from bc_proj3_spark.operators.quality import cal2_isotonic_calibration
+
+    rows = sorted(
+        cal2_isotonic_calibration(spark, SF_DIR).collect(),
+        key=lambda r: r.bin,
+    )
+    assert len(rows) >= 3
+    for a, b in zip(rows, rows[1:]):
+        assert a.iso_rate <= b.iso_rate + 1e-12
+    lo = min(r.raw_rate for r in rows)
+    hi = max(r.raw_rate for r in rows)
+    assert all(lo - 1e-12 <= r.iso_rate <= hi + 1e-12 for r in rows)
+    iso_mass = sum(r.iso_rate * r.n_docs for r in rows)
+    raw_mass = sum(r.raw_rate * r.n_docs for r in rows)
+    assert abs(iso_mass - raw_mass) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# sp15 — length bucketing
+# ---------------------------------------------------------------------------
+
+
+def test_sp15_sorted_wastes_no_more_than_random(spark):
+    """The operator's raison d'etre: length-sorted batches pad at most
+    as much as hash-random batches; both strategies see the identical
+    corpus (same docs, same total tokens), and the padding ledger
+    closes: padded = total + waste."""
+    from bc_proj3_spark.operators.sampling import sp15_length_bucketing
+
+    rows = {r.strategy: r for r in sp15_length_bucketing(spark, SF_DIR).collect()}
+    assert set(rows) == {"sorted", "random"}
+    s, r = rows["sorted"], rows["random"]
+    assert s.n_docs == r.n_docs and s.total_tokens == r.total_tokens
+    for x in (s, r):
+        assert x.padded_tokens == x.total_tokens + x.waste_tokens
+    assert s.waste_tokens <= r.waste_tokens
+
+
+def test_sp15_single_scan_fanout(spark):
+    """Both strategies ride ONE documents scan (map-side explode), not
+    one scan per strategy — the r7 sp11 lesson, pinned the same way."""
+    from bc_proj3_spark.operators.sampling import sp15_length_bucketing
+
+    plan = _plan(sp15_length_bucketing(spark, SF_DIR))
+    assert plan.count("FileScan") == 1, plan[:1200]
+
+
+# ---------------------------------------------------------------------------
+# s10 — product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_s10_seed_vectors_reconstruct_exactly(spark):
+    """vec_id < PQ_K are their own sub-centroids in every subspace, so
+    their codes are (id, id, id, id) and recon_err is exactly 0.0;
+    codes everywhere lie in [0, PQ_K)."""
+    from bc_proj3_spark.operators.similarity import PQ_K, s10_pq_codes
+
+    rows = s10_pq_codes(spark, SF_DIR).collect()
+    byid = {r.vec_id: r for r in rows}
+    for i in range(PQ_K):
+        r = byid[i]
+        assert (r.c0, r.c1, r.c2, r.c3) == (i, i, i, i)
+        assert r.recon_err == 0.0
+    for r in rows:
+        for c in (r.c0, r.c1, r.c2, r.c3):
+            assert 0 <= c < PQ_K
+        assert r.recon_err >= 0.0
+
+
+def test_s10_argmin_is_mapside_no_window(spark):
+    """The per-(vector, subspace) argmin must compile to the
+    combiner-absorbed struct-MIN aggregate, never a window rank — at a
+    billion vectors the difference is a skinny one-row-per-group
+    shuffle vs sorting 32x the corpus."""
+    from bc_proj3_spark.operators.similarity import s10_pq_codes
+
+    plan = _plan(s10_pq_codes(spark, SF_DIR))
+    assert "Window" not in plan, plan[:1500]
+    assert plan.count("FileScan") == 1, plan[:1200]
+
+
+# ---------------------------------------------------------------------------
+# g6 — k-core peeling
+# ---------------------------------------------------------------------------
+
+
+def test_g6_census_is_monotone_and_consistent(spark):
+    """Peeling only removes: node and edge counts are non-increasing
+    per round; a fixpoint (equal consecutive rows) stays fixed; and
+    edges can never outnumber the triangular bound of the surviving
+    node set."""
+    from bc_proj3_spark.operators.graph import g6_kcore
+
+    rows = sorted(g6_kcore(spark, SF_DIR).collect(), key=lambda r: r.round)
+    assert rows[0].round == 0 and len(rows) >= 3
+    fixed = False
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_nodes <= a.n_nodes
+        assert b.n_edges <= a.n_edges
+        if fixed:
+            assert (b.n_nodes, b.n_edges) == (a.n_nodes, a.n_edges)
+        if (b.n_nodes, b.n_edges) == (a.n_nodes, a.n_edges):
+            fixed = True
+    for r in rows:
+        assert r.n_edges <= r.n_nodes * (r.n_nodes - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# g7 — JL distortion
+# ---------------------------------------------------------------------------
+
+
+def test_g7_ratio_envelope_and_pair_count(spark):
+    """Every non-anchor pair contributes one ratio (n_pairs = N - 1);
+    ratios are positive with min <= mean <= max; the JL expectation
+    E[ratio] = 1 holds loosely per anchor at k = 16."""
+    from bc_proj3_spark.operators.linalg import g7_jl_distortion
+
+    rows = g7_jl_distortion(spark, SF_DIR).collect()
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_pairs == n - 1
+        assert 0.0 < r.min_ratio <= r.mean_ratio <= r.max_ratio
+        assert 0.5 < r.mean_ratio < 1.5
+        assert 0.0 <= r.frac_in_band <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# stat6 — permutation test
+# ---------------------------------------------------------------------------
+
+
+def test_stat6_pvalue_identity_and_floor(spark):
+    """p_value must equal (1 + n_extreme) / (B + 1) exactly, sit in
+    [1/(B+1), 1], and the group sizes must cover the joined base."""
+    import bc_proj3_spark.plans.aggfuncs as AG
+
+    r = AG.stat6_permutation_test(spark, SF_DIR).collect()[0]
+    B = AG.PERM_B
+    assert r.p_value == (1 + r.n_extreme) / (B + 1)
+    assert 1 / (B + 1) <= r.p_value <= 1.0
+    assert 0 <= r.n_extreme <= B
+    assert r.n_a > 0 and r.n_b > 0

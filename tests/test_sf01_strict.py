@@ -67,6 +67,15 @@ SF01_QUERIES = [
     "stat4_bootstrap_ci",  # order statistics over 20 resample-mean doubles
     "g5_effective_rank",  # double-heavy decimal-lattice Gram reductions
     "ts9_cross_correlation",  # sqrt chain over >2^53 integer moment products
+    # round-8 additions in the same classes
+    "a16_gini_concentration",  # >2^53 decimal moment conversions to double
+    "ts10_theil_sen",  # order-statistic selection over IEEE slope doubles
+    "stat5_mann_whitney",  # sqrt chain over >2^53 integer moment products
+    "cal2_isotonic_calibration",  # min/max lattice over pooled-rate doubles
+    "s10_pq_codes",  # double-heavy d2 argmin selections per subspace
+    "g6_kcore",  # iterative peel fixpoint (cc-family class)
+    "g7_jl_distortion",  # deterministic IEEE fold chains per pair
+    "stat6_permutation_test",  # extreme-count compares bit-identical doubles
 ]
 
 
