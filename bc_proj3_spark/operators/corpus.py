@@ -212,3 +212,90 @@ def cur1_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("quality"), 9).alias("max_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe2 — steady-state ingest manifest: the per-batch admission ledger
+# ---------------------------------------------------------------------------
+
+from bc_proj3_spark.operators.dedup import (  # noqa: E402
+    _D8_CTES,
+    D8_BATCH_MOD,
+    D8_BATCH_REM,
+    d8_incremental_dedup,
+)
+from bc_proj3_spark.plans.tables import table  # noqa: E402
+
+_PIPE2_ORACLE = f"""WITH {_D8_CTES.rstrip()},
+{_F1_AS_CTE},
+batch AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % {D8_BATCH_MOD} = {D8_BATCH_REM}
+)
+SELECT b.doc_id,
+       CASE WHEN f.doc_id IS NULL THEN 'quality'
+            WHEN dr.doc_id IS NOT NULL THEN 'duplicate'
+            ELSE 'admitted' END AS outcome,
+       CASE WHEN f.doc_id IS NOT NULL AND dr.doc_id IS NULL THEN
+         CASE WHEN {sql_hash60(_sql_seeded('split', 'CAST(b.doc_id AS VARCHAR)'))} % 100 < {TRAIN_PCT} THEN 'train'
+              WHEN {sql_hash60(_sql_seeded('split', 'CAST(b.doc_id AS VARCHAR)'))} % 100 < {VAL_PCT} THEN 'val'
+              ELSE 'test' END
+       END AS split
+FROM batch b
+LEFT JOIN f1_pass f ON f.doc_id = b.doc_id
+LEFT JOIN (SELECT doc_id FROM dropped) dr ON dr.doc_id = b.doc_id
+"""
+
+
+@register("pipe2_ingest_manifest", _PIPE2_ORACLE)
+def pipe2_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The steady-state twin of pipe1: for TODAY'S ARRIVING BATCH
+    (d8's doc_id % 10 == 7 stand-in), the per-document admission
+    ledger — 'quality' (failed f1's filter decision), 'duplicate'
+    (d8 found a verified near-dup in the existing corpus), or
+    'admitted' with the sp1 split stamp. pipe1 is the backfill that
+    builds a corpus once; this is the manifest an ingest job publishes
+    every batch, and the reject REASONS are the product: reason-mix
+    drift (quality rejects spiking vs duplicate rejects spiking)
+    distinguishes a crawler bug from a recrawl loop. Composed from the
+    registered stage operators themselves (f1 and d8 are called, not
+    re-implemented; quality-first reason precedence is fixed by the
+    same CASE order in both engines), with the oracle splicing the
+    STAGE oracles' own CTE text verbatim.
+
+    Scale shape: inherits the stages' plans — f1 is scan-side + two
+    combiner-absorbed aggregates, d8's candidate generation joins
+    batch-side band buckets against the existing side only (work
+    scales with batch volume, never corpus^2); the ledger itself is
+    two doc-id-keyed left joins on the batch subset and the split
+    stamp is a map-side hash."""
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.filter(
+        F.col("doc_id") % D8_BATCH_MOD == D8_BATCH_REM
+    ).select("doc_id")
+    admitted = d8_incremental_dedup(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("adm")
+    )
+    passed = f1_quality_filter(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("ok")
+    )
+    bucket = hash60(_seeded("split", F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        batch.join(passed, "doc_id", "left")
+        .join(admitted, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("ok").isNull(), "quality")
+            .when(F.col("adm").isNull(), "duplicate")
+            .otherwise("admitted")
+            .alias("outcome"),
+            F.when(
+                F.col("ok").isNotNull() & F.col("adm").isNotNull(), split
+            ).alias("split"),
+        )
+    )

@@ -856,8 +856,12 @@ def _sql_d8_bands() -> str:
     )
 
 
-_D8_ORACLE = f"""
-WITH {_sql_shingles()},
+#: the d8 CTE chain (shingles/sig/bands/cand/inter/dropped) — shared
+#: verbatim with pipe2's spliced oracle so the steady-state ingest
+#: composition can never drift from the stage it audits (the
+#: _SQL_SHINGLES_TMPL rule). _D8_ORACLE must stay byte-identical to
+#: its pre-refactor form: d8 sits in the driver rotation prefix.
+_D8_CTES = f"""{_sql_shingles()},
 sig AS (
   SELECT doc_id,
          {', '.join(_sql_minhash(i) for i in range(NUM_HASHES))}
@@ -886,7 +890,10 @@ dropped AS (
   JOIN sizes za ON doc_a = za.doc_id
   JOIN sizes zb ON doc_b = zb.doc_id
   WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) >= {JACCARD_THRESHOLD}
-)
+)"""
+
+_D8_ORACLE = f"""
+WITH {_D8_CTES}
 SELECT d.doc_id
 FROM documents d
 WHERE d.doc_id % {D8_BATCH_MOD} = {D8_BATCH_REM}

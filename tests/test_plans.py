@@ -70,6 +70,7 @@ _BNLJ_OK = {
     "e21_peak_concurrency",  # 1-row session count crossed into 1-row peak
     "e22_missing_hours",  # 1-row hour-bounds frame crossed into the grid
     "cal2_isotonic_calibration",  # non-equi joins over broadcast 10-bin tables
+    "pipe2_ingest_manifest",  # inherits f1's 1-row corpus-total cross
 }
 
 #: streaming queries — their builders execute a full streaming job;

@@ -251,3 +251,36 @@ def test_stat6_pvalue_identity_and_floor(spark):
     assert 1 / (B + 1) <= r.p_value <= 1.0
     assert 0 <= r.n_extreme <= B
     assert r.n_a > 0 and r.n_b > 0
+
+
+# ---------------------------------------------------------------------------
+# pipe2 — steady-state ingest manifest
+# ---------------------------------------------------------------------------
+
+
+def test_pipe2_ledger_reconciles_with_stages(spark):
+    """Every batch document gets exactly one outcome; 'admitted' rows
+    are exactly the intersection of f1-passed and d8-admitted batch
+    docs (stage reconciliation — the composition can't drift from the
+    operators it audits); split is stamped iff admitted."""
+    from bc_proj3_spark.operators.corpus import pipe2_ingest_manifest
+    from bc_proj3_spark.operators.dedup import (
+        D8_BATCH_MOD,
+        D8_BATCH_REM,
+        d8_incremental_dedup,
+    )
+    from bc_proj3_spark.operators.ranking import f1_quality_filter
+
+    rows = pipe2_ingest_manifest(spark, SF_DIR).collect()
+    n_batch = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") % D8_BATCH_MOD == D8_BATCH_REM)
+        .count()
+    )
+    assert len(rows) == n_batch
+    assert all((r.split is not None) == (r.outcome == "admitted") for r in rows)
+    admitted = {r.doc_id for r in rows if r.outcome == "admitted"}
+    f1_ids = {r.doc_id for r in f1_quality_filter(spark, SF_DIR).collect()}
+    d8_ids = {r.doc_id for r in d8_incremental_dedup(spark, SF_DIR).collect()}
+    batch_ids = {r.doc_id for r in rows}
+    assert admitted == (f1_ids & d8_ids & batch_ids)
