@@ -288,6 +288,12 @@ AQE_OFF_QUERIES = [
     # with AQE off entirely)
     "stat3_ks_test",
     "stat4_bootstrap_ci",
+    # r8: the two new two-level prefix-sum users (per-segment ranked
+    # cumulative counts) and the permutation fan-out that reuses
+    # stat4's explicit-width repartition
+    "a16_gini_concentration",
+    "stat5_mann_whitney",
+    "stat6_permutation_test",
 ]
 
 
