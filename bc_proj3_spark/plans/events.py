@@ -2364,7 +2364,11 @@ def e22_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     idx = ev.groupBy(
         "event_type",
-        F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).alias("h"),
+        # integer DIV, never floor(double /): a micros value 1 below an
+        # hour boundary could round UP through the double quotient and
+        # flip the floor by one vs DuckDB's exact // (invisible on
+        # boundary-sparse test data, guaranteed eventually at scale)
+        F.expr("unix_micros(ts) DIV 3600000000").alias("h"),
     ).agg(F.count(F.lit(1)).alias("n"))
     idx = idx.localCheckpoint(eager=True)
     bounds = idx.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
