@@ -1519,3 +1519,154 @@ def t24_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hapax_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# t25 — Heaps'-law vocabulary-growth fit
+# ---------------------------------------------------------------------------
+
+#: doc_id-bucket width (doc_id >> 8) for the corpus-order prefix sums —
+#: a pure performance knob (value-invariant; same discipline as
+#: KS_BUCKET_SHIFT): per-bucket offsets get a tiny running window,
+#: per-doc cumulatives are PARTITIONED BY bucket.
+HEAPS_BUCKET_SHIFT = 8
+
+_T25_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+),
+per_tok AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+firsts AS (SELECT t, MIN(doc_id) AS fd FROM tok GROUP BY t),
+per_new AS (SELECT fd AS doc_id, COUNT(*) AS n_new FROM firsts GROUP BY fd),
+per AS (
+  SELECT p.doc_id, p.n_tok, COALESCE(n.n_new, 0) AS n_new
+  FROM per_tok p LEFT JOIN per_new n USING (doc_id)
+),
+cum AS (
+  SELECT SUM(n_tok) OVER (ORDER BY doc_id) AS ct,
+         SUM(n_new) OVER (ORDER BY doc_id) AS cv
+  FROM per
+),
+pts AS (
+  SELECT CAST(ROUND(LN(ct), 9) AS DECIMAL(28,10)) AS x,
+         CAST(ROUND(LN(cv), 9) AS DECIMAL(28,10)) AS y,
+         CAST(ROUND(LN(ct) * LN(ct), 9) AS DECIMAL(28,10)) AS xx,
+         CAST(ROUND(LN(ct) * LN(cv), 9) AS DECIMAL(28,10)) AS xy
+  FROM cum
+),
+fit AS (
+  SELECT COUNT(*) AS n_docs,
+         (COUNT(*) * CAST(SUM(xy) AS DOUBLE)
+          - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+         / (COUNT(*) * CAST(SUM(xx) AS DOUBLE)
+            - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) AS beta,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x) AS DOUBLE) AS sx
+  FROM pts
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       (SELECT CAST(SUM(n_tok) AS BIGINT) FROM per) AS total_tokens,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts) AS vocab,
+       ROUND(beta, 6) AS heaps_beta,
+       ROUND((sy - beta * sx) / n_docs, 6) AS heaps_log_k
+FROM fit
+"""
+
+
+@register("t25_heaps_law", _T25_ORACLE)
+def t25_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(N) ~ K * N^beta of vocabulary growth against
+    cumulative corpus size in corpus (doc_id) order — the scaling law
+    that says how fast NEW types keep arriving as the corpus grows.
+    It answers two curation questions t21/t24 can't: how large a
+    tokenizer vocabulary a planned corpus size will want (extrapolate
+    V(N)), and whether ingest has gone stale (beta collapsing toward 0
+    means new batches add tokens but no new vocabulary — template or
+    duplicate flooding; natural text sits near beta ~ 0.5).
+
+    Exactness: the per-doc cumulative token/vocab counts are exact
+    integers; each regression point contributes one rounded-LN term
+    (t21's log-lattice discipline: ROUND(LN(int), 9) cast to DECIMAL,
+    then decimal sums, so association order cannot leak); beta and
+    log-K are fixed IEEE chains over those exact sums, ROUND-wrapped
+    only at the output.
+
+    Scale shape: token explode reduces to the per-doc count and the
+    vocabulary first-occurrence table (both combiner-absorbed, one
+    shuffle each); the corpus-order running totals use the repo's
+    TWO-LEVEL prefix sum (per-bucket offsets over doc_id >> 8
+    broadcast back; per-doc window PARTITIONED BY bucket — never a
+    global single-partition window); the OLS moments collapse
+    map-side to one row. Nothing driver-side, nothing corpus²."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = fanout(docs).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+    )
+    per_tok = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    firsts = tok.groupBy("t").agg(F.min("doc_id").alias("fd"))
+    per_new = firsts.groupBy("fd").agg(F.count(F.lit(1)).alias("n_new"))
+    per = (
+        per_tok.join(
+            per_new, per_tok["doc_id"] == per_new["fd"], "left_outer"
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
+        .withColumn("bkt", F.shiftright("doc_id", HEAPS_BUCKET_SHIFT))
+        .localCheckpoint(eager=True)  # feeds offsets + cumulative + totals
+    )
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        per.groupBy("bkt")
+        .agg(F.sum("n_tok").alias("tt"), F.sum("n_new").alias("tv"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("tt").over(w_bkt), F.lit(0)).alias("off_t"),
+            F.coalesce(F.sum("tv").over(w_bkt), F.lit(0)).alias("off_v"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.join(F.broadcast(offsets), "bkt").select(
+        (F.col("off_t") + F.sum("n_tok").over(w_in)).alias("ct"),
+        (F.col("off_v") + F.sum("n_new").over(w_in)).alias("cv"),
+    )
+    dec = "decimal(28,10)"
+    lt, lv = F.log(F.col("ct")), F.log(F.col("cv"))
+    pts = cum.select(
+        F.round(lt, 9).cast(dec).alias("x"),
+        F.round(lv, 9).cast(dec).alias("y"),
+        F.round(lt * lt, 9).cast(dec).alias("xx"),
+        F.round(lt * lv, 9).cast(dec).alias("xy"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxx = F.sum("xx").cast("double")
+    sxy = F.sum("xy").cast("double")
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    totals = per.agg(
+        F.sum("n_tok").cast("bigint").alias("total_tokens")
+    )
+    vocab = firsts.agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    fit = pts.agg(
+        n.cast("bigint").alias("n_docs"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round((sy - beta * sx) / n, 6).alias("heaps_log_k"),
+    )
+    return (
+        fit.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "n_docs", "total_tokens", "vocab", "heaps_beta", "heaps_log_k"
+        )
+    )

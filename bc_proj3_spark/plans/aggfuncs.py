@@ -1933,3 +1933,263 @@ def stat6_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stat7 — Benjamini–Hochberg FDR over per-segment permutation tests
+# ---------------------------------------------------------------------------
+
+#: BH target false-discovery rate as an exact rational (1/5 = 0.20):
+#: the acceptance comparison stays in integer arithmetic.
+FDR_ALPHA_NUM = 1
+FDR_ALPHA_DEN = 5
+
+_STAT7_SEGS = (
+    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"
+)
+
+_STAT7_R = (
+    "("
+    + _sql_h60(
+        _sql_sd(
+            "fdr",
+            "s.seg",
+            "CAST(o_orderkey AS VARCHAR)",
+            "CAST(b AS VARCHAR)",
+        )
+    )
+    + ")"
+)
+
+_STAT7_ORACLE = f"""
+WITH segs AS (
+  SELECT UNNEST([{', '.join(repr(s) for s in _STAT7_SEGS)}]) AS seg
+),
+j AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         c_mktsegment AS cseg
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+tot AS (SELECT COUNT(*) AS n FROM j),
+bal AS (SELECT cseg AS seg, COUNT(*) AS na FROM j GROUP BY cseg),
+rs AS (
+  SELECT s.seg, b,
+         CASE WHEN b = -1 THEN CASE WHEN j.cseg = s.seg THEN 1 ELSE 0 END
+              WHEN {_STAT7_R} % n < na THEN 1 ELSE 0 END AS in_a,
+         cents
+  FROM j
+  CROSS JOIN (SELECT UNNEST(range(-1, {PERM_B})) AS b) bb
+  CROSS JOIN segs s
+  JOIN bal ON bal.seg = s.seg
+  CROSS JOIN tot
+),
+agg AS (
+  SELECT seg, b,
+         CAST(SUM(CASE WHEN in_a = 1 THEN CAST(cents AS HUGEINT) END)
+              AS HUGEINT) AS sa,
+         CAST(SUM(in_a) AS HUGEINT) AS ca,
+         CAST(SUM(CASE WHEN in_a = 0 THEN CAST(cents AS HUGEINT) END)
+              AS HUGEINT) AS sb,
+         CAST(SUM(1 - in_a) AS HUGEINT) AS cb
+  FROM rs GROUP BY seg, b
+),
+diffs AS (
+  SELECT seg, b,
+         CAST(sa AS DOUBLE) / CAST(100 * ca AS DOUBLE)
+           - CAST(sb AS DOUBLE) / CAST(100 * cb AS DOUBLE) AS d
+  FROM agg
+),
+per_seg2 AS (
+  SELECT seg,
+         MAX(CASE WHEN d2.b = -1 THEN d2.d END) AS obs_diff,
+         CAST(SUM(CASE WHEN d2.b >= 0 AND ABS(d2.d) >= o.od
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+  FROM diffs d2
+  JOIN (SELECT seg, ABS(MAX(CASE WHEN b = -1 THEN d END)) AS od
+        FROM diffs GROUP BY seg) o USING (seg)
+  GROUP BY seg
+),
+ranked AS (
+  SELECT seg, obs_diff, n_extreme, 1 + n_extreme AS p_num,
+         ROW_NUMBER() OVER (ORDER BY 1 + n_extreme, seg) AS bh_rank,
+         COUNT(*) OVER () AS m
+  FROM per_seg2
+),
+cut AS (
+  SELECT COALESCE(MAX(CASE WHEN p_num * {FDR_ALPHA_DEN} * m
+                             <= {PERM_B + 1} * bh_rank * {FDR_ALPHA_NUM}
+                      THEN bh_rank END), 0) AS cutoff
+  FROM ranked
+)
+SELECT seg AS segment, obs_diff,
+       n_extreme,
+       CAST(1 + n_extreme AS DOUBLE) / {PERM_B + 1} AS p_value,
+       CAST(bh_rank AS BIGINT) AS bh_rank,
+       CAST(CASE WHEN bh_rank <= cutoff THEN 1 ELSE 0 END AS BIGINT)
+         AS rejected
+FROM ranked CROSS JOIN cut
+"""
+
+
+@register("stat7_bh_fdr", _STAT7_ORACLE)
+def stat7_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg false-discovery-rate control over a FAMILY of
+    permutation tests: every market segment is tested (segment mean
+    order value vs the rest) with stat6's deterministic hash-coin
+    relabelings, and BH decides which of the m p-values survive
+    multiple-testing correction at FDR alpha = 1/5. This is the missing
+    top of the test-family stack (stat2 means, stat3 shapes, stat5
+    ranks, stat6 one assumption-free test): real corpus monitoring
+    fires MANY hypotheses per run — per-segment, per-language,
+    per-source — and uncorrected per-test alphas hallucinate drift at
+    scale; BH is the standard correction.
+
+    Exactness: each permutation p-value is an exact rational
+    (1 + n_extreme)/(B+1) carried as its integer NUMERATOR; the BH
+    acceptance p_(i) <= i*alpha/m is evaluated entirely in integer
+    arithmetic (p_num*alpha_den*m <= (B+1)*i*alpha_num) — no float
+    enters any comparison. Relabelings are seeded-hash integer coins
+    (bit-identical on both engines); each mean gap is a fixed chain of
+    two exact-integer IEEE divisions (stat6's EXACT_DOUBLE discipline).
+
+    Scale shape: ONE key-shuffle join builds the (orderkey, cents,
+    segment) frame (repartitioned to an explicit AQE-exempt width —
+    the stat4 lesson); the m*(B+1)-way fan-out is MAP-SIDE (two nested
+    literal explodes) and absorbed by partial aggregation before the
+    only exchange, whose world is the m*(B+1)-row grid at any corpus
+    size; the 5-row balance table and 1-row total broadcast. BH itself
+    runs on the m-row family — window work on a frame the size of the
+    hypothesis count, never the data."""
+    from pyspark.sql.window import Window
+
+    from bc_proj3_spark.functions.hashing import hash60
+    from bc_proj3_spark.operators.sampling import _seeded
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    j = (
+        orders.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+            F.col("c_mktsegment").alias("cseg"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "o_orderkey")
+    )
+    tot = j.agg(F.count(F.lit(1)).alias("n"))
+    bal = j.groupBy(F.col("cseg").alias("seg")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    rs = (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderkey",
+            "cents",
+            "cseg",
+            "n",
+            F.explode(
+                F.array(*[F.lit(s) for s in _STAT7_SEGS])
+            ).alias("seg"),
+        )
+        .join(F.broadcast(bal), "seg")
+        .select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(b) for b in range(-1, PERM_B)])
+            ).alias("b"),
+        )
+    )
+    h = hash60(
+        _seeded(
+            "fdr",
+            F.col("seg"),
+            F.col("o_orderkey").cast("string"),
+            F.col("b").cast("string"),
+        )
+    )
+    in_a = (
+        F.when(
+            F.col("b") == -1,
+            (F.col("cseg") == F.col("seg")).cast("long"),
+        )
+        .when(h % F.col("n") < F.col("na"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    dec = "decimal(38,0)"
+    agg = (
+        rs.select("seg", "b", in_a.alias("in_a"), "cents")
+        .groupBy("seg", "b")
+        .agg(
+            F.sum(
+                F.when(F.col("in_a") == 1, F.col("cents").cast(dec))
+            ).alias("sa"),
+            F.sum("in_a").cast(dec).alias("ca"),
+            F.sum(
+                F.when(F.col("in_a") == 0, F.col("cents").cast(dec))
+            ).alias("sb"),
+            F.sum(1 - F.col("in_a")).cast(dec).alias("cb"),
+        )
+    )
+    diffs = agg.select(
+        "seg",
+        "b",
+        (
+            F.col("sa").cast("double") / (100 * F.col("ca")).cast("double")
+            - F.col("sb").cast("double") / (100 * F.col("cb")).cast("double")
+        ).alias("d"),
+    ).localCheckpoint(eager=True)  # feeds the obs lookup and the census
+    obs = diffs.filter(F.col("b") == -1).select(
+        "seg", F.abs(F.col("d")).alias("od"), F.col("d").alias("obs_d")
+    )
+    per_seg = (
+        diffs.join(F.broadcast(obs), "seg")
+        .groupBy("seg")
+        .agg(
+            F.max("obs_d").alias("obs_diff"),
+            F.sum(
+                F.when(
+                    (F.col("b") >= 0) & (F.abs(F.col("d")) >= F.col("od")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+        .withColumn("p_num", 1 + F.col("n_extreme"))
+    )
+    w_rank = Window.orderBy("p_num", "seg")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_seg.select(
+        "seg",
+        "obs_diff",
+        "n_extreme",
+        "p_num",
+        F.row_number().over(w_rank).cast("bigint").alias("bh_rank"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    accepted = F.when(
+        F.col("p_num") * FDR_ALPHA_DEN * F.col("m")
+        <= (PERM_B + 1) * F.col("bh_rank") * FDR_ALPHA_NUM,
+        F.col("bh_rank"),
+    )
+    cut = ranked.agg(
+        F.coalesce(F.max(accepted), F.lit(0)).alias("cutoff")
+    )
+    return ranked.crossJoin(F.broadcast(cut)).select(
+        F.col("seg").alias("segment"),
+        "obs_diff",
+        "n_extreme",
+        (F.col("p_num").cast("double") / F.lit(PERM_B + 1)).alias("p_value"),
+        "bh_rank",
+        (F.col("bh_rank") <= F.col("cutoff")).cast("bigint").alias(
+            "rejected"
+        ),
+    )

@@ -177,6 +177,10 @@ STRICT_VALUE_QUERIES = [
     "g6_kcore",
     "g7_jl_distortion",
     "stat6_permutation_test",
+    "pipe2_ingest_manifest",
+    "t25_heaps_law",
+    "stat7_bh_fdr",
+    "d13_hamming_neardup_pairs",
 ]
 
 

@@ -71,6 +71,10 @@ _BNLJ_OK = {
     "e22_missing_hours",  # 1-row hour-bounds frame crossed into the grid
     "cal2_isotonic_calibration",  # non-equi joins over broadcast 10-bin tables
     "pipe2_ingest_manifest",  # inherits f1's 1-row corpus-total cross
+    "stat6_permutation_test",  # 1-row balance + 1-row observed-stat crosses
+    "g7_jl_distortion",  # constant-size anchor set non-equi joined (s1 shape)
+    "stat7_bh_fdr",  # 1-row total + 1-row BH-cutoff crosses
+    "t25_heaps_law",  # 1-row token-total and vocab frames crossed in
 }
 
 #: streaming queries — their builders execute a full streaming job;

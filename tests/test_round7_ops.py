@@ -294,6 +294,10 @@ AQE_OFF_QUERIES = [
     "a16_gini_concentration",
     "stat5_mann_whitney",
     "stat6_permutation_test",
+    # r8 second batch: the corpus-order prefix-sum user (Heaps fit)
+    # and the m*(B+1) permutation-family fan-out behind BH
+    "t25_heaps_law",
+    "stat7_bh_fdr",
 ]
 
 

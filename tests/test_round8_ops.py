@@ -284,3 +284,83 @@ def test_pipe2_ledger_reconciles_with_stages(spark):
     d8_ids = {r.doc_id for r in d8_incremental_dedup(spark, SF_DIR).collect()}
     batch_ids = {r.doc_id for r in rows}
     assert admitted == (f1_ids & d8_ids & batch_ids)
+
+
+# ---------------------------------------------------------------------------
+# t25 — Heaps'-law fit
+# ---------------------------------------------------------------------------
+
+
+def test_t25_fit_bounds_and_count_conservation(spark):
+    """Natural-ish text grows vocabulary sublinearly (0 < beta < 1);
+    the vocabulary can never exceed the token count; and n_docs must
+    equal the documents row count (every doc contributes a point)."""
+    from bc_proj3_spark.operators.textstats import t25_heaps_law
+    from bc_proj3_spark.plans.tables import table
+
+    row = t25_heaps_law(spark, SF_DIR).collect()[0]
+    assert 0.0 < row.heaps_beta < 1.0
+    assert row.vocab <= row.total_tokens
+    assert row.n_docs == table(spark, SF_DIR, "documents").count()
+
+
+# ---------------------------------------------------------------------------
+# stat7 — Benjamini–Hochberg FDR
+# ---------------------------------------------------------------------------
+
+
+def test_stat7_rejections_are_a_rank_prefix(spark):
+    """BH rejects a PREFIX of the p-ranked hypotheses: if rank i is
+    rejected every rank < i is too; p-values are exact (1+k)/(B+1)
+    rationals on [1/21, 1]; ranks are a permutation of 1..m."""
+    from bc_proj3_spark.plans.aggfuncs import PERM_B, stat7_bh_fdr
+
+    rows = sorted(
+        stat7_bh_fdr(spark, SF_DIR).collect(), key=lambda r: r.bh_rank
+    )
+    assert [r.bh_rank for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert abs(r.p_value - (1 + r.n_extreme) / (PERM_B + 1)) < 1e-15
+        assert 1 / (PERM_B + 1) <= r.p_value <= 1.0
+    flags = [r.rejected for r in rows]
+    assert flags == sorted(flags, reverse=True), "rejections not a prefix"
+
+
+# ---------------------------------------------------------------------------
+# d13 — multi-index Hamming pairs
+# ---------------------------------------------------------------------------
+
+
+def test_d13_banded_index_equals_brute_force(spark):
+    """The pigeonhole guarantee, checked mechanically: the banded
+    multi-index candidates + popcount verify find EXACTLY the pairs a
+    brute-force O(n^2) self-join over the same signatures finds."""
+    from bc_proj3_spark.operators.dedup import (
+        HAM_R,
+        _simhash60,
+        d13_hamming_neardup_pairs,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in d13_hamming_neardup_pairs(spark, SF_DIR).collect()
+    }
+    sigs = _simhash60(spark, SF_DIR)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAM_R)
+        .collect()
+    }
+    assert got == brute
+    assert all(x < y for x, y, _ in got)
