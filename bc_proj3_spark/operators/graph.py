@@ -1194,3 +1194,153 @@ def g6_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(r), int(n), int(m)) for r, n, m in census],
         "round int, n_nodes long, n_edges long",
     )
+
+
+# ---------------------------------------------------------------------------
+# g9 — Adamic–Adar link prediction over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+#: wedge centers with degree above this cap are excluded from the
+#: Adamic–Adar sum ("hub-pruned AA", the standard production variant):
+#: a center of degree d generates d² wedges but contributes only
+#: 1/ln(d) per pair, so hubs cost quadratically and inform least. The
+#: cap bounds wedge work by Σ min(d, CAP)² regardless of corpus size;
+#: it is part of the operator's SEMANTICS and mirrored in the oracle.
+AA_DEG_CAP = 30
+
+#: minimum co-purchase support for an edge to exist (g6's contract):
+#: the raw distinct-pair graph is DENSE (measured mean degree ~116 at
+#: sf0.01 — every node over any sane hub cap); requiring the pair in
+#: >= 2 distinct orders keeps real repeat-affinity edges and makes the
+#: graph sparse at every scale.
+AA_MIN_SUPPORT = 2
+
+#: predicted links reported (total order: score desc, then u, v)
+AA_TOP_K = 20
+
+_G9_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {AA_MIN_SUPPORT}
+),
+directed AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL
+  SELECT v, u FROM edges
+),
+deg AS (
+  SELECT src AS node, COUNT(*) AS d FROM directed GROUP BY src
+),
+nbr AS (
+  SELECT e.src AS w, e.dst AS x, deg.d AS dw
+  FROM directed e JOIN deg ON deg.node = e.src
+  WHERE deg.d <= {AA_DEG_CAP}
+),
+wedge AS (
+  SELECT a.x AS u, b.x AS v, a.dw
+  FROM nbr a JOIN nbr b ON a.w = b.w AND a.x < b.x
+),
+cand AS (
+  SELECT w.u, w.v, w.dw FROM wedge w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e WHERE e.u = w.u AND e.v = w.v
+  )
+),
+scored AS (
+  SELECT u, v,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         SUM(CAST(ROUND(1.0 / LN(dw), 9) AS DECIMAL(28,10))) AS s
+  FROM cand GROUP BY u, v
+)
+SELECT u, v, n_common, CAST(s AS DOUBLE) AS aa_score
+FROM scored
+ORDER BY s DESC, u, v
+LIMIT {AA_TOP_K}
+"""
+
+
+@register("g9_adamic_adar", _G9_ORACLE)
+def g9_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} predicted co-purchase links by hub-pruned Adamic–Adar:
+    for every non-adjacent pair at distance 2, the sum over common
+    neighbors w of 1/ln(deg(w)) — rare shared neighbors say more than
+    popular ones (Adamic & Adar 2003), and this is the classic
+    "frequently bought together" candidate generator / the baseline
+    every learned link predictor is measured against. Recommender
+    candidates, basket completion, and graph-densification for the
+    dedup components all start here.
+
+    Exactness: degrees are exact integers; each wedge contributes one
+    ROUND(1/LN(int), 9) lattice term summed as DECIMAL (t21's log
+    discipline), so scores — and therefore the top-k ORDER — are
+    bit-identical on both engines; ties break on (u, v). The final
+    cast to double is exact.
+
+    Scale shape: wedge enumeration is the ONLY superlinear step and is
+    bounded by design — centers are degree-capped (Σ min(d,{CAP})²
+    wedges, the cap is semantics shared with the oracle), so no hub
+    can go quadratic; the neighbor table shuffles once on the center
+    key; existing edges are removed with an anti join (never a filter
+    against a collected set); the (u,v) aggregate is combiner-absorbed
+    and top-k compiles to TakeOrderedAndProject — K rows cross the
+    wire, never a global sort."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= AA_MIN_SUPPORT)
+        .select("u", "v")
+        .persist()
+    )
+    directed = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    deg = directed.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    nbr = (
+        directed.join(
+            deg.filter(F.col("d") <= AA_DEG_CAP),
+            F.col("src") == F.col("node"),
+        )
+        .select(
+            F.col("src").alias("w"), F.col("dst").alias("x"), F.col("d").alias("dw")
+        )
+        .persist()
+    )
+    nbr.count()  # one materialization feeds both wedge-join sides
+    wa, wb = nbr.alias("wa"), nbr.alias("wb")
+    wedge = wa.join(
+        wb, (F.col("wa.w") == F.col("wb.w")) & (F.col("wa.x") < F.col("wb.x"))
+    ).select(
+        F.col("wa.x").alias("u"),
+        F.col("wb.x").alias("v"),
+        F.col("wa.dw").alias("dw"),
+    )
+    cand = wedge.join(edges, ["u", "v"], "left_anti")
+    dec = "decimal(28,10)"
+    scored = cand.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum(F.round(F.lit(1.0) / F.log(F.col("dw")), 9).cast(dec)).alias(
+            "s"
+        ),
+    )
+    return (
+        scored.orderBy(F.col("s").desc(), "u", "v")
+        .limit(AA_TOP_K)
+        .select("u", "v", "n_common", F.col("s").cast("double").alias("aa_score"))
+    )

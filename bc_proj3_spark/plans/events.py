@@ -2515,3 +2515,159 @@ def ts10_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("slope").alias("ts_slope"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e23 — Kaplan–Meier time-to-conversion survival curve
+# ---------------------------------------------------------------------------
+
+_E23_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.t0
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+),
+horizon AS (SELECT CAST(MAX(ts) AS DATE) AS dmax FROM events),
+dur AS (
+  SELECT s.user_id,
+         CASE WHEN p.t1 IS NOT NULL
+              THEN date_diff('day', CAST(s.t0 AS DATE), CAST(p.t1 AS DATE))
+              ELSE date_diff('day', CAST(s.t0 AS DATE), dmax) END AS d,
+         CASE WHEN p.t1 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM s LEFT JOIN p ON s.user_id = p.user_id
+  CROSS JOIN horizon
+),
+counts AS (
+  SELECT d, CAST(SUM(ev) AS BIGINT) AS e, CAST(SUM(1 - ev) AS BIGINT) AS c
+  FROM dur GROUP BY d
+),
+n AS (SELECT COUNT(*) AS nn FROM dur),
+risk AS (
+  SELECT d, e, c,
+         nn - COALESCE(SUM(e + c) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM counts CROSS JOIN n
+),
+terms AS (
+  SELECT d, e, c, n_at_risk,
+         CASE WHEN n_at_risk = e THEN NULL
+              ELSE CAST(ROUND(LN(n_at_risk - e), 9) AS DECIMAL(28,10))
+                   - CAST(ROUND(LN(n_at_risk), 9) AS DECIMAL(28,10)) END
+           AS term,
+         CASE WHEN n_at_risk = e THEN 1 ELSE 0 END AS z
+  FROM risk WHERE e > 0
+)
+SELECT d AS dur_days,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       e AS n_events,
+       c AS n_censored,
+       CASE WHEN MAX(z) OVER (ORDER BY d) = 1 THEN NULL
+            ELSE CAST(SUM(term) OVER (ORDER BY d) AS DOUBLE) END
+         AS log_survival
+FROM terms
+"""
+
+
+@register("e23_kaplan_meier", _E23_ORACLE)
+def e23_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase after
+    signup, with right-censoring at the observation horizon — THE
+    estimator for "how long until users convert" when many haven't
+    converted yet (naive mean-of-converted-durations is survivorship-
+    biased; KM uses the censored users' at-risk time correctly). One
+    row per event day: the risk set, events, censorings, and the
+    cumulative log-survival log S(t) = sum log((n_i - d_i)/n_i).
+
+    Exactness: durations are calendar-day integers (CAST-to-DATE
+    difference, the e5 discipline); risk sets are exact integers from
+    a prefix sum; each KM factor contributes ROUND(LN(int), 9) terms
+    summed as DECIMAL (t21's log-lattice discipline — association
+    order cannot leak), and log S(t) is that exact decimal sum cast
+    once to double. S(t) = 0 (risk set extinguished) is reported as
+    NULL log-survival from that day on, decided by an integer flag.
+    No EXP anywhere — the one op whose cross-engine ulp behavior is
+    unpinned stays out of the values.
+
+    Scale shape: two combiner-absorbed per-user aggregates (signup
+    min, conditional purchase min) joined on user_id, a 1-row horizon
+    broadcast, then everything collapses to the (duration-day) grid —
+    bounded by the observation span in DAYS at any corpus size, so the
+    cumulative windows run on a calendar-bounded frame (ts5's 'tiny
+    window exchange' class), never over users or events."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s.select(F.col("user_id").alias("s_user"), "t0"),
+              (F.col("user_id") == F.col("s_user"))
+              & (F.col("ts") >= F.col("t0")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    horizon = ev.agg(F.max("ts").cast("date").alias("dmax"))
+    dur = (
+        s.join(p, "user_id", "left_outer")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("t1").isNotNull(),
+                F.datediff(F.col("t1").cast("date"), F.col("t0").cast("date")),
+            )
+            .otherwise(F.datediff(F.col("dmax"), F.col("t0").cast("date")))
+            .alias("d"),
+            F.col("t1").isNotNull().cast("long").alias("ev"),
+        )
+    )
+    counts = dur.groupBy("d").agg(
+        F.sum("ev").cast("bigint").alias("e"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c"),
+    )
+    n1 = dur.agg(F.count(F.lit(1)).alias("nn"))
+    w_prev = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    risk = counts.crossJoin(F.broadcast(n1)).select(
+        "d",
+        "e",
+        "c",
+        (
+            F.col("nn")
+            - F.coalesce(F.sum(F.col("e") + F.col("c")).over(w_prev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    dec = "decimal(28,10)"
+    terms = risk.filter(F.col("e") > 0).select(
+        "d",
+        "e",
+        "c",
+        "n_at_risk",
+        F.when(
+            F.col("n_at_risk") == F.col("e"), F.lit(None).cast(dec)
+        )
+        .otherwise(
+            F.round(F.log(F.col("n_at_risk") - F.col("e")), 9).cast(dec)
+            - F.round(F.log(F.col("n_at_risk")), 9).cast(dec)
+        )
+        .alias("term"),
+        (F.col("n_at_risk") == F.col("e")).cast("long").alias("z"),
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        F.col("d").alias("dur_days"),
+        "n_at_risk",
+        F.col("e").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.max("z").over(w_cum) == 1, F.lit(None).cast("double"))
+        .otherwise(F.sum("term").over(w_cum).cast("double"))
+        .alias("log_survival"),
+    )

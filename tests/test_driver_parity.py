@@ -181,6 +181,8 @@ STRICT_VALUE_QUERIES = [
     "t25_heaps_law",
     "stat7_bh_fdr",
     "d13_hamming_neardup_pairs",
+    "e23_kaplan_meier",
+    "g9_adamic_adar",
 ]
 
 

@@ -75,6 +75,7 @@ _BNLJ_OK = {
     "g7_jl_distortion",  # constant-size anchor set non-equi joined (s1 shape)
     "stat7_bh_fdr",  # 1-row total + 1-row BH-cutoff crosses
     "t25_heaps_law",  # 1-row token-total and vocab frames crossed in
+    "e23_kaplan_meier",  # 1-row horizon + 1-row cohort-size crosses
 }
 
 #: streaming queries — their builders execute a full streaming job;

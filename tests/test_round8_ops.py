@@ -364,3 +364,70 @@ def test_d13_banded_index_equals_brute_force(spark):
     }
     assert got == brute
     assert all(x < y for x, y, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# e23 — Kaplan–Meier
+# ---------------------------------------------------------------------------
+
+
+def test_e23_km_accounting_and_monotonicity(spark):
+    """Risk sets shrink monotonically by exactly the events+censorings
+    that leave; log-survival is non-increasing; every risk set covers
+    at least its own day's departures."""
+    from bc_proj3_spark.plans.events import e23_kaplan_meier
+
+    rows = sorted(
+        e23_kaplan_meier(spark, SF_DIR).collect(), key=lambda r: r.dur_days
+    )
+    assert rows
+    prev_log = 0.0
+    for r in rows:
+        assert r.n_at_risk >= r.n_events + r.n_censored
+        assert r.n_events >= 1  # only event times are emitted
+        if r.log_survival is not None:
+            assert r.log_survival <= prev_log + 1e-12
+            prev_log = r.log_survival
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_at_risk <= a.n_at_risk - a.n_events - a.n_censored
+
+
+# ---------------------------------------------------------------------------
+# g9 — Adamic–Adar link prediction
+# ---------------------------------------------------------------------------
+
+
+def test_g9_predictions_are_nonedges_with_positive_score(spark):
+    """Every predicted pair must be NON-adjacent in the supported
+    co-purchase graph, have at least one common (capped) neighbor, and
+    scores must arrive sorted desc with the (u, v) tiebreak."""
+    from bc_proj3_spark.operators.graph import (
+        AA_MIN_SUPPORT,
+        g9_adamic_adar,
+    )
+    from bc_proj3_spark.plans.tables import table
+
+    rows = g9_adamic_adar(spark, SF_DIR).collect()
+    assert rows
+    li = table(spark, SF_DIR, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = {
+        (r.u, r.v)
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= AA_MIN_SUPPORT)
+        .collect()
+    }
+    keys = [(-r.aa_score, r.u, r.v) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert (r.u, r.v) not in edges
+        assert r.n_common >= 1 and r.aa_score > 0
