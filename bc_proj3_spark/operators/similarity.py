@@ -1161,3 +1161,191 @@ def s10_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("code")[3].cast("int").alias("c3"),
         "recon_err",
     )
+
+
+# ---------------------------------------------------------------------------
+# hs2 — Maximal Marginal Relevance (MMR) diversified re-ranking
+# ---------------------------------------------------------------------------
+
+#: MMR trade-off lambda = MMR_LAM/10 (relevance) vs (10-MMR_LAM)/10
+#: (redundancy penalty); kept as integers so the greedy objective
+#: 7*rel - 3*maxsim stays on the exact decimal lattice.
+MMR_LAM = 7
+MMR_K = 5  # results per query after diversification
+
+
+def _hs2_oracle() -> str:
+    """Unrolled greedy MMR as MATERIALIZED CTEs (the pi-family lesson:
+    DuckDB inlines CTEs per reference — chained rounds explode without
+    MATERIALIZED)."""
+    rounds = []
+    prev_sel = "sel1"
+    for r in range(2, MMR_K + 1):
+        rounds.append(f"""
+rem{r} AS MATERIALIZED (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {prev_sel} s
+    WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id
+  )
+),
+ms{r} AS MATERIALIZED (
+  SELECT r.query_id, r.vec_id, r.rel_l,
+         MAX(p.sim_l) AS maxsim
+  FROM rem{r} r
+  JOIN {prev_sel} s ON s.query_id = r.query_id
+  JOIN pairs p ON p.query_id = r.query_id
+    AND p.ai = r.vec_id AND p.bi = s.vec_id
+  GROUP BY r.query_id, r.vec_id, r.rel_l
+),
+pick{r} AS MATERIALIZED (
+  SELECT query_id, vec_id, rel_l, {r} AS mmr_rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY {MMR_LAM} * rel_l - {10 - MMR_LAM} * maxsim DESC, vec_id
+    ) AS rn
+    FROM ms{r}
+  ) t WHERE rn = 1
+),
+sel{r} AS MATERIALIZED (
+  SELECT query_id, vec_id, rel_l, mmr_rank FROM {prev_sel}
+  UNION ALL
+  SELECT query_id, vec_id, rel_l, mmr_rank FROM pick{r}
+)""".strip())
+        prev_sel = f"sel{r}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH {_SQL_BASE},
+scored AS (
+  SELECT query_id, e.vec_id,
+         {_sql_dot('qv', 'v')} / (qn * nrm) AS cosine
+  FROM q, e
+  WHERE e.vec_id <> query_id
+),
+cand AS MATERIALIZED (
+  SELECT query_id, vec_id,
+         CAST(ROUND(cosine, 9) AS DECIMAL(28,10)) AS rel_l
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored
+  ) t WHERE rn <= {TOP_K}
+),
+pairs AS MATERIALIZED (
+  SELECT a.query_id, a.vec_id AS ai, b.vec_id AS bi,
+         CAST(ROUND({_sql_dot('ea.v', 'eb.v')} / (ea.nrm * eb.nrm), 9)
+              AS DECIMAL(28,10)) AS sim_l
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+),
+sel1 AS MATERIALIZED (
+  SELECT query_id, vec_id, rel_l, 1 AS mmr_rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rel_l DESC, vec_id) AS rn
+    FROM cand
+  ) t WHERE rn = 1
+),
+{body}
+SELECT query_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, vec_id,
+       CAST(rel_l AS DOUBLE) AS relevance
+FROM {prev_sel}
+"""
+
+
+@register("hs2_mmr_rerank", _hs2_oracle())
+def hs2_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) of s1's exact top-10 candidates: greedily pick K=5
+    results per query maximizing lambda*relevance - (1-lambda)*max
+    similarity to anything already picked — THE standard
+    diversification pass between retrieval and a RAG context window
+    (ten near-identical near-dups of the best hit waste nine slots;
+    MMR spends them on coverage).
+
+    Determinism/exactness: relevance and candidate-candidate cosines
+    are sequential-fold dot products (bit-identical on both engines)
+    ROUNDED onto the 9-decimal lattice and carried as DECIMAL — the
+    greedy objective 7*rel - 3*maxsim is exact decimal arithmetic, so
+    every argmax (vec_id tiebreak) picks the identical candidate on
+    both engines at every round; the oracle unrolls the same greedy
+    rounds as MATERIALIZED CTEs (pi-family discipline).
+
+    Scale shape: candidate generation is s1's broadcast-queries single
+    corpus scan; everything after runs on the (queries x K) candidate
+    table — pair similarities are (queries x K^2) rows, each greedy
+    round is a join + window on that bounded frame, and the corpus is
+    never touched again (the candidate and pair tables are
+    localCheckpointed once). Work per extra query is O(K^2) — at 100 TB
+    the corpus term stays exactly one scan."""
+    corpus = _corpus(spark, sf_dir)
+    cand = (
+        s1_knn_bruteforce(spark, sf_dir)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("cosine"), 9).cast("decimal(28,10)").alias("rel_l"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ea = corpus.select(F.col("vec_id").alias("ai"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    eb = corpus.select(F.col("vec_id").alias("bi"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    ca = cand.select("query_id", F.col("vec_id").alias("ai"))
+    cb = cand.select(F.col("query_id").alias("qb"), F.col("vec_id").alias("bi"))
+    pairs = (
+        ca.join(cb, (F.col("query_id") == F.col("qb")) & (F.col("ai") != F.col("bi")))
+        .join(ea, "ai")
+        .join(eb, "bi")
+        .select(
+            "query_id",
+            "ai",
+            "bi",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 9
+            )
+            .cast("decimal(28,10)")
+            .alias("sim_l"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel_l"), F.asc("vec_id"))
+    selected = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "vec_id", "rel_l", F.lit(1).alias("mmr_rank"))
+    )
+    for r in range(2, MMR_K + 1):
+        rem = cand.join(
+            selected.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+        )
+        sel_ids = selected.select(
+            F.col("query_id").alias("sq"), F.col("vec_id").alias("bi")
+        )
+        ms = (
+            rem.join(
+                pairs.join(
+                    sel_ids,
+                    (pairs["query_id"] == F.col("sq")) & (pairs["bi"] == sel_ids["bi"]),
+                ).select(pairs["query_id"], "ai", "sim_l"),
+                (rem["query_id"] == pairs["query_id"]) & (rem["vec_id"] == F.col("ai")),
+            )
+            .groupBy(rem["query_id"].alias("query_id"), "vec_id", "rel_l")
+            .agg(F.max("sim_l").alias("maxsim"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(MMR_LAM * F.col("rel_l") - (10 - MMR_LAM) * F.col("maxsim")),
+            F.asc("vec_id"),
+        )
+        pick = (
+            ms.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "vec_id", "rel_l", F.lit(r).alias("mmr_rank"))
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        "query_id",
+        F.col("mmr_rank").cast("bigint").alias("mmr_rank"),
+        "vec_id",
+        F.col("rel_l").cast("double").alias("relevance"),
+    )

@@ -183,6 +183,7 @@ STRICT_VALUE_QUERIES = [
     "d13_hamming_neardup_pairs",
     "e23_kaplan_meier",
     "g9_adamic_adar",
+    "hs2_mmr_rerank",
 ]
 
 

@@ -76,6 +76,7 @@ _BNLJ_OK = {
     "stat7_bh_fdr",  # 1-row total + 1-row BH-cutoff crosses
     "t25_heaps_law",  # 1-row token-total and vocab frames crossed in
     "e23_kaplan_meier",  # 1-row horizon + 1-row cohort-size crosses
+    "hs2_mmr_rerank",  # inherits s1's broadcast-query cross
 }
 
 #: streaming queries — their builders execute a full streaming job;

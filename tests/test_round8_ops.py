@@ -431,3 +431,40 @@ def test_g9_predictions_are_nonedges_with_positive_score(spark):
     for r in rows:
         assert (r.u, r.v) not in edges
         assert r.n_common >= 1 and r.aa_score > 0
+
+
+# ---------------------------------------------------------------------------
+# hs2 — MMR diversified re-ranking
+# ---------------------------------------------------------------------------
+
+
+def test_hs2_mmr_structure_and_top1_agreement(spark):
+    """Per query: exactly K distinct picks, all drawn from s1's
+    candidate set; MMR rank 1 is s1's most-relevant hit (no redundancy
+    penalty exists before anything is selected); later picks can never
+    BEAT the rank-1 relevance."""
+    from bc_proj3_spark.operators.similarity import (
+        MMR_K,
+        hs2_mmr_rerank,
+        s1_knn_bruteforce,
+    )
+
+    rows = hs2_mmr_rerank(spark, SF_DIR).collect()
+    s1 = s1_knn_bruteforce(spark, SF_DIR).collect()
+    cand = {(r.query_id, r.vec_id) for r in s1}
+    top1 = {}
+    for r in s1:
+        cur = top1.get(r.query_id)
+        key = (-r.cosine, r.vec_id)
+        if cur is None or key < cur[0]:
+            top1[r.query_id] = (key, r.vec_id)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert (r.query_id, r.vec_id) in cand
+    for q, picks in by_q.items():
+        assert len(picks) == MMR_K
+        assert len({p.vec_id for p in picks}) == MMR_K
+        r1 = min(picks, key=lambda p: p.mmr_rank)
+        assert r1.mmr_rank == 1 and r1.vec_id == top1[q][1]
+        assert all(p.relevance <= r1.relevance + 1e-12 for p in picks)
