@@ -82,3 +82,44 @@ def zorder_layout(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
         .sortWithinPartitions("_zorder")
         .drop("_zorder")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed tables — co-located joins and aggregations without a shuffle
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    key: str,
+    n_buckets: int = 16,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a BUCKETED session-catalog table: rows are
+    hash-distributed into ``n_buckets`` files by ``key`` at write time,
+    and the bucket spec is recorded in the catalog so every later read
+    exposes ``HashPartitioning(key, n_buckets)`` to the planner.
+
+    This is the other half of the engine's layout story (zorder above
+    clusters for SCAN pruning; bucketing pre-partitions for JOIN/AGG
+    locality): two tables bucketed the same way join with ZERO
+    exchange — at 100 TB the difference between re-shuffling both fact
+    tables on every run and never shuffling them again after ingest.
+    ``sortBy`` additionally orders rows inside each bucket file so a
+    single-file bucket feeds sort-merge join without even a local sort.
+
+    Uses ``saveAsTable`` (not the path catalog): Spark only honors
+    bucket metadata through the session catalog — a bare parquet path
+    read cannot carry it. ``df`` is repartitioned to the bucket count
+    first so each bucket lands in ONE file (multi-file buckets would
+    reintroduce per-read local sorts under sort-merge join)."""
+    writer = (
+        df.repartition(n_buckets, F.col(key))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+    )
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(name)

@@ -1,63 +1,94 @@
-"""Bucketed tables: co-located joins without a shuffle.
+"""Bucketed-table layout gates: co-located joins and aggregations must
+run WITHOUT a shuffle exchange once both sides are bucketed on the key.
 
-The 100 TB strategy SURVEY §0/§4 calls for: pre-bucket both fact tables
-on the join key so repeated joins skip the exchange entirely. Parquet
-path tables can't carry bucket metadata, so this goes through
-``saveAsTable`` (session catalog); the assertion is on the physical
-plan — a SortMergeJoin with NO shuffle exchange on either side.
+The zorder twin (test_zorder.py pins scan pruning; this pins join/agg
+locality): at 100 TB, bucketing is the difference between re-shuffling
+a fact table on every join and never shuffling it again after ingest.
+Values are compared against the plain (unbucketed) join so the layout
+is provably value-invisible.
 """
 
 from __future__ import annotations
 
 import pytest
+
 from pyspark.sql import functions as F
 
-from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.operators.layout import write_bucketed
 
 SF = "/root/testdata/sf0.01"
+N_BUCKETS = 8
 
 
-@pytest.fixture()
-def bucketed_tables(spark):
-    for t in ("b_orders", "b_lineitem"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-    table(spark, SF, "orders").write.bucketBy(8, "o_orderkey").sortBy(
-        "o_orderkey"
-    ).mode("overwrite").saveAsTable("b_orders")
-    table(spark, SF, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
-        "l_orderkey"
-    ).mode("overwrite").saveAsTable("b_lineitem")
-    yield
-    for t in ("b_orders", "b_lineitem"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    write_bucketed(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "bkt_orders", "o_custkey", N_BUCKETS,
+    )
+    write_bucketed(
+        cust.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        "bkt_customer", "c_custkey", N_BUCKETS,
+    )
+    yield orders, cust
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_customer")
 
 
-def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
-    li = spark.table("b_lineitem")
-    orders = spark.table("b_orders")
-    # at sf0.01 AQE would broadcast the small side (also shuffle-free,
-    # but that's not what's under test) — force the sort-merge path the
-    # way a fact⨝fact join at real scale resolves
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange_and_same_values(spark, bucketed):
+    orders, cust = bucketed
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
-            "o_orderpriority"
-        ).agg(F.count(F.lit(1)).alias("n"))
-        plan = j._jdf.queryExecution().executedPlan().toString()
+        bo = spark.table("bkt_orders")
+        bc = spark.table("bkt_customer")
+        j = bo.join(
+            bc, bo["o_custkey"] == bc["c_custkey"]
+        ).groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        plan = _executed(j)
+        # the join itself reads both bucketed scans pre-partitioned:
+        # the ONLY exchange allowed is the final tiny segment aggregate
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "SortMergeJoin" in plan, plan[:800]
+        assert "Exchange" not in join_part, (
+            "bucketed join still shuffles an input:\n" + join_part[:1200]
+        )
+        # value-invisibility vs the plain unbucketed join
+        pj = orders.join(
+            cust, orders["o_custkey"] == cust["c_custkey"]
+        ).groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(
+            map(tuple, pj.collect())
+        )
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    join_part = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else plan
-    # the join inputs come straight from the bucketed scans — no
-    # "Exchange hashpartitioning" below the join
-    assert "SortMergeJoin" in plan
-    assert "Exchange hashpartitioning" not in join_part
-    # and it computes the right thing
-    plain = (
-        table(spark, SF, "lineitem")
-        .join(table(spark, SF, "orders"),
-              F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_aggregation_skips_exchange(spark, bucketed):
+    """groupBy on the bucket key reuses the write-time partitioning —
+    no Exchange anywhere in the plan."""
+    bo = spark.table("bkt_orders")
+    agg = bo.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
     )
-    assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+    plan = _executed(agg)
+    assert "Exchange" not in plan, plan[:1200]
+    # and it still counts every order
+    total = agg.agg(F.sum("n_orders")).collect()[0][0]
+    assert total == bo.count()
