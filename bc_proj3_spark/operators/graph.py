@@ -1344,3 +1344,144 @@ def g9_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(AA_TOP_K)
         .select("u", "v", "n_common", F.col("s").cast("double").alias("aa_score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# g10 — per-node clustering coefficient (top-k) of the supported graph
+# ---------------------------------------------------------------------------
+
+CC_TOP_K = 20
+
+_G10_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {AA_MIN_SUPPORT}
+),
+directed AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL
+  SELECT v, u FROM edges
+),
+deg AS (
+  SELECT src AS node, COUNT(*) AS d FROM directed GROUP BY src
+),
+tri AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM edges a
+  JOIN edges b ON b.u = a.v
+  JOIN edges c ON c.u = a.u AND c.v = b.v
+),
+credit AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+tcount AS (SELECT node, COUNT(*) AS t FROM credit GROUP BY node),
+cc AS (
+  SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+         CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,
+         CASE WHEN deg.d >= 2
+              THEN CAST(2 * COALESCE(t.t, 0) AS DOUBLE)
+                   / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+              ELSE 0.0 END AS clustering_coeff
+  FROM deg LEFT JOIN tcount t ON t.node = deg.node
+)
+SELECT node, degree, n_triangles, clustering_coeff
+FROM cc
+ORDER BY clustering_coeff DESC, node
+LIMIT {CC_TOP_K}
+"""
+
+
+@register("g10_clustering_coefficient", _G10_ORACLE)
+def g10_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} nodes by LOCAL clustering coefficient in the support>=2
+    co-purchase graph: c_v = 2*tri(v) / (deg(v)*(deg(v)-1)) — the
+    per-node companion to tc1's global census. High-c nodes sit inside
+    tight co-purchase cliques (bundle candidates; in the dedup graph,
+    template families), low-c hubs are generic connectors — the number
+    that separates them drives both recommendation bundling and
+    community pre-screening before cc1/cc2 component runs.
+
+    Exactness: triangle listing is the ORIENTED 3-way equi-join (every
+    triangle u<v<w materializes exactly once); credits, degrees and
+    the coefficient's 2t / d(d-1) are exact integers with ONE IEEE
+    division (both engines divide identical integers — EXACT_DOUBLE
+    class), so the top-k order (node tiebreak) is bit-identical.
+
+    Scale shape: wedge work in the a.v=b.u join is bounded by the
+    oriented degrees of the SUPPORTED graph (the support>=2 contract
+    keeps it sparse — measured max degree 13 at sf0.01, 6 at sf0.1 —
+    and orientation caps out-degree at O(sqrt m) for any graph); the
+    closure check c.u=a.u AND c.v=b.v is a hash equi-join, no wedge
+    set survives it; credits shuffle triangle-count rows only; top-k
+    compiles to TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    ia, ib = items.alias("ia"), items.alias("ib")
+    edges = (
+        ia.join(
+            ib,
+            (F.col("ia.l_orderkey") == F.col("ib.l_orderkey"))
+            & (F.col("ia.l_partkey") < F.col("ib.l_partkey")),
+        )
+        .groupBy(
+            F.col("ia.l_partkey").alias("u"), F.col("ib.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= AA_MIN_SUPPORT)
+        .select("u", "v")
+        .persist()
+    )
+    edges.count()  # one materialization feeds deg + all three tri-join sides
+    directed = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    deg = directed.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ea, eb, ec = edges.alias("ea"), edges.alias("eb"), edges.alias("ec")
+    tri = (
+        ea.join(eb, F.col("eb.u") == F.col("ea.v"))
+        .join(
+            ec,
+            (F.col("ec.u") == F.col("ea.u")) & (F.col("ec.v") == F.col("eb.v")),
+        )
+        .select(
+            F.col("ea.u").alias("x"),
+            F.col("ea.v").alias("y"),
+            F.col("eb.v").alias("z"),
+        )
+    )
+    credit = (
+        tri.select(F.col("x").alias("node"))
+        .union(tri.select("y"))
+        .union(tri.select("z"))
+    )
+    tcount = credit.groupBy("node").agg(F.count(F.lit(1)).alias("t"))
+    cc = (
+        deg.join(tcount.withColumnRenamed("node", "tn"),
+                 F.col("node") == F.col("tn"), "left_outer")
+        .select(
+            "node",
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("d") >= 2,
+                (2 * F.coalesce(F.col("t"), F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+    return cc.orderBy(F.col("clustering_coeff").desc(), "node").limit(
+        CC_TOP_K
+    )

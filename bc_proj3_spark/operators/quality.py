@@ -29,7 +29,7 @@ from bc_proj3_spark.functions import text as T
 from bc_proj3_spark.functions.hashing import sql_hash60
 from bc_proj3_spark.functions.joins import gated_broadcast
 from bc_proj3_spark.operators.sampling import _sql_seeded
-from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.plans.tables import fanout, table
 from bc_proj3_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -1587,4 +1587,82 @@ def cal2_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").cast("bigint").alias("n_docs"),
         (F.col("s").cast("double") / F.col("w")).alias("raw_rate"),
         "iso_rate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# fe4 — feature hashing (the hashing trick) over document tokens
+# ---------------------------------------------------------------------------
+
+#: hashed feature dimensionality — fixed REGARDLESS of vocabulary size,
+#: which is the whole point (Weinberger et al., "Feature Hashing for
+#: Large Scale Multitask Learning", ICML 2009): no vocabulary pass, no
+#: dictionary broadcast, memory O(FEAT_BUCKETS) per row forever.
+FEAT_BUCKETS = 16
+
+_FE4_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         {sql_hash60('t')} % {FEAT_BUCKETS} AS bkt,
+         CASE WHEN ({sql_hash60('t')} >> 20) & 1 = 1 THEN 1 ELSE -1 END
+           AS sgn
+  FROM tok
+)
+SELECT doc_id,
+       {', '.join(f"CAST(COALESCE(SUM(CASE WHEN bkt = {b} THEN sgn END), 0) AS BIGINT) AS f{b}" for b in range(FEAT_BUCKETS))}
+FROM hashed GROUP BY doc_id
+"""
+
+
+@register("fe4_feature_hashing", _FE4_ORACLE)
+def fe4_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (the 'hashing trick', Weinberger et al.
+    ICML 2009): every token hashes to one of {FEAT_BUCKETS} buckets
+    with a ±1 sign bit, and a document's feature vector is the signed
+    count per bucket — fe1 assembles features against a PINNED
+    category contract, fe4 is the contract-free alternative that needs
+    NO vocabulary pass at all, which is why it's the standard text
+    featurizer at corpus scales where the vocabulary itself doesn't
+    fit anywhere (the sign bit makes collisions cancel in expectation
+    instead of biasing upward).
+
+    Exactness: bucket and sign come from the shared seeded hash60
+    family; features are pure integer sums — both engines emit
+    identical vectors bit-for-bit.
+
+    Scale shape: one token explode feeding ONE combiner-absorbed
+    groupBy(doc_id) with {FEAT_BUCKETS} conditional integer sums —
+    map-side partial aggregation collapses each partition to its doc
+    set before the only shuffle; output width is fixed at any corpus
+    or vocabulary size; no joins, no broadcasts, no second pass."""
+    from bc_proj3_spark.functions.hashing import hash60
+
+    docs = table(spark, sf_dir, "documents")
+    tok = fanout(docs).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+    )
+    h = hash60(F.col("t"))
+    hashed = tok.select(
+        "doc_id",
+        (h % FEAT_BUCKETS).alias("bkt"),
+        F.when(
+            F.shiftright(h, 20).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("bkt") == b, F.col("sgn"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"f{b}")
+            for b in range(FEAT_BUCKETS)
+        ]
     )

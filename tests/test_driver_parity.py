@@ -184,6 +184,8 @@ STRICT_VALUE_QUERIES = [
     "e23_kaplan_meier",
     "g9_adamic_adar",
     "hs2_mmr_rerank",
+    "g10_clustering_coefficient",
+    "fe4_feature_hashing",
 ]
 
 

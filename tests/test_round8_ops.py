@@ -468,3 +468,46 @@ def test_hs2_mmr_structure_and_top1_agreement(spark):
         r1 = min(picks, key=lambda p: p.mmr_rank)
         assert r1.mmr_rank == 1 and r1.vec_id == top1[q][1]
         assert all(p.relevance <= r1.relevance + 1e-12 for p in picks)
+
+
+# ---------------------------------------------------------------------------
+# g10 — clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_g10_coefficient_bounds_and_ordering(spark):
+    """0 <= c_v <= 1, triangles can never exceed C(deg, 2), and the
+    top-k arrives sorted (coeff desc, node tiebreak)."""
+    from bc_proj3_spark.operators.graph import g10_clustering_coefficient
+
+    rows = g10_clustering_coefficient(spark, SF_DIR).collect()
+    assert rows
+    keys = [(-r.clustering_coeff, r.node) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert 0.0 <= r.clustering_coeff <= 1.0
+        assert r.n_triangles <= r.degree * (r.degree - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# fe4 — feature hashing
+# ---------------------------------------------------------------------------
+
+
+def test_fe4_mass_conservation_against_token_counts(spark):
+    """Each token contributes exactly one ±1 to one bucket, so per doc:
+    sum_b |f_b| <= n_tokens and sum_b f_b has the token count's parity;
+    every document appears exactly once."""
+    from bc_proj3_spark.operators.quality import fe4_feature_hashing
+    from bc_proj3_spark.operators.textstats import t5_token_count
+
+    feats = {r.doc_id: r for r in fe4_feature_hashing(spark, SF_DIR).collect()}
+    toks = {
+        r.doc_id: r.n_ws_tokens
+        for r in t5_token_count(spark, SF_DIR).collect()
+    }
+    assert set(feats) == set(toks)
+    for doc_id, r in feats.items():
+        vals = [r[f"f{b}"] for b in range(16)]
+        assert sum(abs(v) for v in vals) <= toks[doc_id]
+        assert (sum(vals) - toks[doc_id]) % 2 == 0
