@@ -1349,3 +1349,129 @@ def hs2_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("rel_l").cast("double").alias("relevance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s11 — greedy k-center coreset (farthest-point diversity selection)
+# ---------------------------------------------------------------------------
+
+#: coreset size: greedy farthest-point traversal gives the classic
+#: 2-approximation to the optimal k-center cover (Gonzalez 1985).
+KCENTER_K = 8
+
+
+def _s11_oracle() -> str:
+    """Unrolled greedy rounds as MATERIALIZED CTEs (pi-family lesson).
+    Round r keeps, per point, the min cosine-DISTANCE to the selected
+    set (9-decimal lattice), then picks the farthest point."""
+    dist = f"ROUND(1.0 - {_sql_dot('e.v', 'c.v')} / (e.nrm * c.nrm), 9)"
+    ctes = [f"""
+d1 AS MATERIALIZED (
+  SELECT e.vec_id,
+         CAST({dist} AS DECIMAL(28,10)) AS d
+  FROM e CROSS JOIN (SELECT v, nrm FROM e WHERE vec_id =
+                     (SELECT MIN(vec_id) FROM e)) c
+)""".strip()]
+    for r in range(2, KCENTER_K + 1):
+        ctes.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT vec_id, d FROM d{r - 1} ORDER BY d DESC, vec_id LIMIT 1
+),
+d{r} AS MATERIALIZED (
+  SELECT e.vec_id,
+         LEAST(d{r - 1}.d, CAST({dist} AS DECIMAL(28,10))) AS d
+  FROM e
+  JOIN d{r - 1} ON d{r - 1}.vec_id = e.vec_id
+  CROSS JOIN (SELECT v, nrm FROM e WHERE vec_id = (SELECT vec_id FROM p{r})) c
+)""".strip())
+    picks = ["SELECT 1 AS center_rank, (SELECT MIN(vec_id) FROM e) AS vec_id, CAST(NULL AS DOUBLE) AS radius"]
+    for r in range(2, KCENTER_K + 1):
+        picks.append(
+            f"SELECT {r}, vec_id, CAST(d AS DOUBLE) FROM p{r}"
+        )
+    return f"""
+WITH {_SQL_BASE},
+{",".join(ctes)}
+SELECT * FROM ({" UNION ALL ".join(picks)}) t
+"""
+
+
+@register("s11_kcenter_coreset", _s11_oracle())
+def s11_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus (Gonzalez
+    1985 farthest-point traversal, the 2-approximation to optimal
+    k-center): start from the lowest vec_id, repeatedly pick the point
+    FARTHEST (cosine distance) from everything selected so far. The
+    emitted radius sequence is the coverage guarantee itself — after k
+    centers, every point sits within radius_k of a center — which is
+    the standard diverse-subset/data-pruning primitive (coreset
+    selection for training-data budgets, complementing d12's
+    redundancy REMOVAL with representativeness SELECTION, cur1's
+    ordering, and sp12's importance weighting).
+
+    Determinism/exactness: distances are sequential-fold cosines
+    rounded onto the 9-decimal lattice and carried as DECIMAL; every
+    argmax ties on vec_id; the min-distance recurrence uses LEAST over
+    decimals — both engines walk the identical center sequence. The
+    oracle unrolls the same rounds as MATERIALIZED CTEs.
+
+    Scale shape: the selected set never exceeds K rows, so each round
+    is ONE map-side pass over the corpus against a 1-row broadcast
+    center (the running min-distance column rides along, refreshed via
+    localCheckpoint so lineage stays O(1)) plus a TakeOrdered(1) —
+    K scans total, the honest cost of greedy k-center, with nothing
+    corpus² and nothing driver-side beyond K 1-row picks."""
+    corpus = _corpus(spark, sf_dir).localCheckpoint(eager=True)
+    seed = corpus.orderBy("vec_id").limit(1).select(
+        F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    dec = "decimal(28,10)"
+
+    def dist_to(center):
+        return F.round(
+            F.lit(1.0)
+            - _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")),
+            9,
+        ).cast(dec)
+
+    dists = (
+        corpus.crossJoin(F.broadcast(seed))
+        .select("vec_id", "v", "nrm", dist_to(None).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    picks = [
+        corpus.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("center_rank"),
+            "vec_id",
+            F.lit(None).cast("double").alias("radius"),
+        )
+    ]
+    for r in range(2, KCENTER_K + 1):
+        pick = dists.orderBy(F.col("d").desc(), "vec_id").limit(1)
+        picks.append(
+            pick.select(
+                F.lit(r).alias("center_rank"),
+                "vec_id",
+                F.col("d").cast("double").alias("radius"),
+            )
+        )
+        center = pick.join(corpus.select(F.col("vec_id").alias("cid"),
+                                         F.col("v").alias("cv"),
+                                         F.col("nrm").alias("cn")),
+                           F.col("vec_id") == F.col("cid")).select("cv", "cn")
+        dists = (
+            dists.crossJoin(F.broadcast(center))
+            .select(
+                "vec_id",
+                "v",
+                "nrm",
+                F.least(F.col("d"), dist_to(None)).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

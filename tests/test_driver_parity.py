@@ -186,6 +186,7 @@ STRICT_VALUE_QUERIES = [
     "hs2_mmr_rerank",
     "g10_clustering_coefficient",
     "fe4_feature_hashing",
+    "s11_kcenter_coreset",
 ]
 
 

@@ -77,6 +77,7 @@ _BNLJ_OK = {
     "t25_heaps_law",  # 1-row token-total and vocab frames crossed in
     "e23_kaplan_meier",  # 1-row horizon + 1-row cohort-size crosses
     "hs2_mmr_rerank",  # inherits s1's broadcast-query cross
+    "s11_kcenter_coreset",  # 1-row center broadcasts crossed per round
 }
 
 #: streaming queries — their builders execute a full streaming job;

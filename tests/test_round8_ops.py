@@ -511,3 +511,29 @@ def test_fe4_mass_conservation_against_token_counts(spark):
         vals = [r[f"f{b}"] for b in range(16)]
         assert sum(abs(v) for v in vals) <= toks[doc_id]
         assert (sum(vals) - toks[doc_id]) % 2 == 0
+
+
+# ---------------------------------------------------------------------------
+# s11 — greedy k-center coreset
+# ---------------------------------------------------------------------------
+
+
+def test_s11_radius_sequence_is_nonincreasing_and_centers_distinct(spark):
+    """Farthest-point traversal guarantees the coverage radius never
+    increases round over round; K distinct centers; rank 1 is the
+    deterministic seed (lowest vec_id)."""
+    from bc_proj3_spark.operators.similarity import (
+        KCENTER_K,
+        s11_kcenter_coreset,
+    )
+
+    rows = sorted(
+        s11_kcenter_coreset(spark, SF_DIR).collect(),
+        key=lambda r: r.center_rank,
+    )
+    assert len(rows) == KCENTER_K
+    assert len({r.vec_id for r in rows}) == KCENTER_K
+    assert rows[0].center_rank == 1 and rows[0].radius is None
+    radii = [r.radius for r in rows[1:]]
+    assert all(b <= a + 1e-12 for a, b in zip(radii, radii[1:]))
+    assert all(r >= 0 for r in radii)
