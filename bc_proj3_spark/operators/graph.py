@@ -1306,6 +1306,7 @@ def g9_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .persist()
     )
+    edges.count()  # materialize before the union's two branches race
     directed = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).select(F.col("u").alias("src"), F.col("v").alias("dst"))

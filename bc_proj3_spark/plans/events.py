@@ -2629,6 +2629,7 @@ def e23_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d"),
             F.col("t1").isNotNull().cast("long").alias("ev"),
         )
+        .localCheckpoint(eager=True)  # feeds the grid AND the cohort count
     )
     counts = dur.groupBy("d").agg(
         F.sum("ev").cast("bigint").alias("e"),
