@@ -115,6 +115,10 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     ("sp15_length_bucketing", "waste_frac"),
     # exact integer extreme-count; one IEEE division by the literal B+1
     ("stat6_permutation_test", "p_value"),
+    # decimal-exact lattice-LN accumulation (SUM over DECIMAL terms)
+    # cast once to double — the sql2 class the per-alias regex can't
+    # see; no float ever enters the accumulation
+    ("e23_kaplan_meier", "log_survival"),
 }
 
 #: Accumulation forms that are exact without ROUND:
