@@ -76,6 +76,13 @@ SF01_QUERIES = [
     "g6_kcore",  # iterative peel fixpoint (cc-family class)
     "g7_jl_distortion",  # deterministic IEEE fold chains per pair
     "stat6_permutation_test",  # extreme-count compares bit-identical doubles
+    # r8 second batch
+    "t25_heaps_law",  # log-lattice OLS over corpus-order prefix sums
+    "stat7_bh_fdr",  # m*(B+1) permutation gaps compared as doubles
+    "e23_kaplan_meier",  # lattice-LN survival accumulation
+    "hs2_mmr_rerank",  # greedy argmax over lattice-decimal objectives
+    "g9_adamic_adar",  # 1/ln(deg) lattice sums order the top-k
+    "s11_kcenter_coreset",  # farthest-point walk over lattice distances
 ]
 
 
