@@ -2672,3 +2672,140 @@ def e23_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.sum("term").over(w_cum).cast("double"))
         .alias("log_survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e24 — stationary distribution of the event-transition Markov chain
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for the stationary-vector iteration (1e-9 units):
+#: p[a]*q[a][b] products stay under 2^63 (1e9 * 1e9), so both engines
+#: run the identical half-up BIGINT arithmetic — the cc3 protocol.
+MARKOV_SCALE = 10 ** 9
+MARKOV_ROUNDS = 8
+
+
+def _mk_halfup(a: str, b: str) -> str:
+    return f"((2 * ({a}) + ({b})) // (2 * ({b})))"
+
+
+def _e24_oracle() -> str:
+    rounds = []
+    for k in range(MARKOV_ROUNDS):
+        rounds.append(f"""
+p{k + 1} AS MATERIALIZED (
+  SELECT ty.t,
+         COALESCE(m.s, 0) AS p
+  FROM types ty LEFT JOIN (
+    SELECT q.to_type AS t,
+           CAST(SUM({_mk_halfup('p' + str(k) + '.p * q.q', str(MARKOV_SCALE))}) AS BIGINT) AS s
+    FROM p{k} JOIN q ON q.from_type = p{k}.t
+    GROUP BY q.to_type
+  ) m ON m.t = ty.t
+)""".strip())
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+),
+cells AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type AS t FROM events),
+na AS (SELECT from_type, SUM(n) AS tot FROM cells GROUP BY from_type),
+q AS (
+  SELECT c.from_type, c.to_type,
+         {_mk_halfup(f'c.n * {MARKOV_SCALE}', 'na.tot')} AS q
+  FROM cells c JOIN na ON na.from_type = c.from_type
+),
+p0 AS MATERIALIZED (
+  SELECT t, {MARKOV_SCALE} // (SELECT COUNT(*) FROM types) AS p FROM types
+),
+{",".join(rounds)}
+SELECT t AS event_type,
+       CAST(p AS BIGINT) AS pi_scaled,
+       CAST(p AS DOUBLE) / {MARKOV_SCALE} AS pi
+FROM p{MARKOV_ROUNDS}
+"""
+
+
+@register("e24_markov_stationary", _e24_oracle())
+def e24_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-transition Markov
+    chain (e11's matrix, row-normalized) by 8 power-iteration rounds
+    from uniform — 'where do sessions spend their time asymptotically',
+    the summary that turns e11's raw counts into comparable occupancy
+    shares across corpora and the natural prior for next-action
+    features.
+
+    Exactness: the cc3 protocol end-to-end — transition probabilities
+    and the iterated vector live in 1e-9 fixed-point BIGINTs, every
+    rounding is the explicit half-up (2a+b)//(2b), and products are
+    bounded by MARKOV_SCALE² < 2^63, so both engines walk bit-identical
+    integers; the display pi is ONE exact division. Types with no
+    outgoing transitions would leak mass (documented dangling
+    semantics; all five types have outgoing edges in this dataset at
+    every SF).
+
+    Scale shape: ONE windowed pass over events builds the transition
+    cells (e11's plan — pre-bucketing events by user makes it
+    exchange-free); everything after runs on the (types × types) cell
+    table, so iteration cost is O(K²) per round REGARDLESS of corpus
+    size — the canonical aggregate-then-iterate split."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    cells = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    types = ev.select(F.col("event_type").alias("t")).distinct()
+    na = cells.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    q = (
+        cells.join(na, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.expr(
+                f"(2 * n * {MARKOV_SCALE} + tot) div (2 * tot)"
+            ).alias("q"),
+        )
+        .localCheckpoint(eager=True)  # feeds every iteration round
+    )
+    n_types = types.count()
+    p = types.select(
+        "t", F.lit(MARKOV_SCALE // n_types).cast("bigint").alias("p")
+    ).localCheckpoint(eager=True)
+    for _ in range(MARKOV_ROUNDS):
+        m = (
+            p.join(q, p["t"] == q["from_type"])
+            .select(
+                F.col("to_type").alias("t"),
+                F.expr(
+                    f"(2 * p * q + {MARKOV_SCALE}) div (2 * {MARKOV_SCALE})"
+                ).alias("c"),
+            )
+            .groupBy("t")
+            .agg(F.sum("c").cast("bigint").alias("s"))
+        )
+        p = (
+            types.join(m, "t", "left_outer")
+            .select("t", F.coalesce(F.col("s"), F.lit(0)).alias("p"))
+            .localCheckpoint(eager=True)
+        )
+    return p.select(
+        F.col("t").alias("event_type"),
+        F.col("p").cast("bigint").alias("pi_scaled"),
+        (F.col("p").cast("double") / MARKOV_SCALE).alias("pi"),
+    )

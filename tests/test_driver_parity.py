@@ -187,6 +187,7 @@ STRICT_VALUE_QUERIES = [
     "g10_clustering_coefficient",
     "fe4_feature_hashing",
     "s11_kcenter_coreset",
+    "e24_markov_stationary",
 ]
 
 

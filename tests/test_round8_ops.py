@@ -537,3 +537,29 @@ def test_s11_radius_sequence_is_nonincreasing_and_centers_distinct(spark):
     radii = [r.radius for r in rows[1:]]
     assert all(b <= a + 1e-12 for a, b in zip(radii, radii[1:]))
     assert all(r >= 0 for r in radii)
+
+
+# ---------------------------------------------------------------------------
+# e24 — Markov stationary distribution
+# ---------------------------------------------------------------------------
+
+
+def test_e24_mass_conservation_and_support(spark):
+    """The iterated vector stays a (fixed-point) distribution: total
+    mass drifts from 1.0 only by the bounded half-up rounding (at most
+    ~0.5 ulp per matrix cell per round on the 1e-9 lattice); all
+    entries non-negative; one row per event type."""
+    from bc_proj3_spark.plans.events import (
+        MARKOV_ROUNDS,
+        MARKOV_SCALE,
+        e24_markov_stationary,
+    )
+
+    rows = e24_markov_stationary(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    total = sum(r.pi_scaled for r in rows)
+    # 25 cells + 5 q-normalizations, 0.5 each, per round — loose bound
+    assert abs(total - MARKOV_SCALE) <= 30 * MARKOV_ROUNDS
+    for r in rows:
+        assert r.pi_scaled >= 0
+        assert abs(r.pi - r.pi_scaled / MARKOV_SCALE) < 1e-15

@@ -83,6 +83,7 @@ SF01_QUERIES = [
     "hs2_mmr_rerank",  # greedy argmax over lattice-decimal objectives
     "g9_adamic_adar",  # 1/ln(deg) lattice sums order the top-k
     "s11_kcenter_coreset",  # farthest-point walk over lattice distances
+    "e24_markov_stationary",  # iterative fixpoint (cc3 scaled-int class)
 ]
 
 
