@@ -1208,3 +1208,143 @@ def sk10_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sk13 — CountSketch (signed median estimator, the unbiased CMS twin)
+# ---------------------------------------------------------------------------
+
+#: odd depth so the median is the exact middle order statistic —
+#: interpolation-free on both engines.
+CS_DEPTH = 5
+CS_WIDTH = 256
+#: hash-seed offset so CountSketch rows are independent of CMS rows
+CS_SEED0 = 100
+
+_CS_SGN = "CASE WHEN ({h} >> 8) & 1 = 1 THEN 1 ELSE -1 END"
+
+
+def _cs_sql_row(i: int, src: str, tcol: str) -> str:
+    h = sql_hash32(tcol, seed=CS_SEED0 + i)
+    return (
+        f"SELECT {tcol} AS t_, {i} AS row_id, ({h}) % {CS_WIDTH} AS col_id, "
+        + _CS_SGN.format(h=f"({h})")
+        + f" AS sgn FROM {src}"
+    )
+
+
+_SK13_ORACLE = f"""
+WITH {_SQL_TOK},
+cells AS (
+  {' UNION ALL '.join(_cs_sql_row(i, 'tok', 't') for i in range(CS_DEPTH))}
+),
+sketch AS (
+  SELECT row_id, col_id, CAST(SUM(sgn) AS BIGINT) AS c
+  FROM cells GROUP BY row_id, col_id
+),
+exact AS (
+  SELECT t AS token, COUNT(*) AS exact_cnt
+  FROM tok GROUP BY t
+  ORDER BY exact_cnt DESC, token
+  LIMIT {TOP_K}
+),
+probes AS (
+  {' UNION ALL '.join(_cs_sql_row(i, 'exact', 'token') for i in range(CS_DEPTH))}
+),
+ests AS (
+  SELECT p.t_ AS token, p.sgn * s.c AS est,
+         ROW_NUMBER() OVER (PARTITION BY p.t_ ORDER BY p.sgn * s.c, p.row_id)
+           AS rn
+  FROM probes p
+  JOIN sketch s ON s.row_id = p.row_id AND s.col_id = p.col_id
+)
+SELECT e.token,
+       CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(m.est AS BIGINT) AS cs_est
+FROM exact e
+JOIN (SELECT token, est FROM ests WHERE rn = {CS_DEPTH // 2 + 1}) m
+  ON m.token = e.token
+"""
+
+
+@register("sk13_countsketch", _SK13_ORACLE)
+def sk13_countsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountSketch point estimates (Charikar-Chen-Farach-Colton 2002)
+    for the top-{TOP_K} tokens: each of {CS_DEPTH} rows holds SIGNED
+    counter sums (the ±1 sign makes collisions cancel in expectation
+    instead of inflating), and the estimate is the exact MEDIAN of the
+    per-row signed reads — two-sided unbiased error vs sk2's CMS
+    over-count-only guarantee, and the estimator that still works
+    under deletions (turnstile streams), which CMS cannot. The
+    CMS/CountSketch pair is the standard frequency-sketch portfolio.
+
+    Exactness: cells are exact integer sign sums from the shared
+    seeded hash family; the median of an ODD number of integers is the
+    middle order statistic (row_id tiebreak), interpolation-free on
+    both engines — no float anywhere.
+
+    Scale shape: sk1's — the map-side {CS_DEPTH}-way explode is
+    absorbed by partial aggregation into a ≤ D×W-cell sketch (bounded
+    at ANY corpus size); probes are {TOP_K}×D rows against that tiny
+    sketch; the only corpus-sized work is one tokenization pass,
+    persisted so the sketch and the exact counts share it."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    tok = _tokens(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    tok.count()
+
+    def cs_cols(col):
+        out = []
+        for i in range(CS_DEPTH):
+            h = hash32(col, seed=CS_SEED0 + i)
+            out.append(
+                F.struct(
+                    F.lit(i).alias("row_id"),
+                    (h % CS_WIDTH).alias("col_id"),
+                    F.when(
+                        F.shiftright(h, 8).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    )
+                    .otherwise(F.lit(-1))
+                    .alias("sgn"),
+                )
+            )
+        return out
+
+    sketch = (
+        tok.select(F.explode(F.array(*cs_cols(F.col("t")))).alias("c"))
+        .select("c.row_id", "c.col_id", "c.sgn")
+        .groupBy("row_id", "col_id")
+        .agg(F.sum("sgn").cast("bigint").alias("c"))
+    )
+    exact = (
+        tok.groupBy(F.col("t").alias("token"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(TOP_K)
+    )
+    probes = exact.select(
+        "token",
+        "exact_cnt",
+        F.explode(F.array(*cs_cols(F.col("token")))).alias("p"),
+    ).select("token", "exact_cnt", "p.row_id", "p.col_id", "p.sgn")
+    ests = probes.join(sketch, ["row_id", "col_id"]).select(
+        "token",
+        "exact_cnt",
+        (F.col("sgn") * F.col("c")).alias("est"),
+        "row_id",
+    )
+    w = Window.partitionBy("token").orderBy("est", "row_id")
+    out = (
+        ests.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == CS_DEPTH // 2 + 1)
+        .select(
+            "token",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.col("est").cast("bigint").alias("cs_est"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out.count()
+    tok.unpersist()
+    return out

@@ -188,6 +188,7 @@ STRICT_VALUE_QUERIES = [
     "fe4_feature_hashing",
     "s11_kcenter_coreset",
     "e24_markov_stationary",
+    "sk13_countsketch",
 ]
 
 

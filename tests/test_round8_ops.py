@@ -563,3 +563,25 @@ def test_e24_mass_conservation_and_support(spark):
     for r in rows:
         assert r.pi_scaled >= 0
         assert abs(r.pi - r.pi_scaled / MARKOV_SCALE) < 1e-15
+
+
+# ---------------------------------------------------------------------------
+# sk13 — CountSketch
+# ---------------------------------------------------------------------------
+
+
+def test_sk13_unbiased_estimator_error_envelope(spark):
+    """CountSketch errs on BOTH sides (unlike CMS's overcount-only) but
+    the median read must stay within the collision mass: |est - exact|
+    is bounded by the total token count (loose sanity) and the top-1
+    token — which dominates its counters — estimates within a small
+    relative band."""
+    from bc_proj3_spark.operators.sketch import sk13_countsketch
+
+    rows = sk13_countsketch(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    total = sum(r.exact_cnt for r in rows)
+    top = max(rows, key=lambda r: r.exact_cnt)
+    assert abs(top.cs_est - top.exact_cnt) <= 0.5 * top.exact_cnt
+    for r in rows:
+        assert abs(r.cs_est - r.exact_cnt) < total
