@@ -585,3 +585,50 @@ def test_sk13_unbiased_estimator_error_envelope(spark):
     assert abs(top.cs_est - top.exact_cnt) <= 0.5 * top.exact_cnt
     for r in rows:
         assert abs(r.cs_est - r.exact_cnt) < total
+
+
+# ---------------------------------------------------------------------------
+# d13 under adversarial band-bucket skew
+# ---------------------------------------------------------------------------
+
+
+def test_d13_values_hold_under_hot_band_skew(spark, tmp_path):
+    """A template-flooded corpus concentrates identical SimHashes into
+    ONE band bucket per band — the regime where the banded index pays
+    its quadratic bucket cost. Values must still match the brute-force
+    oracle exactly (the pigeonhole guarantee is corpus-independent),
+    and the hot cluster must surface as distance-0 pairs."""
+    import duckdb
+
+    from bc_proj3_spark import registry
+    from tests.conftest import strict_rows_key
+
+    sf = str(tmp_path)
+    template = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, template) for i in range(40)]  # 40 identical docs
+    for i in range(40, 300):
+        rows.append(
+            (i, " ".join(f"w{i}x{j} tok{(i * 7 + j) % 997}" for j in range(12)))
+        )
+    spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(2).write.parquet(f"{sf}/documents.parquet")
+
+    spec = registry.all_queries()["d13_hamming_neardup_pairs"]
+    sdf = spec.builder(spark, sf)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    res = con.execute(spec.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = [tuple(r) for r in res.fetchall()]
+    assert strict_rows_key(list(sdf.columns), srows) == strict_rows_key(
+        ocols, orows
+    ), "d13 diverged under hot-band skew"
+    zero = {(a, b) for a, b, h in srows if h == 0}
+    # all 40*39/2 template pairs are distance 0
+    assert len(zero) >= 40 * 39 // 2
