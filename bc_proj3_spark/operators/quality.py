@@ -1666,3 +1666,144 @@ def fe4_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(FEAT_BUCKETS)
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# o8 — bivariate Mahalanobis outlier screen (balance × spend)
+# ---------------------------------------------------------------------------
+
+#: flag threshold: squared Mahalanobis distance 9 = the 3-sigma
+#: ellipse, the classic multivariate cut.
+MAHA_T2 = 9
+MAHA_TOP_K = 20
+
+_O8_ORACLE = f"""
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) // 100 AS y
+  FROM orders GROUP BY o_custkey
+),
+pts AS (
+  SELECT c_custkey,
+         CAST(ROUND(c_acctbal, 0) AS BIGINT) AS x,
+         CAST(COALESCE(s.y, 0) AS BIGINT) AS y
+  FROM customer LEFT JOIN spend s ON s.o_custkey = c_custkey
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM pts
+),
+co AS (
+  SELECT n, sx, sy,
+         n * sxx - sx * sx AS axx,
+         n * syy - sy * sy AS ayy,
+         n * sxy - sx * sy AS axy
+  FROM m
+),
+scored AS (
+  SELECT c_custkey, x, y,
+         (CAST(ayy AS DOUBLE) * CAST(n * x - sx AS DOUBLE) * CAST(n * x - sx AS DOUBLE)
+          - 2.0 * CAST(axy AS DOUBLE) * CAST(n * x - sx AS DOUBLE) * CAST(n * y - sy AS DOUBLE)
+          + CAST(axx AS DOUBLE) * CAST(n * y - sy AS DOUBLE) * CAST(n * y - sy AS DOUBLE))
+         / (CAST(axx AS DOUBLE) * CAST(ayy AS DOUBLE)
+            - CAST(axy AS DOUBLE) * CAST(axy AS DOUBLE)) AS d2
+  FROM pts CROSS JOIN co
+)
+SELECT c_custkey, x AS bal_dollars, y AS spend_dollars, d2,
+       CAST(CASE WHEN d2 > {MAHA_T2} THEN 1 ELSE 0 END AS BIGINT)
+         AS is_outlier
+FROM scored
+ORDER BY d2 DESC, c_custkey
+LIMIT {MAHA_TOP_K}
+"""
+
+
+@register("o8_mahalanobis_outliers", _O8_ORACLE)
+def o8_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} customers by squared Mahalanobis distance in the
+    (account balance, lifetime spend) plane — the CORRELATION-AWARE
+    outlier screen: o5's per-column z-scores miss the point that sits
+    2σ high on BOTH axes in the wrong direction, which is exactly the
+    anomaly shape of fraud/botted accounts; Mahalanobis whitens by the
+    covariance before measuring, and d² > 9 is the classic 3-sigma
+    ellipse cut.
+
+    Exactness: both coordinates are exact integer dollars (cents DIV
+    100); the five moments accumulate in DECIMAL/HUGEINT; the
+    covariance adjugate and the centered coordinates n·x − Sx are
+    exact integers, and d² is a FIXED IEEE chain over their (correctly
+    rounded, hence engine-identical — g3's >2^53 conversion class)
+    double images, so ordering and the 3-sigma flag are bit-identical
+    cross-engine.
+
+    Scale shape: one combiner-absorbed per-customer spend aggregate,
+    one left join, ONE moment aggregate to a 1-row frame broadcast
+    back (BNLJ-gated pattern); scoring is pure per-row arithmetic and
+    top-k compiles to TakeOrderedAndProject. The adjugate trick is
+    what makes this scale-free: no matrix library, no per-row
+    inversion, just integer algebra on five moments."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "sum(cast(round(o_totalprice * 100, 0) as bigint)) div 100"
+        ).alias("y")
+    )
+    pts = (
+        cust.join(spend, cust["c_custkey"] == spend["o_custkey"], "left_outer")
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal"), 0).cast("bigint").alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y"),
+        )
+        .localCheckpoint(eager=True)  # feeds the moment pass and scoring
+    )
+    dec = "decimal(38,0)"
+    m = pts.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("x"))).alias("sxx"),
+        F.sum((F.col("y").cast(dec) * F.col("y"))).alias("syy"),
+        F.sum((F.col("x").cast(dec) * F.col("y"))).alias("sxy"),
+    )
+    co = m.select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("axx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("ayy"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("axy"),
+    )
+    zx = (F.col("n") * F.col("x") - F.col("sx")).cast("double")
+    zy = (F.col("n") * F.col("y") - F.col("sy")).cast("double")
+    d2 = (
+        F.col("ayy").cast("double") * zx * zx
+        - 2.0 * F.col("axy").cast("double") * zx * zy
+        + F.col("axx").cast("double") * zy * zy
+    ) / (
+        F.col("axx").cast("double") * F.col("ayy").cast("double")
+        - F.col("axy").cast("double") * F.col("axy").cast("double")
+    )
+    scored = pts.crossJoin(F.broadcast(co)).select(
+        "c_custkey",
+        F.col("x").alias("bal_dollars"),
+        F.col("y").alias("spend_dollars"),
+        d2.alias("d2"),
+    )
+    return (
+        scored.orderBy(F.col("d2").desc(), "c_custkey")
+        .limit(MAHA_TOP_K)
+        .select(
+            "c_custkey",
+            "bal_dollars",
+            "spend_dollars",
+            "d2",
+            (F.col("d2") > MAHA_T2).cast("bigint").alias("is_outlier"),
+        )
+    )

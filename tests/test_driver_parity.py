@@ -189,6 +189,7 @@ STRICT_VALUE_QUERIES = [
     "s11_kcenter_coreset",
     "e24_markov_stationary",
     "sk13_countsketch",
+    "o8_mahalanobis_outliers",
 ]
 
 

@@ -78,6 +78,7 @@ _BNLJ_OK = {
     "e23_kaplan_meier",  # 1-row horizon + 1-row cohort-size crosses
     "hs2_mmr_rerank",  # inherits s1's broadcast-query cross
     "s11_kcenter_coreset",  # 1-row center broadcasts crossed per round
+    "o8_mahalanobis_outliers",  # 1-row moment frame crossed into scoring
 }
 
 #: streaming queries — their builders execute a full streaming job;

@@ -632,3 +632,28 @@ def test_d13_values_hold_under_hot_band_skew(spark, tmp_path):
     zero = {(a, b) for a, b, h in srows if h == 0}
     # all 40*39/2 template pairs are distance 0
     assert len(zero) >= 40 * 39 // 2
+
+
+# ---------------------------------------------------------------------------
+# o8 — Mahalanobis outliers
+# ---------------------------------------------------------------------------
+
+
+def test_o8_distance_properties(spark):
+    """d² is non-negative, arrives sorted desc with the custkey
+    tiebreak, the flag is exactly d² > 9, and the mean point can never
+    out-rank genuinely extreme ones (top-1 d² must exceed 2 — sanity
+    that the covariance whitening didn't degenerate)."""
+    from bc_proj3_spark.operators.quality import (
+        MAHA_T2,
+        o8_mahalanobis_outliers,
+    )
+
+    rows = o8_mahalanobis_outliers(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    keys = [(-r.d2, r.c_custkey) for r in rows]
+    assert keys == sorted(keys)
+    assert rows[0].d2 > 2.0
+    for r in rows:
+        assert r.d2 >= 0.0
+        assert r.is_outlier == (1 if r.d2 > MAHA_T2 else 0)

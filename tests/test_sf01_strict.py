@@ -84,6 +84,7 @@ SF01_QUERIES = [
     "g9_adamic_adar",  # 1/ln(deg) lattice sums order the top-k
     "s11_kcenter_coreset",  # farthest-point walk over lattice distances
     "e24_markov_stationary",  # iterative fixpoint (cc3 scaled-int class)
+    "o8_mahalanobis_outliers",  # >2^53 exact-int adjugate conversions
 ]
 
 
