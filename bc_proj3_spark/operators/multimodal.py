@@ -339,3 +339,139 @@ def m5_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tokens").cast("bigint").alias("max_doc_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m6 — multimodal sequence packing (text + media tokens into windows)
+# ---------------------------------------------------------------------------
+
+#: multimodal context windows are larger than sp4's text-only 2048 —
+#: one image already costs hundreds of patch tokens.
+MM_WINDOW = 4096
+MM_BUCKETS = 8
+
+
+def _m6_oracle() -> str:
+    from bc_proj3_spark.functions.hashing import sql_hash60
+    from bc_proj3_spark.operators.sampling import _sql_seeded
+    from bc_proj3_spark.operators.textstats import BPE_RE
+
+    h = sql_hash60(_sql_seeded("mmpack", "CAST(doc_id AS VARCHAR)"))
+    return f"""
+WITH meta AS (
+  SELECT doc_id,
+         {_MEDIA_TYPE} AS media_type,
+         CAST(64 + (doc_id % 5) * 32 AS BIGINT) AS w,
+         CAST(48 + (doc_id % 3) * 16 AS BIGINT) AS h_,
+         CAST(n_chars AS BIGINT) AS src_bytes,
+         CAST(len(regexp_extract_all(lower(text), '{BPE_RE}')) AS BIGINT)
+           AS text_tokens,
+         {h} % {MM_BUCKETS} AS bucket,
+         {h} AS hh
+  FROM documents
+),
+priced AS (
+  SELECT doc_id, bucket, hh, text_tokens,
+         CASE media_type
+           WHEN 'image' THEN ((w + {PATCH - 1}) // {PATCH})
+                             * ((h_ + {PATCH - 1}) // {PATCH})
+           WHEN 'video' THEN ((w + {PATCH - 1}) // {PATCH})
+                             * ((h_ + {PATCH - 1}) // {PATCH})
+                             * {VIDEO_FRAMES}
+           ELSE src_bytes // {AUDIO_BYTES_PER_TOKEN}
+         END AS media_tokens
+  FROM meta
+),
+packed AS (
+  SELECT doc_id, bucket, text_tokens, media_tokens,
+         (SUM(text_tokens + media_tokens) OVER (
+            PARTITION BY bucket ORDER BY hh, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - (text_tokens + media_tokens)) // {MM_WINDOW} AS pack_id
+  FROM priced
+)
+SELECT bucket, CAST(pack_id AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(text_tokens) AS BIGINT) AS text_token_sum,
+       CAST(SUM(media_tokens) AS BIGINT) AS media_token_sum,
+       CAST(SUM(text_tokens + media_tokens) AS BIGINT) AS total_tokens
+FROM packed
+GROUP BY bucket, pack_id
+"""
+
+
+@register("m6_multimodal_packing", _m6_oracle())
+def m6_multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack MIXED-MODALITY samples into training context windows: each
+    document is priced as text BPE tokens PLUS its media tokens (m5's
+    metadata-only pricing — ViT patches for images, frame-sampled
+    patches for video, byte-rate tokens for audio) and packed greedily
+    into {MM_WINDOW}-token windows. This is the interleaved image-text
+    batch-prep step (MMC4/OBELICS-style corpora): text-only packing
+    (sp4) underestimates media-heavy samples by orders of magnitude
+    and silently overflows the context. Per-(bucket, pack) census out.
+
+    Exactness: all token prices are integer arithmetic on declared
+    metadata; the running sum and the window index are exact integer
+    DIV (the e22 lesson — no floor-of-double-quotient anywhere).
+
+    Scale shape: sp4's sharded packing — {MM_BUCKETS} independent
+    hash-bucket streams, the cumulative window PARTITIONED BY bucket
+    (raise MM_BUCKETS to O(cores) at 100 TB; no global sort, no
+    single-partition window); pricing is map-side; the payload column
+    is never read (metadata-only, m5's plan-pinned property)."""
+    from pyspark.sql.window import Window
+
+    from bc_proj3_spark.functions.hashing import hash60
+    from bc_proj3_spark.operators.sampling import _seeded
+    from bc_proj3_spark.operators.textstats import BPE_RE
+
+    docs = fanout(table(spark, sf_dir, "documents"))
+    h = hash60(_seeded("mmpack", F.col("doc_id").cast("string")))
+    w_ = (F.lit(64) + (F.col("doc_id") % 5) * 32).cast("bigint")
+    h_ = (F.lit(48) + (F.col("doc_id") % 3) * 16).cast("bigint")
+    patches = F.expr(
+        f"((64 + (doc_id % 5) * 32 + {PATCH - 1}) div {PATCH})"
+        f" * ((48 + (doc_id % 3) * 16 + {PATCH - 1}) div {PATCH})"
+    )
+    media_tokens = (
+        F.when((F.col("doc_id") % 3).cast("int") == 0, patches)
+        .when(
+            (F.col("doc_id") % 3).cast("int") == 2,
+            patches * VIDEO_FRAMES,
+        )
+        .otherwise(F.expr(f"cast(n_chars as bigint) div {AUDIO_BYTES_PER_TOKEN}"))
+    )
+    text_tokens = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), F.lit(0))
+    ).cast("bigint")
+    priced = docs.select(
+        "doc_id",
+        (h % MM_BUCKETS).alias("bucket"),
+        h.alias("hh"),
+        text_tokens.alias("text_tokens"),
+        media_tokens.cast("bigint").alias("media_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("hh").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.col("text_tokens") + F.col("media_tokens")
+    packed = priced.select(
+        "bucket",
+        "text_tokens",
+        "media_tokens",
+        F.expr(
+            f"(sum(text_tokens + media_tokens) over ("
+            f"partition by bucket order by hh asc, doc_id asc "
+            f"rows between unbounded preceding and current row) "
+            f"- (text_tokens + media_tokens)) div {MM_WINDOW}"
+        ).alias("pack_id"),
+    )
+    return packed.groupBy("bucket", F.col("pack_id").cast("bigint").alias("pack_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("text_tokens").cast("bigint").alias("text_token_sum"),
+        F.sum("media_tokens").cast("bigint").alias("media_token_sum"),
+        F.sum(tot).cast("bigint").alias("total_tokens"),
+    )

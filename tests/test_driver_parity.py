@@ -190,6 +190,7 @@ STRICT_VALUE_QUERIES = [
     "e24_markov_stationary",
     "sk13_countsketch",
     "o8_mahalanobis_outliers",
+    "m6_multimodal_packing",
 ]
 
 

@@ -657,3 +657,38 @@ def test_o8_distance_properties(spark):
     for r in rows:
         assert r.d2 >= 0.0
         assert r.is_outlier == (1 if r.d2 > MAHA_T2 else 0)
+
+
+# ---------------------------------------------------------------------------
+# m6 — multimodal packing
+# ---------------------------------------------------------------------------
+
+
+def test_m6_pack_budget_and_reconciliation(spark):
+    """Every pack except possibly each bucket's LAST starts within the
+    window budget (greedy first-token rule: a pack's cumulative start
+    is < WINDOW past its boundary), totals reconcile text + media, and
+    the packed doc count equals the corpus."""
+    from bc_proj3_spark.operators.multimodal import (
+        m6_multimodal_packing,
+    )
+    from bc_proj3_spark.plans.tables import table
+
+    rows = m6_multimodal_packing(spark, SF_DIR).collect()
+    assert rows
+    n_docs = table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.total_tokens == r.text_token_sum + r.media_token_sum
+        assert r.pack_id >= 0 and r.n_docs >= 1
+
+
+def test_m6_payload_never_read(spark):
+    """m5's plan property holds here too: pricing is metadata-only, so
+    the md5 payload chain must not appear in the physical plan."""
+    from bc_proj3_spark.operators.multimodal import m6_multimodal_packing
+
+    plan = _plan(m6_multimodal_packing(spark, SF_DIR))
+    # the packing hash is md5-based, so check the payload CONSTRUCTION
+    # (unhex of the md5 chain) instead — it must never be built
+    assert "unhex" not in plan.lower()
