@@ -2193,3 +2193,122 @@ def stat7_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rejected"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# a17 — winsorized mean (clamp the tails instead of dropping them)
+# ---------------------------------------------------------------------------
+
+#: winsorization level as an exact rational: clamp below the
+#: WINS_PCT-th and above the (100-WINS_PCT)-th percentile, both taken
+#: as interpolation-free exact-rank order statistics.
+WINS_PCT = 5
+
+_A17_ORACLE = f"""
+WITH pts AS (
+  SELECT c_mktsegment AS segment,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS v
+  FROM customer
+),
+per_v AS (
+  SELECT segment, v, COUNT(*) AS c FROM pts GROUP BY segment, v
+),
+cum AS (
+  SELECT segment, v, c,
+         SUM(c) OVER (PARTITION BY segment ORDER BY v) AS cw,
+         SUM(c) OVER (PARTITION BY segment) AS n
+  FROM per_v
+),
+bounds AS (
+  SELECT segment,
+         CAST(MAX(n) AS BIGINT) AS n,
+         MIN(CASE WHEN 100 * cw >= {WINS_PCT} * n THEN v END) AS lo,
+         MIN(CASE WHEN 100 * cw >= {100 - WINS_PCT} * n THEN v END) AS hi
+  FROM cum GROUP BY segment
+),
+clamped AS (
+  SELECT p.segment, b.n, b.lo, b.hi,
+         CAST(SUM(CAST(LEAST(GREATEST(p.v, b.lo), b.hi) AS HUGEINT))
+              AS HUGEINT) AS s
+  FROM pts p JOIN bounds b ON b.segment = p.segment
+  GROUP BY p.segment, b.n, b.lo, b.hi
+)
+SELECT segment, n, lo AS lo_cents, hi AS hi_cents,
+       CAST(s AS DOUBLE) / CAST(100 * n AS DOUBLE) AS winsorized_mean
+FROM clamped
+"""
+
+
+@register("a17_winsorized_mean", _A17_ORACLE)
+def a17_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{P}%-winsorized mean account balance per segment: the tails are
+    CLAMPED to the P5/P95 order statistics rather than dropped (a7's
+    trimmed mean discards them) — the robust-location estimator that
+    keeps n constant, which matters when downstream consumers divide
+    by cohort size; the trimmed/winsorized pair is the standard
+    robust-mean portfolio and their gap is itself a tail-weight
+    signal.
+
+    Exactness: balances are exact integer cents; both cut points are
+    interpolation-free exact-rank selections (100·cum >= p·n on
+    integers — no percentile() interpolation, the cur1 lesson); the
+    clamped sum is exact integer; the mean is ONE IEEE division of two
+    exact integers (EXACT_DOUBLE class).
+
+    Scale shape: a13's collapse discipline — the fact rows reduce to
+    the (segment × distinct-cents) count table before any window; the
+    cumulative rank runs per segment over that bounded domain; the
+    5-row bounds frame broadcast-joins back; one combiner-absorbed
+    clamped aggregate ends it."""
+    from pyspark.sql.window import Window
+
+    cust = table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("v"),
+    )
+    per_v = pts.groupBy("segment", "v").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("segment")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("segment")
+    cum = per_v.select(
+        "segment",
+        "v",
+        F.sum("c").over(w_cum).alias("cw"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    bounds = cum.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(
+            F.when(100 * F.col("cw") >= WINS_PCT * F.col("n"), F.col("v"))
+        ).alias("lo"),
+        F.min(
+            F.when(
+                100 * F.col("cw") >= (100 - WINS_PCT) * F.col("n"),
+                F.col("v"),
+            )
+        ).alias("hi"),
+    )
+    dec = "decimal(38,0)"
+    clamped = (
+        pts.join(F.broadcast(bounds), "segment")
+        .groupBy("segment", "n", "lo", "hi")
+        .agg(
+            F.sum(
+                F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+                .cast(dec)
+            ).alias("s")
+        )
+    )
+    return clamped.select(
+        "segment",
+        "n",
+        F.col("lo").alias("lo_cents"),
+        F.col("hi").alias("hi_cents"),
+        (
+            F.col("s").cast("double") / (100 * F.col("n")).cast("double")
+        ).alias("winsorized_mean"),
+    )

