@@ -874,3 +874,88 @@ def st10_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         "event_type", F.col("w.start").alias("window_start"), "n_events"
     )
+
+
+# ---------------------------------------------------------------------------
+# st11 — CountSketch maintained BY A STREAM (signed turnstile state)
+# ---------------------------------------------------------------------------
+
+
+def _st11_oracle() -> str:
+    from bc_proj3_spark.operators.sketch import CS_DEPTH, _cs_sql_row
+
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM documents
+),
+cells AS (
+  {' UNION ALL '.join(_cs_sql_row(i, 'tok', 't') for i in range(CS_DEPTH))}
+)
+SELECT CAST(row_id AS INTEGER) AS row_id,
+       CAST(col_id AS BIGINT) AS col_id,
+       CAST(SUM(sgn) AS BIGINT) AS c
+FROM cells GROUP BY row_id, col_id
+"""
+
+
+@register("st11_stream_countsketch", _st11_oracle())
+def st11_stream_countsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sk13's CountSketch cell file maintained BY A STREAM: the token
+    explode and the ±1-signed bucket mapping run map-side inside a
+    streaming query whose groupBy-SUM state IS the sketch — ≤ D×W
+    bounded rows forever, and because the state is a SIGNED sum it is
+    exactly the turnstile-model sketch (a retraction batch with
+    flipped signs would subtract cleanly, which the st9 HLL-MAX state
+    cannot do). Drained with AvailableNow in complete mode, the
+    emitted cells must equal the batch-built sketch bit for bit, so
+    this streaming query is held to an EXACT value-hash oracle, not a
+    rows-only check. At 100 TB/day the same topology runs unbounded:
+    partial SUM absorbs upstream, state stays D×W-bounded, and any
+    snapshot of the sink merges with other shards by cell addition."""
+    from bc_proj3_spark.functions.hashing import hash32
+    from bc_proj3_spark.operators.sketch import CS_DEPTH, CS_SEED0, CS_WIDTH
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tok = src.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t")
+    )
+    rows = []
+    for i in range(CS_DEPTH):
+        h = hash32(F.col("t"), seed=CS_SEED0 + i)
+        rows.append(
+            F.struct(
+                F.lit(i).alias("row_id"),
+                (h % CS_WIDTH).alias("col_id"),
+                F.when(
+                    F.shiftright(h, 8).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                )
+                .otherwise(F.lit(-1))
+                .alias("sgn"),
+            )
+        )
+    cells = tok.select(F.explode(F.array(*rows)).alias("c")).select(
+        F.col("c.row_id").cast("int").alias("row_id"),
+        F.col("c.col_id").cast("bigint").alias("col_id"),
+        F.col("c.sgn").alias("sgn"),
+    )
+    sketch = cells.groupBy("row_id", "col_id").agg(
+        F.sum("sgn").cast("bigint").alias("c")
+    )
+    sink = f"st11_sink_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="st11-ckpt-") as ckpt, _stream_shuffle(spark):
+        query = (
+            sketch.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(sink)

@@ -192,6 +192,7 @@ STRICT_VALUE_QUERIES = [
     "o8_mahalanobis_outliers",
     "m6_multimodal_packing",
     "a17_winsorized_mean",
+    "st11_stream_countsketch",
 ]
 
 

@@ -84,6 +84,7 @@ _BNLJ_OK = {
 #: streaming queries — their builders execute a full streaming job;
 #: skipped in (batch) plan checks.
 _NON_BATCH = {"st1_stream_window_counts", "st2_stateful_user_totals"}
+# (st11 returns a drained memory table — plan checks on it are vacuous but harmless)
 
 
 def _physical(spark, name: str) -> str:

@@ -712,3 +712,20 @@ def test_a17_winsorized_between_trim_bounds(spark):
         assert r.lo_cents <= r.hi_cents
         assert r.lo_cents / 100 <= r.winsorized_mean <= r.hi_cents / 100
         assert r.n > 0
+
+
+# ---------------------------------------------------------------------------
+# st11 — streaming CountSketch
+# ---------------------------------------------------------------------------
+
+
+def test_st11_state_is_bounded_and_rows_complete(spark):
+    """The streaming sketch state is bounded at D rows of W cells, and
+    every hash row must be present (tokens hash into all D rows)."""
+    from bc_proj3_spark.operators.sketch import CS_DEPTH, CS_WIDTH
+    from bc_proj3_spark.streaming.incremental import st11_stream_countsketch
+
+    rows = st11_stream_countsketch(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= CS_DEPTH * CS_WIDTH
+    assert {r.row_id for r in rows} == set(range(CS_DEPTH))
+    assert all(0 <= r.col_id < CS_WIDTH for r in rows)
