@@ -1670,3 +1670,88 @@ def t25_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs", "total_tokens", "vocab", "heaps_beta", "heaps_log_k"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t26 — vocabulary coverage curve (token mass covered by the top-K types)
+# ---------------------------------------------------------------------------
+
+#: coverage checkpoints — candidate tokenizer vocabulary sizes.
+COVERAGE_KS = (10, 100, 1000, 10000)
+
+_T26_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
+),
+cf AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab FROM cf),
+ks AS (
+  {' UNION ALL '.join(f'''SELECT {k} AS k,
+    (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM
+      (SELECT c FROM cf ORDER BY c DESC, t LIMIT {k}) s) AS covered_tokens'''
+      for k in COVERAGE_KS)}
+)
+SELECT k, covered_tokens, total_tokens, vocab,
+       ROUND(CAST(covered_tokens AS DOUBLE) / total_tokens, 9) AS coverage
+FROM ks CROSS JOIN tot
+"""
+
+
+@register("t26_ngram_coverage", _T26_ORACLE)
+def t26_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary coverage curve: what fraction of the corpus's
+    TOKEN MASS the top-K most frequent types cover, at candidate
+    tokenizer vocabulary sizes K — the direct answer to "how big a
+    vocab do we need" that t19's OOV rate (one fixed V) and t25's
+    Heaps fit (growth law) bracket from either side. A curve that
+    saturates early says a small vocab + byte-fallback suffices; a
+    flat tail says the corpus is vocabulary-hungry (multilingual or
+    code-heavy mixes).
+
+    Exactness: counts are exact integers; each checkpoint's top-K set
+    is a total order (count desc, token asc); coverage is one IEEE
+    division ROUND-wrapped at the output.
+
+    Scale shape: ONE combiner-absorbed token count builds the
+    vocabulary table (persisted — it feeds every checkpoint and the
+    totals); each checkpoint is a TakeOrderedAndProject of K rows plus
+    a 1-row sum — K-bounded work per checkpoint, never a global sort;
+    the 1-row totals frame broadcasts in (BNLJ-gated pattern)."""
+    from pyspark import StorageLevel
+
+    docs = table(spark, sf_dir, "documents")
+    tok = fanout(docs).select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    cf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cf.count()  # one vocabulary build feeds all checkpoints + totals
+    tot = cf.agg(
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    parts = []
+    for k in COVERAGE_KS:
+        topk = cf.orderBy(F.col("c").desc(), "t").limit(k)
+        parts.append(
+            topk.agg(
+                F.lit(k).cast("bigint").alias("k"),
+                F.coalesce(F.sum("c"), F.lit(0))
+                .cast("bigint")
+                .alias("covered_tokens"),
+            )
+        )
+    ks = parts[0]
+    for p in parts[1:]:
+        ks = ks.unionByName(p)
+    return ks.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "covered_tokens",
+        "total_tokens",
+        "vocab",
+        F.round(
+            F.col("covered_tokens").cast("double") / F.col("total_tokens"), 9
+        ).alias("coverage"),
+    )

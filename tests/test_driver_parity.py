@@ -193,6 +193,7 @@ STRICT_VALUE_QUERIES = [
     "m6_multimodal_packing",
     "a17_winsorized_mean",
     "st11_stream_countsketch",
+    "t26_ngram_coverage",
 ]
 
 

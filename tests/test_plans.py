@@ -79,6 +79,7 @@ _BNLJ_OK = {
     "hs2_mmr_rerank",  # inherits s1's broadcast-query cross
     "s11_kcenter_coreset",  # 1-row center broadcasts crossed per round
     "o8_mahalanobis_outliers",  # 1-row moment frame crossed into scoring
+    "t26_ngram_coverage",  # 1-row totals frame crossed into the K grid
 }
 
 #: streaming queries — their builders execute a full streaming job;

@@ -298,6 +298,10 @@ AQE_OFF_QUERIES = [
     # and the m*(B+1) permutation-family fan-out behind BH
     "t25_heaps_law",
     "stat7_bh_fdr",
+    # r8 third batch: the banded Hamming self-join family and the
+    # 16-way conditional-sum fan-out
+    "d13_hamming_neardup_pairs",
+    "fe4_feature_hashing",
 ]
 
 

@@ -729,3 +729,26 @@ def test_st11_state_is_bounded_and_rows_complete(spark):
     assert 0 < len(rows) <= CS_DEPTH * CS_WIDTH
     assert {r.row_id for r in rows} == set(range(CS_DEPTH))
     assert all(0 <= r.col_id < CS_WIDTH for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# t26 — coverage curve
+# ---------------------------------------------------------------------------
+
+
+def test_t26_coverage_is_monotone_and_bounded(spark):
+    """Coverage must be non-decreasing in K, in (0, 1], and hit 1.0
+    exactly when K >= vocab."""
+    from bc_proj3_spark.operators.textstats import t26_ngram_coverage
+
+    rows = sorted(
+        t26_ngram_coverage(spark, SF_DIR).collect(), key=lambda r: r.k
+    )
+    assert len(rows) == 4
+    cov = [r.coverage for r in rows]
+    assert cov == sorted(cov)
+    for r in rows:
+        assert 0.0 < r.coverage <= 1.0
+        assert r.covered_tokens <= r.total_tokens
+        if r.k >= r.vocab:
+            assert r.covered_tokens == r.total_tokens
