@@ -752,3 +752,77 @@ def test_t26_coverage_is_monotone_and_bounded(spark):
         assert r.covered_tokens <= r.total_tokens
         if r.k >= r.vocab:
             assert r.covered_tokens == r.total_tokens
+
+
+# ---------------------------------------------------------------------------
+# d13 under spill pressure (shuffle squeezed to 2 partitions)
+# ---------------------------------------------------------------------------
+
+
+def test_d13_identical_values_under_spill_pressure():
+    """The banded Hamming self-join (the round's new hot-join family)
+    must stay value-identical when the session is squeezed to 2
+    shuffle partitions with floor-level force-spill thresholds — the
+    w3 spill-gate discipline applied to the join/aggregate path."""
+    import json
+    import subprocess
+    import sys
+
+    prog = """
+import json, sys
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("spill-sim-d13")
+    .config("spark.ui.enabled", "false")
+    .config("spark.shuffle.spill.numElementsForceSpillThreshold", "5000")
+    .getOrCreate()
+)
+import __spark_entry__ as E
+from tests.test_driver_parity import strict_digest
+df = E.queries()["d13_hamming_neardup_pairs"](spark, sys.argv[1])
+rows = [tuple(r) for r in df.collect()]
+print("SPILL_JSON:" + json.dumps([len(rows), strict_digest(list(df.columns), rows)]))
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env["SPARK_GRAFT_SHUFFLE"] = "2"
+    proc = subprocess.run(
+        [sys.executable, "-c", prog, SF_DIR],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd="/root/repo",
+    )
+    payload = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("SPILL_JSON:"):
+            payload = json.loads(line[len("SPILL_JSON:"):])
+    assert payload is not None, (
+        f"spill run produced no result (rc={proc.returncode})\n"
+        f"stderr tail: {proc.stderr[-1500:]}"
+    )
+    n_rows, digest = payload
+
+    import duckdb
+
+    from bc_proj3_spark import registry
+    from tests.test_driver_parity import strict_digest
+
+    spec = registry.all_queries()["d13_hamming_neardup_pairs"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        res = con.execute(spec.oracle)
+        ocols = [d[0] for d in res.description]
+        orows = [tuple(r) for r in res.fetchall()]
+    finally:
+        con.close()
+    assert n_rows == len(orows)
+    assert digest == strict_digest(ocols, orows), (
+        "d13 values diverged under spill pressure"
+    )
