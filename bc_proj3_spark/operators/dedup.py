@@ -1444,3 +1444,130 @@ def d13_hamming_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.bit_count(F.col("x_xor")).cast("bigint").alias("hamming"),
     ).filter(F.col("hamming") <= HAM_R)
+
+
+# ---------------------------------------------------------------------------
+# d14 — duplicated-span token coverage (what span-dedup WOULD delete)
+# ---------------------------------------------------------------------------
+
+SPAN_N = 3  # word n-gram span width (the d-family shingle width)
+
+_D14_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, i,
+         {sql_hash60(f"w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS k
+  FROM toks, unnest(generate_series(1, greatest(len(w) - {SPAN_N - 1}, 0)))
+       AS t(i)
+),
+dup AS (
+  SELECT k FROM pos GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT doc_id, i, LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi
+  FROM pos WHERE k IN (SELECT k FROM dup)
+),
+cov AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+         CAST(SUM(CASE WHEN pi IS NULL THEN {SPAN_N}
+                       ELSE least({SPAN_N}, i - pi) END) AS BIGINT)
+           AS n_covered_tokens
+  FROM hits GROUP BY doc_id
+),
+dl AS (
+  SELECT doc_id, CAST(MAX(i) + {SPAN_N - 1} AS BIGINT) AS n_tokens
+  FROM pos GROUP BY doc_id
+)
+SELECT dl.doc_id, dl.n_tokens,
+       COALESCE(cov.n_dup_grams, 0) AS n_dup_grams,
+       COALESCE(cov.n_covered_tokens, 0) AS n_covered_tokens,
+       ROUND(CAST(COALESCE(cov.n_covered_tokens, 0) AS DOUBLE)
+             / dl.n_tokens, 9) AS dup_coverage
+FROM dl LEFT JOIN cov ON cov.doc_id = dl.doc_id
+"""
+
+
+@register("d14_span_coverage", _D14_ORACLE)
+def d14_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-SPAN token coverage: the fraction of a
+    document's tokens that sit inside at least one word {SPAN_N}-gram
+    that also appears in ANOTHER document — i.e. exactly what an
+    inter-document span-level deduplicator (RefinedWeb / MassiveText
+    style) would delete, measured BEFORE committing to the deletion.
+    d1/d4 answer "which whole docs are (near-)copies"; d14 answers "how
+    much of each surviving doc is boilerplate shared with the rest of
+    the corpus" — the curation dial between dropping documents and
+    surgically cutting repeated spans.
+
+    Exactness: coverage is the interval-union length of the fixed-width
+    spans [i, i+{SPAN_N}-1] over duplicated positions — computed as
+    sum(min({SPAN_N}, gap)) over the LAG window, identical integer
+    algebra on both engines; the only double is one final ROUND(÷, 9).
+    Docs shorter than {SPAN_N} tokens carry no span and are absent (the
+    d-family `sizes` convention).
+
+    Scale shape: ONE documents scan builds the persisted positional
+    n-gram index (doc_id, position, 60-bit key) — the same index shape
+    the shingle family pays for; from it: (a) the cross-doc frequency
+    aggregate (map-side combinable two-phase distinct on the gram key),
+    (b) a shuffle semi-join of positions against duplicated keys (never
+    a broadcast — the duplicated-key set is corpus-vocabulary-sized),
+    (c) a per-doc LAG window whose partitions are bounded by document
+    length, and (d) a per-doc roll-up. No pair table exists anywhere —
+    unlike d3/d10 this is linear in corpus size by construction, which
+    is why span-coverage is the report you CAN afford at 100 TB even
+    when the full pairwise dedup runs sampled."""
+    from pyspark.sql.window import Window
+
+    docs = fanout(table(spark, sf_dir, "documents"))
+    w = _words(F.col("text"))
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("w"), F.col("i") + j) for j in range(SPAN_N)]
+    )
+    idx = F.when(
+        F.size(F.col("w")) >= SPAN_N,
+        F.sequence(F.lit(1), F.size(F.col("w")) - (SPAN_N - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    pos = (
+        docs.select("doc_id", w.alias("w"))
+        .select("doc_id", "w", F.explode(idx).alias("i"))
+        .select("doc_id", "i", hash60(gram).alias("k"))
+        .persist()
+    )
+    dup = (
+        pos.groupBy("k")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("k")
+    )
+    win = Window.partitionBy("doc_id").orderBy("i")
+    hits = pos.join(dup, "k", "semi").withColumn("pi", F.lag("i").over(win))
+    cov = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+        F.sum(
+            F.when(F.col("pi").isNull(), F.lit(SPAN_N)).otherwise(
+                F.least(F.lit(SPAN_N), F.col("i") - F.col("pi"))
+            )
+        )
+        .cast("bigint")
+        .alias("n_covered_tokens"),
+    )
+    dl = pos.groupBy("doc_id").agg(
+        (F.max("i") + (SPAN_N - 1)).cast("bigint").alias("n_tokens")
+    )
+    return dl.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+        F.coalesce(F.col("n_covered_tokens"), F.lit(0)).alias(
+            "n_covered_tokens"
+        ),
+        F.round(
+            F.coalesce(F.col("n_covered_tokens"), F.lit(0)).cast("double")
+            / F.col("n_tokens"),
+            9,
+        ).alias("dup_coverage"),
+    )

@@ -1475,3 +1475,157 @@ def s11_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# hs3 — nDCG@k of the ANN ranking vs the exact ranking (rank-aware s9)
+# ---------------------------------------------------------------------------
+
+import math as _math
+from decimal import Decimal as _Dec
+
+#: DCG discounts 1/log2(rank+1), computed ONCE in Python and baked as
+#: 9-dp decimal literals into BOTH plans — the cross-engine transcendental
+#: seam never exists (g9's lattice-LN discipline, taken one step further:
+#: the lattice values are compile-time constants here, not data-driven).
+_NDCG_W = tuple(f"{1.0 / _math.log2(r + 1):.9f}" for r in range(1, TOP_K + 1))
+
+#: Ideal DCG: the exact top-k always contributes grades TOP_K..1 in rank
+#: order, so IDCG is a per-geometry constant — exact decimal arithmetic
+#: in Python, emitted as one double literal shared by both plans.
+_NDCG_IDCG = float(sum(_Dec(w) * (TOP_K - i) for i, w in enumerate(_NDCG_W)))
+
+_NDCG_W_CASE = (
+    "CASE ann_rn "
+    + " ".join(
+        f"WHEN {r + 1} THEN CAST({w} AS DECIMAL(28,10))"
+        for r, w in enumerate(_NDCG_W)
+    )
+    + " ELSE CAST(0 AS DECIMAL(28,10)) END"
+)
+
+_HS3_ORACLE = f"""
+WITH {_SQL_BASE},
+ex_scored AS (
+  SELECT query_id, e.vec_id,
+         {_sql_dot('qv', 'v')} / (qn * nrm) AS cosine
+  FROM q, e
+  WHERE e.vec_id <> query_id
+),
+exact AS (
+  SELECT query_id, vec_id, rn FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM ex_scored
+  ) t WHERE rn <= {TOP_K}
+),
+cb AS MATERIALIZED ({_sql_bucket_union('e', 'vec_id')}),
+qb AS (SELECT vec_id AS query_id, t, bkt FROM cb WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id
+  FROM qb JOIN cb ON qb.t = cb.t AND qb.bkt = cb.bkt
+  WHERE cb.vec_id <> qb.query_id
+),
+ann_scored AS (
+  SELECT c.query_id, c.vec_id,
+         {_sql_dot('q.qv', 'e.v')} / (q.qn * e.nrm) AS cosine
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN e ON e.vec_id = c.vec_id
+),
+ann AS (
+  SELECT query_id, vec_id, rn AS ann_rn FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM ann_scored
+  ) t WHERE rn <= {TOP_K}
+),
+j AS (
+  SELECT x.query_id, {TOP_K} + 1 - x.rn AS grade, a.ann_rn
+  FROM exact x LEFT JOIN ann a
+    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+)
+SELECT query_id,
+       CAST(SUM(CASE WHEN ann_rn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rel_found,
+       CAST(SUM(grade * ({_NDCG_W_CASE})) AS DOUBLE) AS dcg,
+       CAST(SUM(grade * ({_NDCG_W_CASE})) AS DOUBLE) / {_NDCG_IDCG!r} AS ndcg
+FROM j GROUP BY query_id
+"""
+
+
+@register("hs3_ndcg_eval", _HS3_ORACLE)
+def hs3_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aware retrieval quality: per query, nDCG@k of s2's LSH ANN
+    ranking against s1's exact cosine top-k, with graded relevance
+    grade = k+1-exact_rank. s9's recall says WHETHER the ANN funnel
+    finds the right neighbors; nDCG says whether it puts the best ones
+    FIRST — the number that moves when bucket collisions reorder the
+    head of the list, which recall@k is blind to. Together they are the
+    standard eval pair for any retrieval stack (RAG context selection,
+    hard-negative mining, semantic dedup candidates).
+
+    Exactness: cosines use the module's sequential-fold arithmetic
+    (bit-identical across engines, vec_id tiebreaks); DCG is a sum of
+    exact integer grades times compile-time 9-dp decimal discount
+    literals — the 1/log2 values are baked identically into both plans,
+    so there is NO transcendental evaluated by either engine; IDCG is a
+    per-geometry Python constant; nDCG is one IEEE division of
+    identical doubles.
+
+    Scale shape: identical to s9 (one persisted corpus projection feeds
+    the brute-force ground truth over ~1e3 sampled queries and the
+    (table, bucket) equi-join ANN side; the two (queries × k) ranked
+    lists are localCheckpointed so the final join + aggregate never
+    re-triggers either search). The DCG aggregate adds zero shuffles:
+    it reuses the same per-query groupBy the recall monitor pays for."""
+    corpus = _corpus(spark, sf_dir).persist()
+    q = _queries(corpus)
+    ex_scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    exact = _ranked(ex_scored, "rn").localCheckpoint(eager=True)
+
+    cb = _bucketed(corpus)
+    qb = cb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "t", "bkt"
+    )
+    cand = (
+        qb.join(cb, ["t", "bkt"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    ann_scored = (
+        cand.join(q, "query_id")
+        .join(corpus.select("vec_id", "v", "nrm"), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    ann = _ranked(ann_scored, "ann_rn").localCheckpoint(eager=True)
+
+    j = exact.join(ann, ["query_id", "vec_id"], "left").select(
+        "query_id",
+        (F.lit(TOP_K + 1) - F.col("rn")).alias("grade"),
+        "ann_rn",
+    )
+    hit = F.when(F.col("ann_rn").isNotNull(), 1).otherwise(0)
+    term = F.col("grade") * F.expr(_NDCG_W_CASE)
+    return j.groupBy("query_id").agg(
+        F.sum(hit).cast("bigint").alias("n_rel_found"),
+        F.sum(term).cast("double").alias("dcg"),
+        (F.sum(term).cast("double") / F.lit(_NDCG_IDCG)).alias("ndcg"),
+    )
