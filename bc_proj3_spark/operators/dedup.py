@@ -1571,3 +1571,134 @@ def d14_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("dup_coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d15 — train→eval n-gram contamination report (GPT-3-style decontamination)
+# ---------------------------------------------------------------------------
+
+DECON_N = 5  # word n-gram width for overlap detection (longer than the
+#              3-gram dedup shingles: decontamination wants high-precision
+#              literal overlap, not fuzzy similarity)
+
+
+def _d15_oracle() -> str:
+    from bc_proj3_spark.operators.sampling import (
+        TRAIN_PCT,
+        VAL_PCT,
+        _sql_seeded,
+    )
+
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(DECON_N))
+    return f"""
+WITH b AS (
+  SELECT doc_id, text,
+         {sql_hash60(_sql_seeded('split', 'CAST(doc_id AS VARCHAR)'))} % 100
+           AS bucket
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, bucket, string_split_regex(trim(text), '\\s+') AS w FROM b
+),
+shs AS (
+  SELECT DISTINCT doc_id, bucket,
+    unnest(list_transform(
+      generate_series(1, greatest(len(w) - {DECON_N - 1}, 0)),
+      i -> {gram})) AS s
+  FROM toks
+),
+g AS (SELECT doc_id, bucket, {sql_hash60('s')} AS k FROM shs),
+train_k AS (SELECT DISTINCT k FROM g WHERE bucket < {TRAIN_PCT}),
+ev AS (SELECT doc_id, bucket, k FROM g WHERE bucket >= {TRAIN_PCT}),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ev WHERE k IN (SELECT k FROM train_k) GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         CASE WHEN bucket < {VAL_PCT} THEN 'val' ELSE 'test' END AS split,
+         CAST(COUNT(*) AS BIGINT) AS n_grams
+  FROM ev GROUP BY 1, 2
+)
+SELECT base.doc_id, split, n_grams,
+       COALESCE(n_hit, 0) AS n_hit,
+       ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_grams, 9)
+         AS contamination,
+       COALESCE(n_hit, 0) > 0 AS contaminated
+FROM base LEFT JOIN hits USING (doc_id)
+"""
+
+
+@register("d15_ngram_decontaminate", _d15_oracle())
+def d15_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal n-gram train→eval contamination report: for every
+    val/test document of sp1's content-addressed 90/5/5 split, the
+    number and fraction of its distinct word {DECON_N}-grams that also
+    appear in ANY train document, plus the any-hit flag — the GPT-3
+    appendix-C decontamination ledger. Completes the three-mode
+    decontamination family: d7 removes exact-hash copies, s7 removes
+    semantic neighbors, d15 measures literal PHRASE leakage that
+    survives both (a benchmark answer quoted inside an otherwise-novel
+    page). The report runs BEFORE training so the call — drop the eval
+    doc, or cut the span — is made on numbers, not vibes.
+
+    Exactness: split buckets replay sp1's seeded-hash expression
+    verbatim; overlap counting is exact set algebra on distinct
+    60-bit gram keys (per-doc DISTINCT applied before hashing on both
+    engines); the only double is one final ROUND(÷, 9). Eval docs
+    shorter than {DECON_N} tokens carry no gram and are absent (the
+    d-family `sizes` convention).
+
+    Scale shape: ONE documents scan fans out the per-doc distinct gram
+    keys with the split bucket computed map-side (no join against a
+    split table — the bucket is a hash of the key the row already
+    carries). The train-key set is corpus-sized, so the eval probe is
+    a shuffle SEMI join on the 8-byte key — never a broadcast, and the
+    probe side is only ~10 % of the corpus by construction. All three
+    aggregates are map-side combinable. At 100 TB this is the cheapest
+    of the d-family reports: linear, no pair table, no index persisted
+    across queries; the same plan decontaminates against an EXTERNAL
+    benchmark suite by swapping the train-key build for a scan of the
+    benchmark corpus."""
+    from bc_proj3_spark.operators.sampling import TRAIN_PCT, VAL_PCT, _seeded
+
+    docs = fanout(table(spark, sf_dir, "documents"))
+    bucket = hash60(_seeded("split", F.col("doc_id").cast("string"))) % 100
+    g = (
+        docs.select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.explode(
+                F.array_distinct(shingles(F.col("text"), DECON_N))
+            ).alias("s"),
+        )
+        .select("doc_id", "bucket", hash60(F.col("s")).alias("k"))
+        .persist()
+    )
+    train_k = (
+        g.filter(F.col("bucket") < TRAIN_PCT).select("k").distinct()
+    )
+    ev = g.filter(F.col("bucket") >= TRAIN_PCT)
+    hits = (
+        ev.join(train_k, "k", "semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    base = ev.groupBy(
+        "doc_id",
+        F.when(F.col("bucket") < VAL_PCT, "val").otherwise("test").alias(
+            "split"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "split",
+        "n_grams",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_grams"),
+            9,
+        ).alias("contamination"),
+        (F.coalesce(F.col("n_hit"), F.lit(0)) > 0).alias("contaminated"),
+    )
