@@ -1486,3 +1486,298 @@ def g10_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.orderBy(F.col("clustering_coeff").desc(), "node").limit(
         CC_TOP_K
     )
+
+
+# ---------------------------------------------------------------------------
+# g11/g12 — label-propagation communities + their modularity
+# ---------------------------------------------------------------------------
+
+LP_ROUNDS = 4  # synchronous propagation rounds (unrolled, pi2's lesson)
+LP_MIN_SUPPORT = 2  # the family's co-purchase edge sparsifier
+MOD_TOP_K = 15  # communities reported by g12 (size desc, label asc)
+
+
+def _lp_ctes() -> str:
+    """Shared DuckDB CTE block: the supported co-purchase graph plus
+    LP_ROUNDS unrolled synchronous label-propagation steps l0..lN.
+    Each step is MATERIALIZED so the oracle evaluates the same
+    trajectory the Spark loop checkpoints (g6/pi2 discipline)."""
+    steps = [f"""items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY u, v HAVING COUNT(*) >= {LP_MIN_SUPPORT}
+),
+directed AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS lab FROM directed
+)"""]
+    for i in range(1, LP_ROUNDS + 1):
+        p = i - 1
+        steps.append(f"""l{i} AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+    FROM (
+      SELECT d.src AS node, p.lab AS lab, COUNT(*) AS c
+      FROM directed d JOIN l{p} p ON p.node = d.dst
+      GROUP BY 1, 2
+    ) g
+  ) t WHERE rn = 1
+)""")
+    return ",\n".join(steps)
+
+
+def _g11_oracle() -> str:
+    rows = [
+        "SELECT 0 AS round, (SELECT COUNT(*) FROM l0) AS n_communities,"
+        " 0 AS n_moved"
+    ]
+    for i in range(1, LP_ROUNDS + 1):
+        p = i - 1
+        rows.append(
+            f"SELECT {i}, (SELECT COUNT(DISTINCT lab) FROM l{i}),"
+            f" (SELECT COUNT(*) FROM l{i} a JOIN l{p} b USING (node)"
+            f"  WHERE a.lab <> b.lab)"
+        )
+    return (
+        "WITH "
+        + _lp_ctes()
+        + "\nSELECT CAST(round AS INTEGER) AS round,"
+        " CAST(n_communities AS BIGINT) AS n_communities,"
+        " CAST(n_moved AS BIGINT) AS n_moved FROM ("
+        + " UNION ALL ".join(rows)
+        + ") census"
+    )
+
+
+def _lp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= LP_MIN_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _lp_iterate(directed: DataFrame) -> list[DataFrame]:
+    """l0..lN label frames, each eagerly checkpointed (O(1) lineage)."""
+    from pyspark.sql.window import Window
+
+    labels = [
+        directed.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint(eager=True)
+    ]
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(LP_ROUNDS):
+        prev = labels[-1]
+        cnt = (
+            directed.join(prev, directed["dst"] == prev["node"])
+            .groupBy(F.col("src").alias("node2"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumnRenamed("node2", "node")
+        )
+        nxt = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=True)
+        )
+        labels.append(nxt)
+    return labels
+
+
+@register("g11_label_propagation", _g11_oracle())
+def g11_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community census over the
+    support>={LP_MIN_SUPPORT} co-purchase graph (Raghavan et al. 2007):
+    every node starts as its own community and each round adopts the
+    most frequent label among its NEIGHBORS (ties to the smallest
+    label), reported as the (round, n_communities, n_moved) trajectory.
+    Where cc2's connected components answer "what is reachable",
+    label propagation answers "what is DENSE" — the near-linear
+    community detector used to group substitutable products, shard
+    co-occurring vocabulary, and pre-cluster dedup candidates.
+
+    Exactness: labels are node ids (exact integers); the per-round
+    argmax is an exact (count DESC, label ASC) order statistic, so the
+    whole trajectory is bit-identical on both engines; the oracle
+    unrolls the same LP_ROUNDS synchronous steps as MATERIALIZED CTEs
+    (pi2's lesson — synchronous, not DuckDB's recursive semantics).
+
+    Scale shape: the edge list shuffles once (support aggregate); each
+    round is one equi-join of the directed edges against the current
+    (node, label) frame — both sides partitioned on the join key — plus
+    one map-side-combinable count and a per-node top-1 window whose
+    partitions are bounded by degree. Labels are eagerly
+    localCheckpointed per round (cc-family O(1)-lineage discipline);
+    the census rides those bounded per-round jobs and assembles
+    driver-side (LP_ROUNDS+1 rows of three ints, g6's precedent)."""
+    edges = _lp_edges(spark, sf_dir)
+    directed = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    labels = _lp_iterate(directed)
+    census = [(0, labels[0].count(), 0)]
+    for i in range(1, LP_ROUNDS + 1):
+        cur, prev = labels[i], labels[i - 1]
+        n_comm = cur.select("lab").distinct().count()
+        moved = (
+            cur.join(
+                prev.withColumnRenamed("lab", "plab"), "node"
+            )
+            .filter(F.col("lab") != F.col("plab"))
+            .count()
+        )
+        census.append((i, n_comm, moved))
+    return spark.createDataFrame(
+        [(int(r), int(c), int(m)) for r, c, m in census],
+        "round int, n_communities long, n_moved long",
+    )
+
+
+def _g12_oracle() -> str:
+    n = LP_ROUNDS
+    return f"""
+WITH {_lp_ctes()},
+m AS (SELECT COUNT(*) AS m FROM e0),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM directed GROUP BY src),
+comm AS (
+  SELECT l.lab, COUNT(*) AS n_nodes, SUM(deg.d) AS d_sum
+  FROM l{n} l JOIN deg USING (node) GROUP BY l.lab
+),
+intra AS (
+  SELECT a.lab, COUNT(*) AS m_intra
+  FROM e0
+  JOIN l{n} a ON a.node = e0.u
+  JOIN l{n} b ON b.node = e0.v
+  WHERE a.lab = b.lab GROUP BY a.lab
+),
+scored AS (
+  SELECT comm.lab AS community,
+         CAST(comm.n_nodes AS BIGINT) AS n_nodes,
+         CAST(comm.d_sum AS BIGINT) AS degree_sum,
+         CAST(COALESCE(intra.m_intra, 0) AS BIGINT) AS intra_edges,
+         CAST(4 * m.m * COALESCE(intra.m_intra, 0)
+              - comm.d_sum * comm.d_sum AS BIGINT) AS q_num
+  FROM comm LEFT JOIN intra USING (lab) CROSS JOIN m
+),
+total AS (
+  SELECT CAST(SUM(q_num) AS DOUBLE)
+         / CAST(4 * (SELECT m FROM m) * (SELECT m FROM m) AS DOUBLE) AS q
+  FROM scored
+)
+SELECT community, n_nodes, degree_sum, intra_edges,
+       CAST(q_num AS DOUBLE)
+         / CAST(4 * (SELECT m FROM m) * (SELECT m FROM m) AS DOUBLE)
+         AS contribution,
+       (SELECT q FROM total) AS modularity
+FROM scored
+ORDER BY n_nodes DESC, community
+LIMIT {MOD_TOP_K}
+"""
+
+
+@register("g12_modularity", _g12_oracle())
+def g12_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity scorecard of g11's label-propagation
+    communities: per community (top-{MOD_TOP_K} by size) the node
+    count, degree mass, intra-community edge count and modularity
+    contribution (m_c/m - (d_c/2m)^2), plus the graph-level Q on every
+    row — the acceptance test for ANY clustering of the co-purchase
+    graph. Q near 0 says the "communities" are no better than random
+    wiring (don't shard by them); Q >> 0 certifies the partition
+    before it drives assortment planning or co-occurrence sharding.
+
+    Exactness: every quantity is exact integer algebra — the
+    contribution numerator is 4*m*m_c - d_c^2 over the common
+    denominator 4m^2, so each output double is ONE IEEE division of
+    exact integers (bit-identical cross-engine; the integers stay far
+    below 2^53 here — the DECIMAL(38) path is the documented upgrade
+    once 4m^2 approaches that bound). Label trajectory = g11's.
+
+    Scale shape: g11's per-round joins plus, at the end, one degree
+    aggregate, one (label) roll-up, and one edge→label equi-join pair
+    to count intra edges — all partitioned on node/label keys; the
+    final top-k compiles to TakeOrderedAndProject. Nothing
+    community-count-sized is ever collected or broadcast."""
+    edges = _lp_edges(spark, sf_dir)
+    directed = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    final = _lp_iterate(directed)[-1]
+    m = edges.count()
+    deg = directed.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    comm = (
+        final.join(deg, "node")
+        .groupBy("lab")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("d_sum"),
+        )
+    )
+    la, lb = final.alias("la"), final.alias("lb")
+    intra = (
+        edges.join(la, F.col("la.node") == F.col("u"))
+        .join(lb, F.col("lb.node") == F.col("v"))
+        .filter(F.col("la.lab") == F.col("lb.lab"))
+        .groupBy(F.col("la.lab").alias("lab"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m_intra"))
+    )
+    denom = float(4 * m * m)
+    scored = (
+        comm.join(intra, "lab", "left")
+        .select(
+            F.col("lab").alias("community"),
+            "n_nodes",
+            F.col("d_sum").alias("degree_sum"),
+            F.coalesce(F.col("m_intra"), F.lit(0))
+            .cast("bigint")
+            .alias("intra_edges"),
+            (
+                4 * F.lit(m) * F.coalesce(F.col("m_intra"), F.lit(0))
+                - F.col("d_sum") * F.col("d_sum")
+            )
+            .cast("bigint")
+            .alias("q_num"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    q = scored.agg(
+        (F.sum("q_num").cast("double") / F.lit(denom)).alias("q")
+    )
+    return (
+        scored.crossJoin(F.broadcast(q))
+        .select(
+            "community",
+            "n_nodes",
+            "degree_sum",
+            "intra_edges",
+            (F.col("q_num").cast("double") / F.lit(denom)).alias(
+                "contribution"
+            ),
+            F.col("q").alias("modularity"),
+        )
+        .orderBy(F.col("n_nodes").desc(), "community")
+        .limit(MOD_TOP_K)
+    )
