@@ -194,6 +194,13 @@ STRICT_VALUE_QUERIES = [
     "a17_winsorized_mean",
     "st11_stream_countsketch",
     "t26_ngram_coverage",
+    # r9's new operators (outside the unchanged rotation prefix),
+    # pre-flighted at driver strictness before any prefix entry
+    "hs3_ndcg_eval",
+    "d14_span_coverage",
+    "d15_ngram_decontaminate",
+    "g11_label_propagation",
+    "g12_modularity",
 ]
 
 

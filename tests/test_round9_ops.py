@@ -1,0 +1,274 @@
+"""Round-9 additions: invariants the DuckDB oracles can't express for
+the new operators — metric identities (nDCG vs recall coupling,
+modularity bounded and consistent with its per-community terms),
+conservation laws (span coverage never exceeds token count, hit counts
+bounded by gram counts), trajectory laws (label-propagation communities
+never increase), and cross-query consistency (d15's split replays sp1
+exactly; g12's graph is g11's).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# hs3 — nDCG@k retrieval eval
+# ---------------------------------------------------------------------------
+
+
+def test_hs3_ndcg_bounds_and_recall_coupling(spark):
+    """nDCG in [0, 1]; nDCG == 1 requires a perfect hit set; zero hits
+    forces nDCG == 0; and hs3's n_rel_found must equal s9's n_hits —
+    the two monitors must never disagree about WHAT was found, only
+    grade HOW it was ordered."""
+    from bc_proj3_spark.operators.similarity import (
+        hs3_ndcg_eval,
+        s9_ann_recall,
+    )
+
+    hs3 = {r.query_id: r for r in hs3_ndcg_eval(spark, SF_DIR).collect()}
+    spark.catalog.clearCache()
+    s9 = {r.query_id: r for r in s9_ann_recall(spark, SF_DIR).collect()}
+    assert set(hs3) == set(s9) and hs3
+    for qid, r in hs3.items():
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-12
+        assert r.n_rel_found == s9[qid].n_hits
+        if r.n_rel_found == 0:
+            assert r.ndcg == 0.0
+        if r.ndcg >= 1.0 - 1e-12:
+            assert r.n_rel_found == 10
+
+
+def test_hs3_dcg_weights_are_compile_time_literals(spark):
+    """No log/ln of data anywhere in the physical plan: the discount
+    lattice is baked as decimal literals (the whole point of the
+    design — neither engine evaluates a transcendental)."""
+    from bc_proj3_spark.operators.similarity import hs3_ndcg_eval
+
+    plan = _plan(hs3_ndcg_eval(spark, SF_DIR))
+    assert "LOG(" not in plan.upper().replace("LOGICAL", "")
+
+
+# ---------------------------------------------------------------------------
+# d14 — duplicated-span coverage
+# ---------------------------------------------------------------------------
+
+
+def test_d14_coverage_accounting(spark):
+    """Covered tokens never exceed the doc's token count, never exceed
+    SPAN_N * n_dup_grams (each gram covers at most SPAN_N tokens), and
+    are at least SPAN_N when any duplicated gram exists (a span is
+    never partially counted at its first occurrence)."""
+    from bc_proj3_spark.operators.dedup import SPAN_N, d14_span_coverage
+
+    rows = d14_span_coverage(spark, SF_DIR).collect()
+    assert rows
+    assert any(r.n_dup_grams > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_covered_tokens <= r.n_tokens
+        assert r.n_covered_tokens <= SPAN_N * r.n_dup_grams
+        if r.n_dup_grams:
+            assert r.n_covered_tokens >= SPAN_N
+        else:
+            assert r.n_covered_tokens == 0 and r.dup_coverage == 0.0
+
+
+def test_d14_single_documents_scan(spark):
+    """The positional gram index is persisted once and ALL THREE
+    consumers (the cross-doc frequency aggregate feeding the semi-join,
+    the probe side, and the per-doc length roll-up) read the cache —
+    no consumer re-derives the explode+hash from a fresh documents
+    scan. (FileScan text inside an InMemoryRelation dump is the cache's
+    stored BUILD plan, not an executed scan, so the pin counts cache
+    readers, not FileScan strings.)"""
+    from bc_proj3_spark.operators.dedup import d14_span_coverage
+
+    df = d14_span_coverage(spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") >= 3, plan[:2000]
+    spark.catalog.clearCache()
+
+
+def test_d14_injected_duplicate_span_is_found(spark):
+    """A synthetic corpus where doc B quotes a 5-token span of doc A
+    (and everything else is unique) must report exactly the quoted
+    span: 3 duplicated 3-grams covering 5 tokens on each side."""
+    from bc_proj3_spark.operators.dedup import SPAN_N, d14_span_coverage
+    import tempfile
+
+    span = "alpha beta gamma delta epsilon"
+    docs = [
+        (1, span + " unique1a unique1b unique1c", "en", "t", 1),
+        (2, "unique2a unique2b " + span + " unique2c", "en", "t", 1),
+        (3, "wholly disjoint text third document here", "en", "t", 1),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{tmp}/documents.parquet")
+        rows = {r.doc_id: r for r in d14_span_coverage(spark, tmp).collect()}
+    spark.catalog.clearCache()
+    assert rows[1].n_dup_grams == 3 and rows[1].n_covered_tokens == 5
+    assert rows[2].n_dup_grams == 3 and rows[2].n_covered_tokens == 5
+    assert rows[3].n_dup_grams == 0 and rows[3].n_covered_tokens == 0
+    assert rows[1].n_tokens == 8 and rows[2].n_tokens == 8
+
+
+# ---------------------------------------------------------------------------
+# d15 — n-gram decontamination report
+# ---------------------------------------------------------------------------
+
+
+def test_d15_split_replays_sp1_and_bounds(spark):
+    """Every reported doc must be an sp1 val/test doc with the SAME
+    split tag (the report must never disagree with the split it
+    audits); n_hit <= n_grams; contaminated == (n_hit > 0)."""
+    from bc_proj3_spark.operators.dedup import d15_ngram_decontaminate
+    from bc_proj3_spark.operators.sampling import sp1_split_assign
+
+    rep = {r.doc_id: r for r in d15_ngram_decontaminate(spark, SF_DIR).collect()}
+    spark.catalog.clearCache()
+    splits = {
+        r.doc_id: r.split for r in sp1_split_assign(spark, SF_DIR).collect()
+    }
+    assert rep
+    for doc_id, r in rep.items():
+        assert splits[doc_id] == r.split and r.split in ("val", "test")
+        assert 0 <= r.n_hit <= r.n_grams
+        assert r.contaminated == (r.n_hit > 0)
+
+
+def test_d15_quoted_benchmark_answer_is_caught(spark):
+    """Synthetic corpus: an eval doc quoting a 6-token train span is
+    flagged; an eval doc with disjoint vocabulary is clean. doc_ids are
+    chosen so sp1's content-addressed buckets put them in the right
+    splits (computed below, not assumed)."""
+    from bc_proj3_spark.operators.dedup import d15_ngram_decontaminate
+    from bc_proj3_spark.operators.sampling import (
+        TRAIN_PCT,
+        _seeded,
+    )
+    from bc_proj3_spark.functions.hashing import hash60
+    import tempfile
+
+    # find train/eval doc_ids under sp1's real hash (no RNG, no luck)
+    ids = (
+        spark.range(1, 400)
+        .select(
+            F.col("id"),
+            (hash60(_seeded("split", F.col("id").cast("string"))) % 100).alias(
+                "b"
+            ),
+        )
+        .collect()
+    )
+    train_id = next(r.id for r in ids if r.b < TRAIN_PCT)
+    eval_ids = [r.id for r in ids if r.b >= TRAIN_PCT][:2]
+    quote = "the quick brown fox jumps high"
+    docs = [
+        (train_id, quote + " plus train only padding words", "en", "t", 1),
+        (eval_ids[0], "eval intro " + quote + " eval outro words", "en", "t", 1),
+        (eval_ids[1], "completely different vocabulary nothing shared at all", "en", "t", 1),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{tmp}/documents.parquet")
+        rows = {
+            r.doc_id: r for r in d15_ngram_decontaminate(spark, tmp).collect()
+        }
+    spark.catalog.clearCache()
+    assert rows[eval_ids[0]].contaminated and rows[eval_ids[0]].n_hit == 2
+    assert not rows[eval_ids[1]].contaminated
+
+
+# ---------------------------------------------------------------------------
+# g11 — label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_g11_trajectory_laws(spark):
+    """Communities never increase round-over-round (labels only
+    coalesce under mode adoption from a fixed node-id universe), round
+    0 is the all-singletons state with zero moves, and every census
+    quantity is a non-negative count bounded by n_nodes."""
+    from bc_proj3_spark.operators.graph import g11_label_propagation
+
+    rows = sorted(
+        g11_label_propagation(spark, SF_DIR).collect(), key=lambda r: r.round
+    )
+    spark.catalog.clearCache()
+    n_nodes = rows[0].n_communities
+    assert rows[0].round == 0 and rows[0].n_moved == 0 and n_nodes > 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_communities <= prev.n_communities
+        assert 0 <= cur.n_moved <= n_nodes
+
+
+def test_g11_two_cliques_converge(spark):
+    """Two disjoint triangles (each co-purchased >= 2 times) collapse
+    to exactly 2 communities — and the labels are the min node id of
+    each clique by the tiebreak rule."""
+    from bc_proj3_spark.operators.graph import _lp_edges, _lp_iterate
+
+    # lineitem stub: two orders per part-pair so support >= 2 holds
+    rows = []
+    okey = 0
+    for clique in ([1, 2, 3], [10, 11, 12]):
+        for rep in range(2):
+            okey += 1
+            for p in clique:
+                rows.append((okey, p))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long"
+        ).write.parquet(f"{tmp}/lineitem.parquet")
+        edges = _lp_edges(spark, tmp)
+        directed = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        final = _lp_iterate(directed)[-1].collect()
+    spark.catalog.clearCache()
+    labs = {r.node: r.lab for r in final}
+    assert set(labs[n] for n in (1, 2, 3)) == {1}
+    assert set(labs[n] for n in (10, 11, 12)) == {10}
+
+
+# ---------------------------------------------------------------------------
+# g12 — modularity
+# ---------------------------------------------------------------------------
+
+
+def test_g12_modularity_identities(spark):
+    """Q is bounded in [-0.5, 1]; every row carries the same Q; each
+    contribution equals (intra/m - (deg/2m)^2) recomputed from the
+    row's own exact integers; and intra edges never exceed m."""
+    from bc_proj3_spark.operators.graph import (
+        g12_modularity,
+        _lp_edges,
+    )
+
+    rows = g12_modularity(spark, SF_DIR).collect()
+    m = _lp_edges(spark, SF_DIR).count()
+    spark.catalog.clearCache()
+    assert rows and m > 0
+    qs = {r.modularity for r in rows}
+    assert len(qs) == 1
+    q = qs.pop()
+    assert -0.5 <= q <= 1.0
+    for r in rows:
+        assert 0 <= r.intra_edges <= m
+        expect = (4 * m * r.intra_edges - r.degree_sum**2) / (4 * m * m)
+        assert abs(r.contribution - expect) < 1e-15

@@ -85,6 +85,10 @@ SF01_QUERIES = [
     "s11_kcenter_coreset",  # farthest-point walk over lattice distances
     "e24_markov_stationary",  # iterative fixpoint (cc3 scaled-int class)
     "o8_mahalanobis_outliers",  # >2^53 exact-int adjugate conversions
+    # round-9 additions
+    "g11_label_propagation",  # iterative fixpoint (synchronous argmax rounds)
+    "g12_modularity",  # rides g11's trajectory + exact-int contribution ratios
+    "hs3_ndcg_eval",  # double-heavy cosine rankings on both funnel sides
 ]
 
 
