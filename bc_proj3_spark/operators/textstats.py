@@ -1755,3 +1755,251 @@ def t26_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("covered_tokens").cast("double") / F.col("total_tokens"), 9
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t27 — BPE tokenizer LEARNING (iterative merges, not just pair stats)
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 4  # learned merges (unrolled in the oracle, pi2's lesson)
+
+
+def _t27_oracle() -> str:
+    head = f"""WITH toks AS (
+  SELECT unnest({T.sql_tokenize('text')}) AS w FROM documents
+),
+vocab AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY w),
+v0 AS MATERIALIZED (
+  SELECT w, freq,
+         array_to_string(list_transform(generate_series(1, len(w)),
+                                         i -> w[i]), ' ') AS s
+  FROM vocab
+)"""
+    steps, rows = [head], []
+    for r in range(1, BPE_ROUNDS + 1):
+        p = r - 1
+        steps.append(f"""pc{r} AS (
+  SELECT a[i] || ' ' || a[i+1] AS pair, SUM(freq) AS cnt
+  FROM (SELECT freq, string_split(s, ' ') AS a FROM v{p}) t,
+       unnest(generate_series(1, len(a) - 1)) AS u(i)
+  GROUP BY 1
+),
+best{r} AS MATERIALIZED (
+  SELECT pair, cnt FROM pc{r} ORDER BY cnt DESC, pair LIMIT 1
+),
+pos{r} AS (
+  SELECT w, freq, i, a[i] AS sym,
+         CASE WHEN i < len(a) THEN a[i+1] END AS nxt,
+         i < len(a)
+           AND a[i] || ' ' || a[i+1] = (SELECT pair FROM best{r}) AS m
+  FROM (SELECT w, freq, string_split(s, ' ') AS a FROM v{p}) t,
+       unnest(generate_series(1, len(a))) AS u(i)
+),
+mk{r} AS (
+  SELECT *, CASE WHEN m THEN
+      SUM(CASE WHEN m THEN 1 ELSE 0 END)
+        OVER (PARTITION BY w ORDER BY i) END AS k
+  FROM pos{r}
+),
+act{r} AS (
+  SELECT *, m AND (k - MIN(k) OVER (PARTITION BY w, isl)) % 2 = 0 AS active
+  FROM (SELECT *, CASE WHEN m THEN i - k END AS isl FROM mk{r}) t
+),
+em{r} AS (
+  SELECT w, freq, i,
+         CASE WHEN active THEN sym || nxt
+              WHEN LAG(active) OVER (PARTITION BY w ORDER BY i) THEN NULL
+              ELSE sym END AS esym
+  FROM act{r}
+),
+v{r} AS MATERIALIZED (
+  SELECT w, freq, string_agg(esym, ' ' ORDER BY i) AS s
+  FROM em{r} WHERE esym IS NOT NULL GROUP BY w, freq
+)""")
+        rows.append(
+            f"SELECT {r} AS round,"
+            f" (SELECT pair FROM best{r}) AS merged_pair,"
+            f" (SELECT CAST(cnt AS BIGINT) FROM best{r}) AS weighted_count,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM v{r} n"
+            f"   JOIN v{p} o USING (w) WHERE n.s <> o.s)"
+            f"   AS n_spellings_changed,"
+            f" (SELECT CAST(SUM(freq * len(string_split(s, ' '))) AS BIGINT)"
+            f"   FROM v{r}) AS total_symbols"
+        )
+    return (
+        ",\n".join(steps)
+        + "\nSELECT CAST(round AS INTEGER) AS round, merged_pair,"
+        " weighted_count, n_spellings_changed, total_symbols FROM ("
+        + " UNION ALL ".join(rows)
+        + ") trail"
+    )
+
+
+def _bpe_spellings(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[list[DataFrame], list[DataFrame]]":
+    """(v0..vN spelling frames (w, freq, s), per-round 1-row best-merge
+    frames (pair, cnt)). Each vr is eagerly localCheckpointed
+    (cc-family O(1)-lineage discipline)."""
+    from pyspark.sql.window import Window
+
+    docs = fanout(table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(T.tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    spell0 = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+        " ",
+    )
+    frames = [
+        vocab.select("w", "freq", spell0.alias("s")).localCheckpoint(
+            eager=True
+        )
+    ]
+    stats = []
+    w_cum = (
+        Window.partitionBy("w")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_seq = Window.partitionBy("w").orderBy("i")
+    for _ in range(BPE_ROUNDS):
+        prev = frames[-1]
+        base = prev.select("w", "freq", F.split("s", " ").alias("a"))
+        pair_idx = F.when(
+            F.size("a") >= 2, F.sequence(F.lit(1), F.size("a") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        best = (
+            base.select("freq", "a", F.explode(pair_idx).alias("i"))
+            .select(
+                "freq",
+                F.concat_ws(
+                    " ",
+                    F.element_at("a", F.col("i")),
+                    F.element_at("a", F.col("i") + 1),
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        stats.append(best)
+        pos = (
+            base.select(
+                "w", "freq", "a",
+                F.explode(F.sequence(F.lit(1), F.size("a"))).alias("i"),
+            )
+            .crossJoin(F.broadcast(best.select(F.col("pair").alias("bp"))))
+            .select(
+                "w", "freq", "i", "bp",
+                F.element_at("a", F.col("i")).alias("sym"),
+                F.when(
+                    F.col("i") < F.size("a"),
+                    F.element_at("a", F.col("i") + 1),
+                ).alias("nxt"),
+            )
+            .withColumn(
+                "m",
+                F.col("nxt").isNotNull()
+                & (F.concat_ws(" ", "sym", "nxt") == F.col("bp")),
+            )
+        )
+        pos = pos.withColumn(
+            "k",
+            F.when(F.col("m"), F.sum(F.col("m").cast("int")).over(w_cum)),
+        ).withColumn("isl", F.when(F.col("m"), F.col("i") - F.col("k")))
+        w_isl = Window.partitionBy("w", "isl")
+        pos = pos.withColumn(
+            "active",
+            F.col("m")
+            & (((F.col("k") - F.min("k").over(w_isl)) % 2) == 0),
+        ).withColumn(
+            "esym",
+            F.when(F.col("active"), F.concat(F.col("sym"), F.col("nxt")))
+            .when(F.lag("active").over(w_seq), F.lit(None))
+            .otherwise(F.col("sym")),
+        )
+        nxt_frame = (
+            pos.filter(F.col("esym").isNotNull())
+            .groupBy("w", "freq")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("i", "esym"))
+                        ),
+                        lambda x: x["esym"],
+                    ),
+                    " ",
+                ).alias("s")
+            )
+            .localCheckpoint(eager=True)
+        )
+        frames.append(nxt_frame)
+    return frames, stats
+
+
+@register("t27_bpe_learn", _t27_oracle())
+def t27_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING as a Spark job: starting from character
+    spellings of the corpus vocabulary, learn BPE_ROUNDS merges — each
+    round counts adjacent symbol pairs weighted by word frequency,
+    merges the (count DESC, pair ASC) winner with the standard greedy
+    leftmost-non-overlapping rule, and reports (merge, its count at
+    selection time, spellings changed, total weighted corpus symbols
+    after the merge). The trajectory IS the tokenizer: t12 showed the
+    first merge candidates; t27 actually trains, and the shrinking
+    total_symbols column is the compression curve a tokenizer team
+    watches (t23 measures fertility of a FIXED tokenizer; t27 builds
+    one). At production scale this loop over the frequency-weighted
+    VOCABULARY (never the raw token stream) is exactly how BPE is
+    trained on a 100 TB corpus: the corpus is touched once.
+
+    Exactness: counts are exact integers and the merge winner is an
+    exact order statistic; greedy non-overlap ("xxx" + merge (x,x) →
+    [xx, x]) is implemented identically in both engines as window
+    parity — match runs become islands (i - cumulative-match-rank) and
+    a match is APPLIED iff its rank parity within the island is even —
+    so every spelling, and therefore every later round, is
+    bit-identical. The oracle unrolls the same rounds as MATERIALIZED
+    CTEs (pi2's lesson).
+
+    Scale shape: one corpus scan builds the word-frequency table; each
+    round is bounded by vocabulary size — a map-side-combinable pair
+    count, a 1-row winner (broadcast back), and three windows whose
+    partitions are single WORDS (bounded by word length). Spellings are
+    eagerly localCheckpointed per round. Nothing corpus-sized shuffles
+    after the first aggregate."""
+    frames, stats = _bpe_spellings(spark, sf_dir)
+    out_rows = []
+    for r in range(1, BPE_ROUNDS + 1):
+        best = stats[r - 1].collect()[0]
+        changed = (
+            frames[r]
+            .alias("n")
+            .join(frames[r - 1].alias("o"), "w")
+            .filter(F.col("n.s") != F.col("o.s"))
+            .count()
+        )
+        total = (
+            frames[r]
+            .select(
+                F.sum(F.col("freq") * F.size(F.split("s", " "))).alias("t")
+            )
+            .collect()[0]["t"]
+        )
+        out_rows.append(
+            (r, best["pair"], int(best["cnt"]), int(changed), int(total))
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "round int, merged_pair string, weighted_count long,"
+        " n_spellings_changed long, total_symbols long",
+    )
