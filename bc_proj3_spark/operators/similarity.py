@@ -1629,3 +1629,135 @@ def hs3_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(term).cast("double").alias("dcg"),
         (F.sum(term).cast("double") / F.lit(_NDCG_IDCG)).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s12 — agglomerative dendrogram over the k-means sketch
+# ---------------------------------------------------------------------------
+
+MERGE_ROUNDS = 4  # dendrogram merges reported (of KMEANS_K-1 possible)
+
+
+def _s12_oracle() -> str:
+    steps = [f"""{_SQL_BASE},
+cent AS (
+  SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e
+  WHERE vec_id < {KMEANS_K}
+),
+scored AS (
+  SELECT e.vec_id, centroid_id,
+         {_sql_dot('cv', 'v')} / (cn * nrm) AS cosine
+  FROM e, cent
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+),
+act0 AS MATERIALIZED (
+  SELECT centroid_id AS rep, CAST(COUNT(*) AS BIGINT) AS n
+  FROM assign GROUP BY 1
+),
+pairs AS MATERIALIZED (
+  SELECT a.centroid_id AS a, b.centroid_id AS b,
+         {_sql_d2('a.cv', 'b.cv')} AS d2
+  FROM cent a JOIN cent b ON a.centroid_id < b.centroid_id
+)"""]
+    rows = []
+    for r in range(1, MERGE_ROUNDS + 1):
+        p = r - 1
+        steps.append(f"""best{r} AS MATERIALIZED (
+  SELECT a, b, d2 FROM pairs
+  WHERE a IN (SELECT rep FROM act{p}) AND b IN (SELECT rep FROM act{p})
+  ORDER BY d2, a, b LIMIT 1
+),
+act{r} AS MATERIALIZED (
+  SELECT rep,
+         CASE WHEN rep = (SELECT a FROM best{r})
+              THEN n + (SELECT n FROM act{p}
+                        WHERE rep = (SELECT b FROM best{r}))
+              ELSE n END AS n
+  FROM act{p} WHERE rep <> (SELECT b FROM best{r})
+)""")
+        rows.append(
+            f"SELECT {r} AS round,"
+            f" (SELECT a FROM best{r}) AS rep_kept,"
+            f" (SELECT b FROM best{r}) AS rep_merged,"
+            f" (SELECT d2 FROM best{r}) AS d2,"
+            f" (SELECT CAST(n AS BIGINT) FROM act{r}"
+            f"   WHERE rep = (SELECT a FROM best{r})) AS n_members"
+        )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + "\nSELECT CAST(round AS INTEGER) AS round,"
+        " CAST(rep_kept AS BIGINT) AS rep_kept,"
+        " CAST(rep_merged AS BIGINT) AS rep_merged, d2, n_members FROM ("
+        + " UNION ALL ".join(rows)
+        + ") dendro"
+    )
+
+
+@register("s12_centroid_dendrogram", _s12_oracle())
+def s12_centroid_dendrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agglomerative dendrogram over the k-means SKETCH: starting from
+    s5's K clusters, repeatedly merge the two whose representatives are
+    closest (squared L2; the merged cluster keeps the lower-id
+    representative) and report (round, kept, merged, distance, merged
+    size). This is the standard scale recipe for hierarchical
+    clustering — BIRCH/hierarchical-over-kmeans: the corpus only ever
+    pays the flat assignment pass; the hierarchy is algebra on the
+    K-row sketch. The dendrogram's distance column is the knee plot
+    that picks the REAL cluster count k* <= K, and the merge order is
+    the taxonomy browsers show.
+
+    Exactness: pairwise distances are the module's sequential-fold IEEE
+    arithmetic (bit-identical in both engines) computed ONCE over the
+    K(K-1)/2 representative pairs; each merge is an exact
+    (d2, a, b) order statistic; member counts are exact integers summed
+    through merges. The oracle unrolls the same MERGE_ROUNDS steps as
+    MATERIALIZED CTEs (pi2's lesson).
+
+    Scale shape: two corpus-scale jobs only — the broadcast-centroid
+    assignment (s5's plan) reduced to K member counts, and the K² pair
+    table (bounded by K, not the corpus). The merge loop runs on K+28
+    collected rows driver-side (the Bloom-literal bounded-collect
+    precedent: at ANY corpus size this is K(K+1)/2 numbers — what a
+    coordinator holds anyway)."""
+    sizes = {
+        r["centroid_id"]: r["n"]
+        for r in s5_kmeans_assign(spark, sf_dir)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    }
+    corpus = _corpus(spark, sf_dir)
+    cent = corpus.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    pair_rows = (
+        a.join(b, F.col("a.cid") < F.col("b.cid"))
+        .select(
+            F.col("a.cid").alias("a"),
+            F.col("b.cid").alias("b"),
+            _d2(F.col("a.cv"), F.col("b.cv")).alias("d2"),
+        )
+        .collect()
+    )
+    active = {cid: int(n) for cid, n in sizes.items()}
+    pairs = [(r["d2"], r["a"], r["b"]) for r in pair_rows]
+    out = []
+    for rnd in range(1, MERGE_ROUNDS + 1):
+        d2, ka, kb = min(
+            (p for p in pairs if p[1] in active and p[2] in active)
+        )
+        active[ka] += active.pop(kb)
+        out.append((rnd, int(ka), int(kb), float(d2), int(active[ka])))
+    return spark.createDataFrame(
+        out,
+        "round int, rep_kept long, rep_merged long, d2 double,"
+        " n_members long",
+    )
