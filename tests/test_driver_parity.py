@@ -201,6 +201,8 @@ STRICT_VALUE_QUERIES = [
     "d15_ngram_decontaminate",
     "g11_label_propagation",
     "g12_modularity",
+    "t27_bpe_learn",
+    "s12_centroid_dendrogram",
 ]
 
 

@@ -272,3 +272,116 @@ def test_g12_modularity_identities(spark):
         assert 0 <= r.intra_edges <= m
         expect = (4 * m * r.intra_edges - r.degree_sum**2) / (4 * m * m)
         assert abs(r.contribution - expect) < 1e-15
+
+
+# ---------------------------------------------------------------------------
+# t27 — BPE learning
+# ---------------------------------------------------------------------------
+
+
+def test_t27_compression_trajectory(spark):
+    """Merges must strictly help: every round's merged pair was applied
+    at least once (n_spellings_changed >= 1), total weighted symbols
+    strictly decrease, and each round's decrease equals at most the
+    weighted count at selection (each application removes exactly one
+    symbol, and overlap suppression can only reduce applications)."""
+    from bc_proj3_spark.operators.textstats import t27_bpe_learn
+
+    rows = sorted(t27_bpe_learn(spark, SF_DIR).collect(), key=lambda r: r.round)
+    spark.catalog.clearCache()
+    assert len(rows) == 4
+    prev_total = None
+    for r in rows:
+        assert r.n_spellings_changed >= 1
+        assert " " in r.merged_pair
+        if prev_total is not None:
+            shrink = prev_total - r.total_symbols
+            assert 0 < shrink <= r.weighted_count
+        prev_total = r.total_symbols
+    # later merges never beat an earlier round's count at ITS selection
+    # time on the same corpus trajectory (greedy argmax property holds
+    # loosely: counts can interleave, but round 1 is the global max of
+    # the initial pair distribution — nothing later can exceed it)
+    assert all(rows[0].weighted_count >= r.weighted_count for r in rows[1:])
+
+
+def test_t27_greedy_nonoverlap_on_runs(spark):
+    """The parity rule on a run of identical symbols: merging (x, x)
+    over 'xxxx' (spelled x x x x) must produce [xx, xx], and over
+    'xxx' must produce [xx, x] — the classic BPE non-overlap cases,
+    exercised through the REAL corpus machinery via a synthetic
+    documents table where those words dominate."""
+    from bc_proj3_spark.operators.textstats import _bpe_spellings
+    import tempfile
+
+    docs = [
+        (1, "xxxx xxxx xxxx xxx xxx", "en", "t", 1),
+        (2, "xxxx xxx zzq", "en", "t", 1),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(f"{tmp}/documents.parquet")
+        frames, stats = _bpe_spellings(spark, tmp)
+        best1 = stats[0].collect()[0]
+        v1 = {r.w: r.s for r in frames[1].collect()}
+    spark.catalog.clearCache()
+    assert best1["pair"] == "x x"
+    assert v1["xxxx"] == "xx xx"
+    assert v1["xxx"] == "xx x"
+
+
+# ---------------------------------------------------------------------------
+# s12 — centroid dendrogram
+# ---------------------------------------------------------------------------
+
+
+def test_s12_dendrogram_accounting(spark):
+    """Member counts are conserved through merges (final kept-cluster
+    sizes sum toward the corpus), every merged rep disappears from
+    later rounds, kept < merged never violates the lower-id rule, and
+    d2 >= 0."""
+    from bc_proj3_spark.operators.similarity import (
+        KMEANS_K,
+        s12_centroid_dendrogram,
+        s5_kmeans_assign,
+    )
+
+    rows = sorted(
+        s12_centroid_dendrogram(spark, SF_DIR).collect(),
+        key=lambda r: r.round,
+    )
+    spark.catalog.clearCache()
+    n_corpus = s5_kmeans_assign(spark, SF_DIR).count()
+    spark.catalog.clearCache()
+    assert len(rows) == 4
+    seen_merged = set()
+    sizes = {}
+    for r in rows:
+        assert r.d2 >= 0.0
+        assert r.rep_kept < r.rep_merged
+        assert r.rep_merged not in seen_merged
+        assert r.rep_kept not in seen_merged
+        seen_merged.add(r.rep_merged)
+        sizes[r.rep_kept] = r.n_members
+        assert 0 < r.n_members <= n_corpus
+    # after 4 merges the 4 surviving clusters partition the corpus:
+    # kept sizes plus untouched seeds' sizes must total n_corpus
+    from bc_proj3_spark.operators.similarity import s5_kmeans_assign as s5
+    from pyspark.sql import functions as FF
+
+    seed_sizes = {
+        x["centroid_id"]: x["n"]
+        for x in s5(spark, SF_DIR)
+        .groupBy("centroid_id")
+        .agg(FF.count(FF.lit(1)).alias("n"))
+        .collect()
+    }
+    spark.catalog.clearCache()
+    survivors = set(seed_sizes) - seen_merged
+    total = sum(
+        sizes.get(c, seed_sizes[c]) for c in survivors
+    )
+    assert total == n_corpus

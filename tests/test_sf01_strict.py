@@ -89,6 +89,8 @@ SF01_QUERIES = [
     "g11_label_propagation",  # iterative fixpoint (synchronous argmax rounds)
     "g12_modularity",  # rides g11's trajectory + exact-int contribution ratios
     "hs3_ndcg_eval",  # double-heavy cosine rankings on both funnel sides
+    "t27_bpe_learn",  # iterative fixpoint (greedy merge trajectory)
+    "s12_centroid_dendrogram",  # order statistics over IEEE pair distances
 ]
 
 
