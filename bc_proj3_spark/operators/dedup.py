@@ -1664,14 +1664,28 @@ def d15_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fanout(table(spark, sf_dir, "documents"))
     bucket = hash60(_seeded("split", F.col("doc_id").cast("string"))) % 100
+    # Explode positions FIRST (d14's shape), then assemble each gram
+    # from the carried token array: building grams inside a transform()
+    # over the inlined split() re-evaluates the regex tokenizer once
+    # per element_at — measured 7× slower at sf0.1 (34 s → 4.8 s). The
+    # per-doc DISTINCT runs on the gram STRING (not the 60-bit key) so
+    # hash collisions cannot collapse two distinct grams — byte-for-
+    # byte the oracle's SELECT DISTINCT doc_id, s.
+    gram = F.concat_ws(
+        " ",
+        *[F.element_at(F.col("w"), F.col("i") + j) for j in range(DECON_N)],
+    )
+    idx = F.when(
+        F.size("w") >= DECON_N,
+        F.sequence(F.lit(1), F.size("w") - (DECON_N - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     g = (
         docs.select(
-            "doc_id",
-            bucket.alias("bucket"),
-            F.explode(
-                F.array_distinct(shingles(F.col("text"), DECON_N))
-            ).alias("s"),
+            "doc_id", bucket.alias("bucket"), _words(F.col("text")).alias("w")
         )
+        .select("doc_id", "bucket", "w", F.explode(idx).alias("i"))
+        .select("doc_id", "bucket", gram.alias("s"))
+        .distinct()
         .select("doc_id", "bucket", hash60(F.col("s")).alias("k"))
         .persist()
     )

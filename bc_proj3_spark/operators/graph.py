@@ -1492,7 +1492,7 @@ def g10_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 # g11/g12 — label-propagation communities + their modularity
 # ---------------------------------------------------------------------------
 
-LP_ROUNDS = 4  # synchronous propagation rounds (unrolled, pi2's lesson)
+LP_ROUNDS = 3  # synchronous propagation rounds (unrolled, pi2's lesson)
 LP_MIN_SUPPORT = 2  # the family's co-purchase edge sparsifier
 MOD_TOP_K = 15  # communities reported by g12 (size desc, label asc)
 
@@ -1635,19 +1635,23 @@ def g11_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
-    labels = _lp_iterate(directed)
-    census = [(0, labels[0].count(), 0)]
-    for i in range(1, LP_ROUNDS + 1):
-        cur, prev = labels[i], labels[i - 1]
-        n_comm = cur.select("lab").distinct().count()
-        moved = (
-            cur.join(
-                prev.withColumnRenamed("lab", "plab"), "node"
+    with _iter_shuffle(spark):
+        labels = _lp_iterate(directed)
+        census = [(0, labels[0].count(), 0)]
+        for i in range(1, LP_ROUNDS + 1):
+            cur, prev = labels[i], labels[i - 1]
+            # one job per round: both census quantities in one aggregate
+            row = (
+                cur.join(prev.withColumnRenamed("lab", "plab"), "node")
+                .agg(
+                    F.count_distinct("lab").alias("nc"),
+                    F.sum(
+                        (F.col("lab") != F.col("plab")).cast("int")
+                    ).alias("mv"),
+                )
+                .collect()[0]
             )
-            .filter(F.col("lab") != F.col("plab"))
-            .count()
-        )
-        census.append((i, n_comm, moved))
+            census.append((i, row["nc"], row["mv"]))
     return spark.createDataFrame(
         [(int(r), int(c), int(m)) for r, c, m in census],
         "round int, n_communities long, n_moved long",
@@ -1723,7 +1727,8 @@ def g12_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
-    final = _lp_iterate(directed)[-1]
+    with _iter_shuffle(spark):
+        final = _lp_iterate(directed)[-1]
     m = edges.count()
     deg = directed.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
