@@ -2312,3 +2312,180 @@ def a17_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("double") / (100 * F.col("n")).cast("double")
         ).alias("winsorized_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a18 — Theil inequality decomposition (within + between segments)
+# ---------------------------------------------------------------------------
+
+_A18_ORACLE = """
+WITH spend AS (
+  SELECT c_mktsegment AS seg, o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY seg, o_custkey
+),
+pv AS (SELECT seg, v, COUNT(*) AS cnt FROM spend GROUP BY seg, v),
+lt AS (
+  SELECT seg, v, cnt,
+         CAST(ROUND(LN(CAST(v AS DOUBLE)), 9) AS DECIMAL(13,9)) AS lnv
+  FROM pv
+),
+seg AS (
+  SELECT seg,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(v * cnt) AS BIGINT) AS s,
+         SUM(CAST(v * cnt AS DECIMAL(20,0)) * lnv) AS l
+  FROM lt GROUP BY seg
+),
+segm AS (
+  SELECT seg, n, s, l,
+         CAST(s AS DOUBLE) / n AS mean_cents
+  FROM seg
+),
+segl AS (
+  SELECT *, CAST(ROUND(LN(mean_cents), 9) AS DECIMAL(13,9)) AS lnmean
+  FROM segm
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_t, CAST(SUM(s) AS BIGINT) AS s_t,
+         SUM(l) AS l_t
+  FROM seg
+),
+totm AS (
+  SELECT n_t, s_t, l_t, CAST(s_t AS DOUBLE) / n_t AS mean_t FROM tot
+),
+totl AS (
+  SELECT *, CAST(ROUND(LN(mean_t), 9) AS DECIMAL(13,9)) AS lnmean_t
+  FROM totm
+),
+btw AS (
+  SELECT CAST(SUM(CAST(g.s AS DECIMAL(20,0)) * (g.lnmean - t.lnmean_t))
+              AS DOUBLE) / MAX(CAST(t.s_t AS DOUBLE)) AS theil_between
+  FROM segl g CROSS JOIN totl t
+),
+ttot AS (
+  SELECT CAST(t.l_t - CAST(t.s_t AS DECIMAL(20,0)) * t.lnmean_t AS DOUBLE)
+           / (CAST(t.n_t AS DOUBLE) * t.mean_t) AS theil_total
+  FROM totl t
+)
+SELECT g.seg AS c_mktsegment,
+       g.n AS n_customers,
+       CAST(g.s AS DOUBLE) / CAST(t.s_t AS DOUBLE) AS spend_share,
+       CAST(g.l - CAST(g.s AS DECIMAL(20,0)) * g.lnmean AS DOUBLE)
+         / (CAST(g.n AS DOUBLE) * g.mean_cents) AS theil_within,
+       (SELECT theil_between FROM btw) AS theil_between,
+       (SELECT theil_total FROM ttot) AS theil_total
+FROM segl g CROSS JOIN totl t
+"""
+
+
+@register("a18_theil_decomposition", _A18_ORACLE)
+def a18_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality decomposition of per-customer lifetime spend:
+    per segment its population, spend share and WITHIN-segment Theil
+    index, plus the BETWEEN-segment component and the pooled total on
+    every row. Theil is the inequality measure a16's Gini cannot
+    replace precisely because it decomposes additively — total =
+    Σ share_g·T_g + T_between — so it answers "is spend concentration
+    a property of segments or of customers WITHIN segments?", the
+    question that decides whether assortment/pricing interventions
+    target segments or individuals. (The identity holds exactly in
+    real arithmetic; the 9-dp log lattice perturbs it below 1e-6 —
+    pinned in tests.)
+
+    Exactness: spend collapses to the distinct-cents table (a13/a16
+    discipline); each distinct value contributes cnt·v·ROUND(LN(v),9)
+    with the log on the t21 lattice and the product carried in exact
+    DECIMAL — sums are order-free on both engines. Means are single
+    IEEE divisions of exact integers; each Theil value is ONE fixed
+    expression over those identical operands. The between-component
+    sums 9-dp lattice DIFFERENCES in decimal (never a float sum over
+    segments). In the standing sf0.1 strict gate (log-lattice class).
+
+    Scale shape: identical to a16's head — one map-side-combinable
+    per-customer roll-up sharing its shuffle with the customer join,
+    collapsed to (seg, distinct-cents) counts; everything after is
+    bounded by distinct spend values, and the 5-row segment table
+    broadcasts. No window, no sort, no collect."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("v")
+        )
+    )
+    lnv = F.round(F.log(F.col("v").cast("double")), 9).cast("decimal(13,9)")
+    lt = spend.groupBy("seg", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    seg = lt.groupBy("seg").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("v") * F.col("cnt")).cast("bigint").alias("s"),
+        F.sum(
+            (F.col("v") * F.col("cnt")).cast("decimal(20,0)") * lnv
+        ).alias("l"),
+    )
+    segl = seg.select(
+        "seg", "n", "s", "l",
+        (F.col("s").cast("double") / F.col("n")).alias("mean_cents"),
+    ).withColumn(
+        "lnmean",
+        F.round(F.log(F.col("mean_cents")), 9).cast("decimal(13,9)"),
+    ).localCheckpoint(eager=True)
+    totl = (
+        segl.agg(
+            F.sum("n").cast("bigint").alias("n_t"),
+            F.sum("s").cast("bigint").alias("s_t"),
+            F.sum("l").alias("l_t"),
+        )
+        .select(
+            "n_t", "s_t", "l_t",
+            (F.col("s_t").cast("double") / F.col("n_t")).alias("mean_t"),
+        )
+        .withColumn(
+            "lnmean_t",
+            F.round(F.log(F.col("mean_t")), 9).cast("decimal(13,9)"),
+        )
+    )
+    j = segl.crossJoin(F.broadcast(totl))
+    btw = j.agg(
+        (
+            F.sum(
+                F.col("s").cast("decimal(20,0)")
+                * (F.col("lnmean") - F.col("lnmean_t"))
+            ).cast("double")
+            / F.max(F.col("s_t").cast("double"))
+        ).alias("theil_between")
+    )
+    return (
+        j.crossJoin(F.broadcast(btw))
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            F.col("n").alias("n_customers"),
+            (F.col("s").cast("double") / F.col("s_t").cast("double")).alias(
+                "spend_share"
+            ),
+            (
+                (
+                    F.col("l")
+                    - F.col("s").cast("decimal(20,0)") * F.col("lnmean")
+                ).cast("double")
+                / (F.col("n").cast("double") * F.col("mean_cents"))
+            ).alias("theil_within"),
+            "theil_between",
+            (
+                (
+                    F.col("l_t")
+                    - F.col("s_t").cast("decimal(20,0)")
+                    * F.col("lnmean_t")
+                ).cast("double")
+                / (F.col("n_t").cast("double") * F.col("mean_t"))
+            ).alias("theil_total"),
+        )
+    )

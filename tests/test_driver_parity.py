@@ -203,6 +203,7 @@ STRICT_VALUE_QUERIES = [
     "g12_modularity",
     "t27_bpe_learn",
     "s12_centroid_dendrogram",
+    "a18_theil_decomposition",
 ]
 
 

@@ -385,3 +385,32 @@ def test_s12_dendrogram_accounting(spark):
         sizes.get(c, seed_sizes[c]) for c in survivors
     )
     assert total == n_corpus
+
+
+# ---------------------------------------------------------------------------
+# a18 — Theil decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_a18_decomposition_identity(spark):
+    """The whole point of Theil over Gini: total inequality must equal
+    within + between. Exactly true in real arithmetic; the 9-dp log
+    lattice perturbs below 1e-6. Also: every component non-negative
+    (spend is a positive distribution), spend shares sum to 1."""
+    from bc_proj3_spark.plans.aggfuncs import a18_theil_decomposition
+
+    rows = a18_theil_decomposition(spark, SF_DIR).collect()
+    spark.catalog.clearCache()
+    assert rows
+    t_between = rows[0].theil_between
+    t_total = rows[0].theil_total
+    assert all(
+        r.theil_between == t_between and r.theil_total == t_total
+        for r in rows
+    )
+    assert t_total >= 0 and t_between >= -1e-9
+    assert abs(sum(r.spend_share for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert r.theil_within >= -1e-9
+    within_mix = sum(r.spend_share * r.theil_within for r in rows)
+    assert abs(t_total - (within_mix + t_between)) < 1e-6

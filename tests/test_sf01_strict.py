@@ -91,6 +91,7 @@ SF01_QUERIES = [
     "hs3_ndcg_eval",  # double-heavy cosine rankings on both funnel sides
     "t27_bpe_learn",  # iterative fixpoint (greedy merge trajectory)
     "s12_centroid_dendrogram",  # order statistics over IEEE pair distances
+    "a18_theil_decomposition",  # log-lattice decimal sums (t21 class)
 ]
 
 
