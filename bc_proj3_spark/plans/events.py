@@ -2809,3 +2809,124 @@ def e24_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").cast("bigint").alias("pi_scaled"),
         (F.col("p").cast("double") / MARKOV_SCALE).alias("pi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e25 — difference-in-differences uplift readout
+# ---------------------------------------------------------------------------
+
+_E25_ORACLE = """
+WITH base AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         (('0x' || substr(md5(concat_ws(':', 'did',
+             CAST(user_id AS VARCHAR))), 1, 15))::BIGINT) % 2 AS treated
+  FROM events
+),
+span AS (
+  SELECT (MIN(day) + MAX(day) + 1) // 2 AS cutover FROM base
+),
+cells AS (
+  SELECT treated,
+         CASE WHEN day >= (SELECT cutover FROM span) THEN 1 ELSE 0 END
+           AS post,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM base GROUP BY 1, 2
+),
+means AS (
+  SELECT treated, post, n_events, sum_cents,
+         CAST(sum_cents AS DOUBLE) / n_events AS mean_cents
+  FROM cells
+),
+did AS (
+  SELECT
+    (MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_cents END)
+     - MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_cents END))
+    - (MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_cents END)
+       - MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_cents END))
+      AS did_cents
+  FROM means
+)
+SELECT CAST(treated AS INTEGER) AS treated, CAST(post AS INTEGER) AS post,
+       n_events, sum_cents, mean_cents,
+       (SELECT did_cents FROM did) AS did_cents
+FROM means
+"""
+
+
+@register("e25_did_uplift", _E25_ORACLE)
+def e25_did_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences uplift readout: users are hash-
+    assigned to treatment/control (stat6's seeded-coin discipline — a
+    user's arm never changes as data grows), the calendar is split at
+    the observation midpoint, and the 2×2 (arm × period) cell means of
+    event value yield DiD = (T_post − T_pre) − (C_post − C_pre) — the
+    causal-baseline estimate that subtracts out any secular trend both
+    arms share. Completes the experimentation family: e14 assigns
+    variants, stat2/5/6/7 test differences, e25 is the panel-data
+    readout every launch review wants when a clean A/B wasn't run.
+
+    Exactness: arm and period are exact integer hashes/divisions on
+    the day lattice (e22's integer-hour lesson, applied to days); cell
+    sums are exact cents; each mean is ONE IEEE division and DiD is a
+    fixed subtraction chain over those four identical doubles.
+
+    Scale shape: ONE events scan → map-side-combinable 4-cell
+    aggregate (the 1-row calendar span rides a broadcast scalar); the
+    DiD scalar broadcasts back onto 4 rows. Nothing user-count-sized
+    ever materializes — at 100 TB this is scan + combine, the cheapest
+    possible experiment readout."""
+    from bc_proj3_spark.functions.hashing import hash60
+
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        (
+            hash60(
+                F.concat_ws(":", F.lit("did"), F.col("user_id").cast("string"))
+            )
+            % 2
+        ).alias("treated"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    span = base.agg(
+        F.expr("(min(day) + max(day) + 1) div 2").alias("cutover")
+    )
+    cells = (
+        base.crossJoin(F.broadcast(span))
+        .groupBy(
+            "treated",
+            F.when(F.col("day") >= F.col("cutover"), 1)
+            .otherwise(0)
+            .alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            F.col("treated").cast("int").alias("treated"),
+            F.col("post").cast("int").alias("post"),
+            "n_events",
+            "sum_cents",
+            (F.col("sum_cents").cast("double") / F.col("n_events")).alias(
+                "mean_cents"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    def cell(t: int, p: int):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col("mean_cents"),
+            )
+        )
+    did = cells.agg(
+        ((cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))).alias(
+            "did_cents"
+        )
+    )
+    return cells.crossJoin(F.broadcast(did))

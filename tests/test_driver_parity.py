@@ -204,6 +204,7 @@ STRICT_VALUE_QUERIES = [
     "t27_bpe_learn",
     "s12_centroid_dendrogram",
     "a18_theil_decomposition",
+    "e25_did_uplift",
 ]
 
 

@@ -414,3 +414,29 @@ def test_a18_decomposition_identity(spark):
         assert r.theil_within >= -1e-9
     within_mix = sum(r.spend_share * r.theil_within for r in rows)
     assert abs(t_total - (within_mix + t_between)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# e25 — difference-in-differences
+# ---------------------------------------------------------------------------
+
+
+def test_e25_did_identity_and_cells(spark):
+    """Exactly the 2×2 cells exist, every row carries the same DiD,
+    and DiD recomputes from the cells' own exact integers; cell
+    populations are non-trivial on the real corpus (the hash coin and
+    the midpoint split both roughly bisect)."""
+    from bc_proj3_spark.plans.events import e25_did_uplift
+
+    rows = e25_did_uplift(spark, SF_DIR).collect()
+    spark.catalog.clearCache()
+    cells = {(r.treated, r.post): r for r in rows}
+    assert set(cells) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    means = {k: v.sum_cents / v.n_events for k, v in cells.items()}
+    expect = (means[1, 1] - means[1, 0]) - (means[0, 1] - means[0, 0])
+    for r in rows:
+        assert abs(r.did_cents - expect) < 1e-9
+        assert r.n_events > 0
+    n_total = sum(r.n_events for r in rows)
+    for r in rows:
+        assert r.n_events > n_total // 20  # no degenerate cell
