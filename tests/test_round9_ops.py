@@ -440,3 +440,127 @@ def test_e25_did_identity_and_cells(spark):
     n_total = sum(r.n_events for r in rows)
     for r in rows:
         assert r.n_events > n_total // 20  # no degenerate cell
+
+
+# ---------------------------------------------------------------------------
+# adversarial scale: hot boilerplate key through d14/d15; d14 under spill
+# ---------------------------------------------------------------------------
+
+
+def test_d14_d15_exact_on_hotkey_boilerplate_corpus(spark):
+    """A boilerplate sentence shared by 30% of a 2000-doc corpus (the
+    license-header skew case): both span-coverage and the
+    decontamination report must stay oracle-exact — the hot gram fans
+    out as a 1:1 semi-join probe, never a pair table, so skew cannot
+    blow the plan up (asserted by the queries simply completing with
+    exact values)."""
+    import tempfile
+
+    import duckdb
+
+    from bc_proj3_spark import registry
+    from tests.test_driver_parity import strict_digest
+
+    boiler = "standard license header text applies to this file entirely"
+    docs = []
+    for i in range(1, 2001):
+        body = f"uniq{i}a uniq{i}b uniq{i}c uniq{i}d uniq{i}e uniq{i}f"
+        text = (boiler + " " + body) if i % 10 < 3 else body
+        docs.append((i, text, "en", "t", len(text)))
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(f"{tmp}/documents.parquet")
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+            )
+            for name in ("d14_span_coverage", "d15_ngram_decontaminate"):
+                spec = registry.all_queries()[name]
+                df = spec.builder(spark, tmp)
+                rows = [tuple(r) for r in df.collect()]
+                res = con.execute(spec.oracle)
+                ocols = [d[0] for d in res.description]
+                orows = [tuple(r) for r in res.fetchall()]
+                assert len(rows) == len(orows), name
+                assert strict_digest(list(df.columns), rows) == strict_digest(
+                    ocols, orows
+                ), f"{name} diverged on the hot-key corpus"
+                spark.catalog.clearCache()
+        finally:
+            con.close()
+
+
+def test_d14_identical_values_under_spill_pressure():
+    """d14's per-doc LAG window + gram semi-join must stay
+    value-identical when the session is squeezed to 2 shuffle
+    partitions with floor-level force-spill thresholds (the d13/w3
+    spill-gate discipline applied to the round's new window+semi-join
+    path)."""
+    import json
+    import subprocess
+    import sys
+
+    prog = """
+import json, sys
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("spill-sim-d14")
+    .config("spark.ui.enabled", "false")
+    .config("spark.shuffle.spill.numElementsForceSpillThreshold", "5000")
+    .config("spark.sql.windowExecBufferSpillThreshold", "128")
+    .getOrCreate()
+)
+import __spark_entry__ as E
+from tests.test_driver_parity import strict_digest
+df = E.queries()["d14_span_coverage"](spark, sys.argv[1])
+rows = [tuple(r) for r in df.collect()]
+print("SPILL_JSON:" + json.dumps([len(rows), strict_digest(list(df.columns), rows)]))
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env["SPARK_GRAFT_SHUFFLE"] = "2"
+    proc = subprocess.run(
+        [sys.executable, "-c", prog, SF_DIR],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd="/root/repo",
+    )
+    payload = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("SPILL_JSON:"):
+            payload = json.loads(line[len("SPILL_JSON:"):])
+    assert payload is not None, (
+        f"spill run produced no result (rc={proc.returncode})\n"
+        f"stderr tail: {proc.stderr[-1500:]}"
+    )
+    n_rows, digest = payload
+
+    import duckdb
+
+    from bc_proj3_spark import registry
+    from tests.test_driver_parity import strict_digest
+
+    spec = registry.all_queries()["d14_span_coverage"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        res = con.execute(spec.oracle)
+        ocols = [d[0] for d in res.description]
+        orows = [tuple(r) for r in res.fetchall()]
+    finally:
+        con.close()
+    assert n_rows == len(orows)
+    assert digest == strict_digest(ocols, orows), (
+        "d14 values diverged under spill pressure"
+    )
