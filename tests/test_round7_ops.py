@@ -302,6 +302,13 @@ AQE_OFF_QUERIES = [
     # 16-way conditional-sum fan-out
     "d13_hamming_neardup_pairs",
     "fe4_feature_hashing",
+    # r9: the positional-gram window path (span coverage), the
+    # split-bucketed semi-join probe (decontamination), and the
+    # synchronous argmax rounds (label propagation) — values must be
+    # identical with AQE off and an odd width
+    "d14_span_coverage",
+    "d15_ngram_decontaminate",
+    "g11_label_propagation",
 ]
 
 
