@@ -959,3 +959,87 @@ def st11_stream_countsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# st12 — streaming ingest decontamination (stream-static ANTI join)
+# ---------------------------------------------------------------------------
+
+def _st12_oracle() -> str:
+    from bc_proj3_spark.functions.hashing import sql_hash60
+    from bc_proj3_spark.operators.sampling import TRAIN_PCT, _sql_seeded
+
+    return f"""
+WITH evalfp AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents
+  WHERE {sql_hash60(_sql_seeded('split', 'CAST(doc_id AS VARCHAR)'))} % 100
+        >= {TRAIN_PCT}
+)
+SELECT lang, source,
+       COUNT(*) AS n_admitted,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_admitted
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM evalfp WHERE evalfp.fp = md5(d.text))
+GROUP BY lang, source
+"""
+
+
+@register("st12_stream_decontaminate", _st12_oracle())
+def st12_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination AT INGEST: the document stream is admitted
+    through a stream-static LEFT ANTI join against the eval-set
+    content fingerprints (sp1's val/test docs, d7's exact-hash
+    semantics) and the admitted volume is rolled up per (lang, source).
+    This is the shape that keeps a training corpus clean CONTINUOUSLY —
+    batch decontamination (d7/d15) audits what already landed; the
+    anti-join stream refuses contaminated pages as they arrive, so the
+    next snapshot needs no repair. Anti joins are the one join mode
+    where streaming semantics are subtle (a static match must suppress
+    the row, not enrich it); the drain is held to exact value equality
+    with the batch NOT EXISTS oracle.
+
+    Scale shape: the static side is the (distinct) eval fingerprint
+    set — bounded by the eval split (~10 % of doc COUNT but only 16
+    bytes each), gated-broadcast per micro-batch; the stream side is
+    stateless (no watermark, no join state — every decision is local
+    to the arriving row), so ingest throughput is scan-speed. The
+    roll-up runs in complete mode over a (lang × source)-bounded
+    matrix."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    from bc_proj3_spark.functions.hashing import hash60
+    from bc_proj3_spark.operators.sampling import TRAIN_PCT, _seeded
+
+    docs = table(spark, sf_dir, "documents")
+    evalfp = (
+        docs.filter(
+            hash60(_seeded("split", F.col("doc_id").cast("string"))) % 100
+            >= TRAIN_PCT
+        )
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    admitted = src.withColumn("fp", F.md5("text")).join(
+        gated_broadcast(evalfp), "fp", "left_anti"
+    )
+    agg = admitted.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_admitted"),
+        F.sum("n_chars").cast("bigint").alias("chars_admitted"),
+    )
+    sink = f"st12_sink_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="st12-ckpt-") as ckpt, \
+            _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(sink)

@@ -205,6 +205,7 @@ STRICT_VALUE_QUERIES = [
     "s12_centroid_dendrogram",
     "a18_theil_decomposition",
     "e25_did_uplift",
+    "st12_stream_decontaminate",
 ]
 
 

@@ -564,3 +564,28 @@ print("SPILL_JSON:" + json.dumps([len(rows), strict_digest(list(df.columns), row
     assert digest == strict_digest(ocols, orows), (
         "d14 values diverged under spill pressure"
     )
+
+
+# ---------------------------------------------------------------------------
+# st12 — streaming decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_st12_admits_exactly_the_clean_set(spark):
+    """The streamed anti-join must admit exactly the docs whose
+    fingerprint is not an eval fingerprint: totals reconcile against
+    batch-side counts (admitted <= corpus; every eval doc rejected,
+    since each matches its own fingerprint)."""
+    from bc_proj3_spark.streaming.incremental import (
+        st12_stream_decontaminate,
+    )
+    from bc_proj3_spark.operators.sampling import sp1_split_assign
+
+    rows = st12_stream_decontaminate(spark, SF_DIR).collect()
+    n_admitted = sum(r.n_admitted for r in rows)
+    spark.catalog.clearCache()
+    splits = sp1_split_assign(spark, SF_DIR).collect()
+    n_total = len(splits)
+    n_eval = sum(1 for r in splits if r.split != "train")
+    spark.catalog.clearCache()
+    assert 0 < n_admitted <= n_total - n_eval
