@@ -1556,11 +1556,16 @@ def _g11_oracle() -> str:
     )
 
 
-def _lp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lp_edges(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    """(undirected support-filtered edges, symmetrized directed view) —
+    the directed frame is built here so both g11 and g12 share one
+    symmetrization rule."""
     li = table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     a, b = items.alias("a"), items.alias("b")
-    return (
+    edges = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -1574,6 +1579,10 @@ def _lp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .localCheckpoint(eager=True)
     )
+    directed = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    return edges, directed
 
 
 def _lp_iterate(directed: DataFrame) -> list[DataFrame]:
@@ -1631,10 +1640,7 @@ def g11_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed per round (cc-family O(1)-lineage discipline);
     the census rides those bounded per-round jobs and assembles
     driver-side (LP_ROUNDS+1 rows of three ints, g6's precedent)."""
-    edges = _lp_edges(spark, sf_dir)
-    directed = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    edges, directed = _lp_edges(spark, sf_dir)
     with _iter_shuffle(spark):
         labels = _lp_iterate(directed)
         census = [(0, labels[0].count(), 0)]
@@ -1651,7 +1657,7 @@ def g11_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .collect()[0]
             )
-            census.append((i, row["nc"], row["mv"]))
+            census.append((i, row["nc"], row["mv"] or 0))
     return spark.createDataFrame(
         [(int(r), int(c), int(m)) for r, c, m in census],
         "round int, n_communities long, n_moved long",
@@ -1723,10 +1729,7 @@ def g12_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     to count intra edges — all partitioned on node/label keys; the
     final top-k compiles to TakeOrderedAndProject. Nothing
     community-count-sized is ever collected or broadcast."""
-    edges = _lp_edges(spark, sf_dir)
-    directed = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    edges, directed = _lp_edges(spark, sf_dir)
     with _iter_shuffle(spark):
         final = _lp_iterate(directed)[-1]
     m = edges.count()

@@ -1751,9 +1751,15 @@ def s12_centroid_dendrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = [(r["d2"], r["a"], r["b"]) for r in pair_rows]
     out = []
     for rnd in range(1, MERGE_ROUNDS + 1):
-        d2, ka, kb = min(
-            (p for p in pairs if p[1] in active and p[2] in active)
-        )
+        eligible = [p for p in pairs if p[1] in active and p[2] in active]
+        if not eligible:
+            # degenerate sketch (< 2 active clusters): the oracle's
+            # scalar subqueries go NULL and its active set collapses —
+            # mirror both instead of crashing on min() of empty
+            active = {}
+            out.append((rnd, None, None, None, None))
+            continue
+        d2, ka, kb = min(eligible)
         active[ka] += active.pop(kb)
         out.append((rnd, int(ka), int(kb), float(d2), int(active[ka])))
     return spark.createDataFrame(

@@ -1980,23 +1980,37 @@ def t27_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames, stats = _bpe_spellings(spark, sf_dir)
     out_rows = []
     for r in range(1, BPE_ROUNDS + 1):
-        best = stats[r - 1].collect()[0]
-        changed = (
+        best_rows = stats[r - 1].collect()
+        # degenerate corpus (empty vocabulary): mirror the oracle's
+        # NULL-pair rows instead of crashing on the empty winner frame
+        if not best_rows:
+            out_rows.append((r, None, None, 0, None))
+            continue
+        best = best_rows[0]
+        # one job per round: spelling-change count and the weighted
+        # symbol total ride the same 1:1 vocab join
+        stat = (
             frames[r]
             .alias("n")
             .join(frames[r - 1].alias("o"), "w")
-            .filter(F.col("n.s") != F.col("o.s"))
-            .count()
-        )
-        total = (
-            frames[r]
-            .select(
-                F.sum(F.col("freq") * F.size(F.split("s", " "))).alias("t")
+            .agg(
+                F.sum(
+                    (F.col("n.s") != F.col("o.s")).cast("int")
+                ).alias("changed"),
+                F.sum(
+                    F.col("n.freq") * F.size(F.split(F.col("n.s"), " "))
+                ).alias("total"),
             )
-            .collect()[0]["t"]
+            .collect()[0]
         )
         out_rows.append(
-            (r, best["pair"], int(best["cnt"]), int(changed), int(total))
+            (
+                r,
+                best["pair"],
+                int(best["cnt"]),
+                int(stat["changed"]),
+                int(stat["total"]),
+            )
         )
     return spark.createDataFrame(
         out_rows,

@@ -2815,13 +2815,17 @@ def e24_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # e25 — difference-in-differences uplift readout
 # ---------------------------------------------------------------------------
 
-_E25_ORACLE = """
+from bc_proj3_spark.functions.hashing import sql_hash60 as _sql_h60_e25
+from bc_proj3_spark.operators.sampling import _sql_seeded as _sql_sd_e25
+
+treated_sql = _sql_h60_e25(_sql_sd_e25("did", "CAST(user_id AS VARCHAR)"))
+
+_E25_ORACLE = f"""
 WITH base AS (
   SELECT user_id,
          epoch_us(ts) // 86400000000 AS day,
          CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
-         (('0x' || substr(md5(concat_ws(':', 'did',
-             CAST(user_id AS VARCHAR))), 1, 15))::BIGINT) % 2 AS treated
+         {treated_sql} % 2 AS treated
   FROM events
 ),
 span AS (
@@ -2879,14 +2883,12 @@ def e25_did_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever materializes — at 100 TB this is scan + combine, the cheapest
     possible experiment readout."""
     from bc_proj3_spark.functions.hashing import hash60
+    from bc_proj3_spark.operators.sampling import _seeded
 
     ev = table(spark, sf_dir, "events")
     base = ev.select(
         (
-            hash60(
-                F.concat_ws(":", F.lit("did"), F.col("user_id").cast("string"))
-            )
-            % 2
+            hash60(_seeded("did", F.col("user_id").cast("string"))) % 2
         ).alias("treated"),
         F.expr("unix_micros(ts) div 86400000000").alias("day"),
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),

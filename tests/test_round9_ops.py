@@ -235,10 +235,7 @@ def test_g11_two_cliques_converge(spark):
         spark.createDataFrame(
             rows, "l_orderkey long, l_partkey long"
         ).write.parquet(f"{tmp}/lineitem.parquet")
-        edges = _lp_edges(spark, tmp)
-        directed = edges.union(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        _edges, directed = _lp_edges(spark, tmp)
         final = _lp_iterate(directed)[-1].collect()
     spark.catalog.clearCache()
     labs = {r.node: r.lab for r in final}
@@ -261,7 +258,7 @@ def test_g12_modularity_identities(spark):
     )
 
     rows = g12_modularity(spark, SF_DIR).collect()
-    m = _lp_edges(spark, SF_DIR).count()
+    m = _lp_edges(spark, SF_DIR)[0].count()
     spark.catalog.clearCache()
     assert rows and m > 0
     qs = {r.modularity for r in rows}
