@@ -119,6 +119,12 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     # cast once to double — the sql2 class the per-alias regex can't
     # see; no float ever enters the accumulation
     ("e23_kaplan_meier", "log_survival"),
+    # DCG: SUM of exact integer grades times compile-time 9-dp decimal
+    # discount LITERALS (no transcendental, no float accumulation),
+    # cast once to double; nDCG divides that identical double by a
+    # shared per-geometry double literal — one IEEE division
+    ("hs3_ndcg_eval", "dcg"),
+    ("hs3_ndcg_eval", "ndcg"),
 }
 
 #: Accumulation forms that are exact without ROUND:

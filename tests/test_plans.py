@@ -80,6 +80,10 @@ _BNLJ_OK = {
     "s11_kcenter_coreset",  # 1-row center broadcasts crossed per round
     "o8_mahalanobis_outliers",  # 1-row moment frame crossed into scoring
     "t26_ngram_coverage",  # 1-row totals frame crossed into the K grid
+    # round-9 additions, same 1-row/K-row-aggregate broadcast shape:
+    "g12_modularity",  # 1-row Q total crossed onto the community table
+    "a18_theil_decomposition",  # 1-row pooled totals + 1-row between term
+    "e25_did_uplift",  # 1-row calendar span + 1-row DiD scalar
 }
 
 #: streaming queries — their builders execute a full streaming job;
