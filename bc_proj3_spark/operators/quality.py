@@ -1807,3 +1807,281 @@ def o8_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d2") > MAHA_T2).cast("bigint").alias("is_outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dq10 — corpus quality-gate ledger (Gopher/C4-style per-rule audit)
+# ---------------------------------------------------------------------------
+
+#: Gate bounds, all evaluated as EXACT integer comparisons (ratios become
+#: cross-multiplications) so both engines agree bit-for-bit. Thresholds
+#: follow the published Gopher/C4 shapes (word-count window, mean-word-
+#: length window, stopword presence, lexical diversity, single-token
+#: dominance), tuned to this corpus's measured distributions so every
+#: rule has real pass/fail variance at sf0.01.
+GATE_MIN_WORDS = 25
+GATE_MAX_WORDS = 100_000
+GATE_MWL_LO2 = 8  # 2*mean_word_length lower bound (mwl >= 4.0)
+GATE_MWL_HI2 = 10  # 2*mean_word_length upper bound (mwl <= 5.0)
+GATE_MIN_STOP = 2  # at least 2 stopword occurrences
+GATE_STOPWORDS = ("the", "a")
+GATE_DIVERSITY_NUM = 2  # 2*n_distinct >= n_words  (>=50 % distinct)
+GATE_DOMINANCE_DEN = 8  # 8*max_token_count <= n_words (<=12.5 % one token)
+
+_DQ10_STOP_IN = ", ".join(f"'{w}'" for w in GATE_STOPWORDS)
+
+_DQ10_ORACLE = f"""
+WITH t AS (
+  SELECT lang, source,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         length(regexp_replace(text, '\\s', '', 'g')) AS n_letters
+  FROM documents
+),
+f AS (
+  SELECT lang, source, n_letters,
+         len(toks) AS n_words,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(toks, x -> x IN ({_DQ10_STOP_IN}))) AS n_stop,
+         (SELECT MAX(cnt) FROM (
+            SELECT COUNT(*) AS cnt FROM unnest(toks) AS u(tok) GROUP BY tok
+          )) AS max_tok
+  FROM t
+),
+g AS (
+  SELECT lang, source,
+    CASE WHEN n_words BETWEEN {GATE_MIN_WORDS} AND {GATE_MAX_WORDS}
+         THEN 1 ELSE 0 END AS p1,
+    CASE WHEN 2 * n_letters BETWEEN {GATE_MWL_LO2} * n_words
+                                AND {GATE_MWL_HI2} * n_words
+         THEN 1 ELSE 0 END AS p2,
+    CASE WHEN n_stop >= {GATE_MIN_STOP} THEN 1 ELSE 0 END AS p3,
+    CASE WHEN {GATE_DIVERSITY_NUM} * n_distinct >= n_words
+         THEN 1 ELSE 0 END AS p4,
+    CASE WHEN {GATE_DOMINANCE_DEN} * max_tok <= n_words
+         THEN 1 ELSE 0 END AS p5
+  FROM f
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p1 * p2 * p3 * p4 * p5) AS BIGINT) AS n_pass,
+       CAST(SUM(1 - p1) AS BIGINT) AS fail_wordcount,
+       CAST(SUM(1 - p2) AS BIGINT) AS fail_wordlen,
+       CAST(SUM(1 - p3) AS BIGINT) AS fail_stopword,
+       CAST(SUM(1 - p4) AS BIGINT) AS fail_diversity,
+       CAST(SUM(1 - p5) AS BIGINT) AS fail_dominance,
+       CAST(SUM(p1 * p2 * p3 * p4 * p5) AS DOUBLE) / COUNT(*) AS pass_rate
+FROM g GROUP BY lang, source
+"""
+
+
+@register("dq10_quality_gates", _DQ10_ORACLE)
+def dq10_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule corpus quality-gate ledger — the Gopher/C4-style audit a
+    pre-training pipeline runs before filtering: for every (lang,
+    source) shard, how many documents pass ALL gates and which specific
+    rule each failure trips (word-count window, mean-word-length
+    window, stopword presence, lexical diversity, single-token
+    dominance). Unlike t2's composite score (one opaque number), the
+    ledger says WHY a shard is being dropped — the number a data-vendor
+    review actually argues about.
+
+    Exactness: every gate is an integer comparison (ratio thresholds
+    are cross-multiplied, e.g. 8*max_tok <= n_words for the 12.5 %
+    dominance cap), so no float boundary exists anywhere; pass_rate is
+    ONE IEEE division of identical integers per group.
+
+    Scale shape: ONE documents scan; every per-doc feature — including
+    the max-token run length, computed by folding the SORTED token
+    array with F.aggregate — is map-side JVM codegen (no explode, no
+    doc-keyed shuffle), so the only exchange is the final (lang,
+    source) aggregate: ~languages x sources rows at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_letters = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+
+    def _run(a: Column, x: Column) -> Column:
+        return F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+
+    max_tok = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            _run(a, x).alias("run"),
+            F.greatest(a["best"], _run(a, x)).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    f = docs.select(
+        "lang",
+        "source",
+        F.size(toks).alias("n_words"),
+        n_letters.alias("n_letters"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(
+            F.filter(toks, lambda x: x.isin(*GATE_STOPWORDS))
+        ).alias("n_stop"),
+        max_tok.alias("max_tok"),
+    )
+
+    def gate(cond: Column) -> Column:
+        return F.when(cond, 1).otherwise(0)
+
+    g = f.select(
+        "lang",
+        "source",
+        gate(
+            F.col("n_words").between(GATE_MIN_WORDS, GATE_MAX_WORDS)
+        ).alias("p1"),
+        gate(
+            (2 * F.col("n_letters")).between(
+                GATE_MWL_LO2 * F.col("n_words"),
+                GATE_MWL_HI2 * F.col("n_words"),
+            )
+        ).alias("p2"),
+        gate(F.col("n_stop") >= GATE_MIN_STOP).alias("p3"),
+        gate(
+            GATE_DIVERSITY_NUM * F.col("n_distinct") >= F.col("n_words")
+        ).alias("p4"),
+        gate(
+            GATE_DOMINANCE_DEN * F.col("max_tok") <= F.col("n_words")
+        ).alias("p5"),
+    )
+    allp = F.col("p1") * F.col("p2") * F.col("p3") * F.col("p4") * F.col("p5")
+    return g.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(allp).cast("bigint").alias("n_pass"),
+        F.sum(1 - F.col("p1")).cast("bigint").alias("fail_wordcount"),
+        F.sum(1 - F.col("p2")).cast("bigint").alias("fail_wordlen"),
+        F.sum(1 - F.col("p3")).cast("bigint").alias("fail_stopword"),
+        F.sum(1 - F.col("p4")).cast("bigint").alias("fail_diversity"),
+        F.sum(1 - F.col("p5")).cast("bigint").alias("fail_dominance"),
+        (
+            F.sum(allp).cast("double") / F.count(F.lit(1))
+        ).alias("pass_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fe5 — weight-of-evidence (WoE) categorical encoding + information value
+# ---------------------------------------------------------------------------
+
+#: Binary target: the order is high-priority. WoE replaces a category
+#: with ln(P(cat|pos)/P(cat|neg)) — the classic credit-scoring encoder —
+#: and IV = Σ (P(cat|pos)-P(cat|neg))·WoE grades the whole feature.
+WOE_POS_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+_FE5_POS_IN = ", ".join(f"'{p}'" for p in WOE_POS_PRIORITIES)
+
+_FE5_ORACLE = f"""
+WITH base AS (
+  SELECT c_mktsegment AS seg,
+         CASE WHEN o_orderpriority IN ({_FE5_POS_IN}) THEN 1 ELSE 0 END AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+cf AS (
+  SELECT seg,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - y) AS BIGINT) AS n_neg
+  FROM base GROUP BY seg
+),
+tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS p_tot,
+         CAST(SUM(n_neg) AS BIGINT) AS n_tot
+  FROM cf
+),
+woe AS (
+  SELECT seg, n_pos, n_neg,
+         ROUND(LN(
+           CAST((2 * n_pos + 1) * n_tot AS DOUBLE)
+           / CAST((2 * n_neg + 1) * p_tot AS DOUBLE)
+         ), 9) AS woe
+  FROM cf, tot
+),
+iv AS (
+  SELECT seg, n_pos, n_neg, woe,
+         ROUND((CAST(n_pos AS DOUBLE) / p_tot
+                - CAST(n_neg AS DOUBLE) / n_tot) * woe, 9) AS iv_term
+  FROM woe, tot
+)
+SELECT seg, n_pos, n_neg, woe, iv_term,
+       (SELECT CAST(SUM(CAST(iv_term AS DECIMAL(28,10))) AS DOUBLE)
+        FROM iv) AS iv_total
+FROM iv
+"""
+
+
+@register("fe5_woe_encoding", _FE5_ORACLE)
+def fe5_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence categorical encoding with Laplace smoothing,
+    plus the feature-level information value — the standard
+    scorecard-model encoder (and the leakage-free sibling of fe3: WoE
+    uses only class-conditional category frequencies, never a row's own
+    target). Per market segment: WoE = ln(((n_pos+0.5)/P)/((n_neg+0.5)/N)),
+    IV term = (n_pos/P − n_neg/N)·WoE, and the broadcast feature-level
+    IV = Σ terms (the 'is this feature worth keeping' number: <0.02
+    useless, >0.3 strong).
+
+    Exactness: the smoothed odds ratio is formed as ONE IEEE division
+    of two exact BIGINT cross-products ((2·n_pos+1)·N / (2·n_neg+1)·P —
+    the 0.5-smoothing cleared of fractions), then ROUND(LN(x), 9) on
+    the identical double (t21/g9's log-lattice discipline); IV terms
+    are rounded to the same lattice and summed in DECIMAL (order-free),
+    cast back to double once.
+
+    Scale shape: one key-shuffle join (orders ⋈ customer), one
+    K-row (category) aggregate with map-side combine; totals are
+    derived FROM the aggregate (fe3's barrier pattern) and broadcast
+    back — the fact table is scanned exactly once."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    y = (
+        F.when(F.col("o_orderpriority").isin(*WOE_POS_PRIORITIES), 1)
+        .otherwise(0)
+    )
+    base = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).select(F.col("c_mktsegment").alias("seg"), y.alias("y"))
+    cf = base.groupBy("seg").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+    )
+    # the K-row aggregate feeds both the totals and the per-category
+    # rows; the barrier stops Spark recomputing the join per branch
+    cf = cf.localCheckpoint(eager=True)
+    tot = cf.agg(
+        F.sum("n_pos").cast("bigint").alias("p_tot"),
+        F.sum("n_neg").cast("bigint").alias("n_tot"),
+    )
+    woe_col = F.round(
+        F.log(
+            ((2 * F.col("n_pos") + 1) * F.col("n_tot")).cast("double")
+            / ((2 * F.col("n_neg") + 1) * F.col("p_tot")).cast("double")
+        ),
+        9,
+    )
+    woe = cf.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "n_pos",
+        "n_neg",
+        woe_col.alias("woe"),
+        F.round(
+            (
+                F.col("n_pos").cast("double") / F.col("p_tot")
+                - F.col("n_neg").cast("double") / F.col("n_tot")
+            )
+            * woe_col,
+            9,
+        ).alias("iv_term"),
+    )
+    woe = woe.localCheckpoint(eager=True)
+    iv = woe.agg(
+        F.sum(F.col("iv_term").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("iv_total")
+    )
+    return woe.crossJoin(F.broadcast(iv))

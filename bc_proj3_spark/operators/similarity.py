@@ -1767,3 +1767,190 @@ def s12_centroid_dendrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round int, rep_kept long, rep_merged long, d2 double,"
         " n_members long",
     )
+
+
+# ---------------------------------------------------------------------------
+# hs4 — MAP@k of the ANN ranking vs the exact ranking (order-sensitive s9)
+# ---------------------------------------------------------------------------
+
+#: Precision weights 1/i for ranks 1..k, baked as 9-dp decimal literals
+#: into BOTH plans (hs3's compile-time-lattice discipline) so neither
+#: engine ever divides by the rank: AP terms are hits_i * (1/i) in exact
+#: DECIMAL, summed order-free.
+_MAP_W = tuple(f"{1.0 / r:.9f}" for r in range(1, TOP_K + 1))
+
+_MAP_W_CASE = (
+    "CASE ann_rn "
+    + " ".join(
+        f"WHEN {r + 1} THEN CAST({w} AS DECIMAL(28,10))"
+        for r, w in enumerate(_MAP_W)
+    )
+    + " ELSE CAST(0 AS DECIMAL(28,10)) END"
+)
+
+_HS4_ORACLE = f"""
+WITH {_SQL_BASE},
+ex_scored AS (
+  SELECT query_id, e.vec_id,
+         {_sql_dot('qv', 'v')} / (qn * nrm) AS cosine
+  FROM q, e
+  WHERE e.vec_id <> query_id
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM ex_scored
+  ) t WHERE rn <= {TOP_K}
+),
+ex_cnt AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM exact GROUP BY 1
+),
+cb AS MATERIALIZED ({_sql_bucket_union('e', 'vec_id')}),
+qb AS (SELECT vec_id AS query_id, t, bkt FROM cb WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id
+  FROM qb JOIN cb ON qb.t = cb.t AND qb.bkt = cb.bkt
+  WHERE cb.vec_id <> qb.query_id
+),
+ann_scored AS (
+  SELECT c.query_id, c.vec_id,
+         {_sql_dot('q.qv', 'e.v')} / (q.qn * e.nrm) AS cosine
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN e ON e.vec_id = c.vec_id
+),
+ann AS (
+  SELECT query_id, vec_id, rn AS ann_rn FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM ann_scored
+  ) t WHERE rn <= {TOP_K}
+),
+j AS (
+  SELECT a.query_id, a.ann_rn,
+         CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM ann a LEFT JOIN exact x
+    ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+),
+rp AS (
+  SELECT query_id, ann_rn, rel,
+         CAST(SUM(rel) OVER (
+           PARTITION BY query_id ORDER BY ann_rn
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hits
+  FROM j
+)
+SELECT rp.query_id,
+       CAST(SUM(rel) AS BIGINT) AS n_rel_found,
+       ANY_VALUE(n_rel) AS n_rel,
+       CAST(SUM(CAST(rel * hits AS DECIMAL(2,0)) * ({_MAP_W_CASE}))
+            AS DOUBLE)
+         / ANY_VALUE(n_rel) AS ap
+FROM rp JOIN ex_cnt ON ex_cnt.query_id = rp.query_id
+GROUP BY rp.query_id
+"""
+
+
+@register("hs4_map_eval", _HS4_ORACLE)
+def hs4_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-average-precision@k of s2's LSH ANN ranking against s1's
+    exact cosine top-k — the third leg of the retrieval-eval stool:
+    s9's recall counts the right neighbors anywhere in the list, hs3's
+    nDCG grades the whole ordering with graded relevance, AP@k is the
+    binary-relevance order-sensitive score (the mean of precision at
+    every hit position) that IR evaluations report when relevance has
+    no grades. A funnel change can hold recall flat while AP drops —
+    exactly the regression a RAG context-selection stack cares about.
+
+    Exactness: cosines use the module's sequential-fold arithmetic
+    (bit-identical, vec_id tiebreaks); the running hit count is exact
+    integers over the same total order on both engines; precision
+    weights 1/i are compile-time 9-dp decimal literals (hs3's
+    discipline — no engine divides by the rank), so the AP numerator
+    is an order-free exact DECIMAL sum; AP itself is ONE IEEE division
+    by the exact relevant-set size.
+
+    Scale shape: identical to s9/hs3 — one persisted corpus projection
+    feeds both the brute-force ground truth over the sampled queries
+    and the (table, bucket) equi-join candidate side; the two
+    (queries × k) ranked lists are localCheckpointed so the final join
+    + window + aggregate runs on k·|queries| rows however big the
+    corpus is."""
+    corpus = _corpus(spark, sf_dir).persist()
+    q = _queries(corpus)
+    ex_scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    exact = _ranked(ex_scored, "rn").localCheckpoint(eager=True)
+    ex_cnt = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+    )
+
+    cb = _bucketed(corpus)
+    qb = cb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "t", "bkt"
+    )
+    cand = (
+        qb.join(cb, ["t", "bkt"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    ann_scored = (
+        cand.join(q, "query_id")
+        .join(corpus.select("vec_id", "v", "nrm"), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    ann = _ranked(ann_scored, "ann_rn").localCheckpoint(eager=True)
+
+    j = ann.join(
+        exact.withColumnRenamed("rn", "ex_rn"),
+        ["query_id", "vec_id"],
+        "left",
+    ).select(
+        "query_id",
+        "ann_rn",
+        F.when(F.col("ex_rn").isNotNull(), 1).otherwise(0).alias("rel"),
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("ann_rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rp = j.select(
+        "query_id",
+        "ann_rn",
+        "rel",
+        F.sum("rel").over(w).cast("bigint").alias("hits"),
+    )
+    # rel*hits <= k collapses to DECIMAL(2,0) so the product with the
+    # (28,10) weight stays inside 38 digits — Spark would otherwise
+    # shrink the result scale to 6 and silently round the lattice
+    term = (F.col("rel") * F.col("hits")).cast("decimal(2,0)") * F.expr(
+        _MAP_W_CASE
+    )
+    return (
+        rp.join(ex_cnt, "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.sum("rel").cast("bigint").alias("n_rel_found"),
+            F.any_value(F.col("n_rel")).alias("n_rel"),
+            (
+                F.sum(term).cast("double") / F.any_value(F.col("n_rel"))
+            ).alias("ap"),
+        )
+    )

@@ -2932,3 +2932,168 @@ def e25_did_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cells.crossJoin(F.broadcast(did))
+
+
+# ---------------------------------------------------------------------------
+# e26 — stratified inverse-propensity-weighted (IPW) uplift readout
+# ---------------------------------------------------------------------------
+
+IPW_STRATA = 3  # user segments with deliberately unequal assignment rates
+
+seg_sql_e26 = f"{_sql_h60_e25(_sql_sd_e25('ipwseg', 'CAST(user_id AS VARCHAR)'))} % {IPW_STRATA}"
+coin_sql_e26 = f"{_sql_h60_e25(_sql_sd_e25('ipw', 'CAST(user_id AS VARCHAR)'))} % 100"
+
+_E26_ORACLE = f"""
+WITH base AS (
+  SELECT {seg_sql_e26} AS seg,
+         CASE WHEN {coin_sql_e26} < 25 + 25 * ({seg_sql_e26})
+              THEN 1 ELSE 0 END AS treated,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+cells AS (
+  SELECT seg,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(treated) AS BIGINT) AS n_treated,
+         CAST(SUM(treated * cents) AS BIGINT) AS sum_cents_treated,
+         CAST(SUM((1 - treated) * cents) AS BIGINT) AS sum_cents_control
+  FROM base GROUP BY seg
+),
+tot AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS n_all,
+         CAST(SUM(n_treated) AS BIGINT) AS t_all,
+         CAST(SUM(sum_cents_treated) AS BIGINT) AS st_all,
+         CAST(SUM(sum_cents_control) AS BIGINT) AS sc_all
+  FROM cells
+),
+m AS (
+  SELECT seg, n_events, n_treated, sum_cents_treated, sum_cents_control,
+         CAST(n_treated AS DOUBLE) / n_events AS e_hat,
+         CASE WHEN n_treated > 0 THEN
+           CAST(sum_cents_treated AS DOUBLE) / n_treated END AS mean_treated,
+         CASE WHEN n_events - n_treated > 0 THEN
+           CAST(sum_cents_control AS DOUBLE) / (n_events - n_treated)
+         END AS mean_control
+  FROM cells
+),
+terms AS (
+  SELECT seg, n_events, n_treated, sum_cents_treated, sum_cents_control,
+         e_hat, mean_treated, mean_control,
+         mean_treated - mean_control AS gap_cents,
+         ROUND((mean_treated - mean_control)
+               * (CAST(n_events AS DOUBLE) / (SELECT n_all FROM tot)),
+               9) AS ate_term
+  FROM m
+)
+SELECT seg, n_events, n_treated, sum_cents_treated, sum_cents_control,
+       e_hat, mean_treated, mean_control, gap_cents,
+       (SELECT CAST(SUM(CAST(ate_term AS DECIMAL(28,10))) AS DOUBLE)
+        FROM terms) AS ate_ipw,
+       (SELECT CAST(st_all AS DOUBLE) / t_all
+               - CAST(sc_all AS DOUBLE) / (n_all - t_all)
+        FROM tot) AS ate_naive
+FROM terms
+"""
+
+
+@register("e26_ipw_uplift", _E26_ORACLE)
+def e26_ipw_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified inverse-propensity-weighted treatment-effect readout —
+    the observational companion to e25's DiD: when assignment rates
+    DIFFER by user segment (here deliberately 25/50/75 % by a second
+    hash-coin, the shape of any rollout that launched to power users
+    first), the naive treated-vs-control mean gap is confounded by
+    segment mix; weighting each stratum's gap by its population share
+    (the discrete-propensity Horvitz-Thompson/Hájek estimator,
+    Rosenbaum & Rubin 1983) recovers the unconfounded ATE. Emits the
+    per-stratum diagnostics a reviewer audits (n, n_treated, estimated
+    propensity, cell means, gap) plus both headline numbers — ate_ipw
+    and ate_naive — so the confounding bias is the visible difference.
+
+    Exactness: arms/strata are integer hash-coins (e25's discipline);
+    cell sums are exact cents; each mean and the propensity are ONE
+    IEEE division of exact integers; per-stratum ATE terms are rounded
+    to the 9-dp lattice and summed in DECIMAL (order-free); the naive
+    contrast is computed from the exact integer totals, not from the
+    per-stratum doubles. Degenerate cells (no treated/control rows in
+    a stratum) yield NULL means on both engines rather than a division
+    seam.
+
+    Scale shape: ONE events scan → a map-side-combinable K-row
+    (stratum) aggregate; totals are a reduction OF that aggregate
+    (never a second scan) and both headline scalars broadcast back
+    onto K rows. At 100 TB this is scan + combine — the same minimal
+    shape as e25."""
+    from bc_proj3_spark.functions.hashing import hash60
+    from bc_proj3_spark.operators.sampling import _seeded
+
+    ev = table(spark, sf_dir, "events")
+    seg = (
+        hash60(_seeded("ipwseg", F.col("user_id").cast("string")))
+        % IPW_STRATA
+    )
+    coin = hash60(_seeded("ipw", F.col("user_id").cast("string"))) % 100
+    treated = F.when(coin < 25 + 25 * seg, 1).otherwise(0)
+    base = ev.select(
+        seg.alias("seg"),
+        treated.alias("treated"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    cells = base.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("treated").cast("bigint").alias("n_treated"),
+        F.sum(F.col("treated") * F.col("cents"))
+        .cast("bigint")
+        .alias("sum_cents_treated"),
+        F.sum((1 - F.col("treated")) * F.col("cents"))
+        .cast("bigint")
+        .alias("sum_cents_control"),
+    )
+    # K-row aggregate feeds the totals, the per-stratum rows and both
+    # headline scalars; the barrier keeps the events scan single-run
+    cells = cells.localCheckpoint(eager=True)
+    tot = cells.agg(
+        F.sum("n_events").cast("bigint").alias("n_all"),
+        F.sum("n_treated").cast("bigint").alias("t_all"),
+        F.sum("sum_cents_treated").cast("bigint").alias("st_all"),
+        F.sum("sum_cents_control").cast("bigint").alias("sc_all"),
+    )
+    n_control = F.col("n_events") - F.col("n_treated")
+    mean_t = F.when(
+        F.col("n_treated") > 0,
+        F.col("sum_cents_treated").cast("double") / F.col("n_treated"),
+    )
+    mean_c = F.when(
+        n_control > 0,
+        F.col("sum_cents_control").cast("double") / n_control,
+    )
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "n_events",
+        "n_treated",
+        "sum_cents_treated",
+        "sum_cents_control",
+        (F.col("n_treated").cast("double") / F.col("n_events")).alias(
+            "e_hat"
+        ),
+        mean_t.alias("mean_treated"),
+        mean_c.alias("mean_control"),
+        (mean_t - mean_c).alias("gap_cents"),
+        F.round(
+            (mean_t - mean_c)
+            * (F.col("n_events").cast("double") / F.col("n_all")),
+            9,
+        ).alias("ate_term"),
+        (
+            F.col("st_all").cast("double") / F.col("t_all")
+            - F.col("sc_all").cast("double")
+            / (F.col("n_all") - F.col("t_all"))
+        ).alias("ate_naive"),
+    )
+    terms = terms.localCheckpoint(eager=True)
+    ate = terms.agg(
+        F.sum(F.col("ate_term").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("ate_ipw")
+    )
+    return terms.crossJoin(F.broadcast(ate)).drop("ate_term")

@@ -206,6 +206,11 @@ STRICT_VALUE_QUERIES = [
     "a18_theil_decomposition",
     "e25_did_uplift",
     "st12_stream_decontaminate",
+    # r10's new operators, same pre-flight discipline
+    "dq10_quality_gates",
+    "fe5_woe_encoding",
+    "e26_ipw_uplift",
+    "hs4_map_eval",
 ]
 
 

@@ -125,6 +125,9 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     # shared per-geometry double literal — one IEEE division
     ("hs3_ndcg_eval", "dcg"),
     ("hs3_ndcg_eval", "ndcg"),
+    # integer gate-count ratio: SUM of exact 0/1 products, one IEEE
+    # division by COUNT(*) — identical on both engines
+    ("dq10_quality_gates", "pass_rate"),
 }
 
 #: Accumulation forms that are exact without ROUND:

@@ -84,6 +84,10 @@ _BNLJ_OK = {
     "g12_modularity",  # 1-row Q total crossed onto the community table
     "a18_theil_decomposition",  # 1-row pooled totals + 1-row between term
     "e25_did_uplift",  # 1-row calendar span + 1-row DiD scalar
+    # round-10 additions, same 1-row/K-row-aggregate broadcast shape:
+    "fe5_woe_encoding",  # 1-row class totals + 1-row IV scalar crosses
+    "e26_ipw_uplift",  # 1-row stratum totals + 1-row ATE scalar crosses
+    "hs4_map_eval",  # inherits s1's broadcast-query cross (ground truth)
 }
 
 #: streaming queries — their builders execute a full streaming job;

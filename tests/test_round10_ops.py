@@ -1,0 +1,171 @@
+"""Round-10 additions: invariants the DuckDB oracles can't express —
+ledger conservation for the quality gates, WoE/IV identities, the
+IPW estimator's confounding-vs-stratification relationship, and AP@k's
+coupling with the recall monitor.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# dq10 — corpus quality-gate ledger
+# ---------------------------------------------------------------------------
+
+
+def test_dq10_ledger_conservation(spark):
+    """Per-group counts are conserved: n_pass <= n_docs, every fail
+    count <= n_docs, n_pass + max(fail_*) <= n_docs (a doc failing any
+    rule cannot pass), corpus totals equal the documents row count, and
+    every rule has real variance (some group fails it, some passes)."""
+    from bc_proj3_spark.operators.quality import dq10_quality_gates
+
+    rows = dq10_quality_gates(spark, SF_DIR).collect()
+    assert rows
+    fails = ["fail_wordcount", "fail_wordlen", "fail_stopword",
+             "fail_diversity", "fail_dominance"]
+    n_docs_total = sum(r.n_docs for r in rows)
+    expected = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert n_docs_total == expected
+    for r in rows:
+        assert 0 <= r.n_pass <= r.n_docs
+        for f_ in fails:
+            assert 0 <= r[f_] <= r.n_docs
+            assert r.n_pass + r[f_] <= r.n_docs
+        assert abs(r.pass_rate - r.n_pass / r.n_docs) == 0.0
+    for f_ in fails:
+        assert sum(r[f_] for r in rows) > 0, f"{f_} never trips"
+    assert sum(r.n_pass for r in rows) > 0
+
+
+def test_dq10_single_scan_no_explode(spark):
+    """The per-doc features (including max token run length) fold
+    map-side over the token array: exactly ONE documents FileScan and
+    no Generate (explode) anywhere in the physical plan."""
+    from bc_proj3_spark.operators.quality import dq10_quality_gates
+
+    plan = _plan(dq10_quality_gates(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "Generate" not in plan
+
+
+# ---------------------------------------------------------------------------
+# fe5 — weight-of-evidence encoding
+# ---------------------------------------------------------------------------
+
+
+def test_fe5_woe_identities(spark):
+    """WoE sign tracks the category's positive-rate vs the global rate;
+    recomputing the smoothed log-odds in Python reproduces each woe on
+    the 9-dp lattice; iv_total equals the sum of iv_terms and every
+    iv_term is non-negative up to the lattice (p-q and WoE share sign
+    by construction)."""
+    from bc_proj3_spark.operators.quality import fe5_woe_encoding
+
+    rows = fe5_woe_encoding(spark, SF_DIR).collect()
+    assert len(rows) == 5  # TPC-H market segments
+    p_tot = sum(r.n_pos for r in rows)
+    n_tot = sum(r.n_neg for r in rows)
+    for r in rows:
+        x = ((2 * r.n_pos + 1) * n_tot) / ((2 * r.n_neg + 1) * p_tot)
+        assert abs(r.woe - round(math.log(x), 9)) < 1e-12
+        assert r.iv_term >= -1e-9
+    iv = round(sum(round(
+        (r.n_pos / p_tot - r.n_neg / n_tot)
+        * r.woe, 9) for r in rows), 9)
+    assert abs(rows[0].iv_total - iv) < 1e-9
+    assert all(abs(r.iv_total - rows[0].iv_total) == 0.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# e26 — stratified IPW uplift
+# ---------------------------------------------------------------------------
+
+
+def test_e26_propensity_and_estimator_identities(spark):
+    """Estimated propensities straddle the designed 25/50/75 % rates;
+    the stratified ATE equals the population-share-weighted sum of the
+    per-stratum gaps (recomputed in Python on the same lattice); the
+    headline scalars are identical on every row; and the hash-coin
+    design keeps every cell populated."""
+    from bc_proj3_spark.plans.events import e26_ipw_uplift
+
+    rows = sorted(e26_ipw_uplift(spark, SF_DIR).collect(),
+                  key=lambda r: r.seg)
+    assert [r.seg for r in rows] == [0, 1, 2]
+    n_all = sum(r.n_events for r in rows)
+    for r in rows:
+        assert r.n_treated > 0
+        assert r.n_events - r.n_treated > 0
+        assert 0.05 < r.e_hat < 0.95
+        assert abs(r.gap_cents - (r.mean_treated - r.mean_control)) == 0.0
+    # the designed 25/50/75 % user-level rates survive event-weighting
+    # as a strict ordering (150 users at sf0.01 — absolute rates are
+    # noisy, the monotone design is not)
+    assert rows[0].e_hat < rows[1].e_hat < rows[2].e_hat
+    ate = sum(round(r.gap_cents * (r.n_events / n_all), 9) for r in rows)
+    assert abs(rows[0].ate_ipw - ate) < 1e-9
+    assert all(r.ate_ipw == rows[0].ate_ipw for r in rows)
+    assert all(r.ate_naive == rows[0].ate_naive for r in rows)
+
+
+def test_e26_single_events_scan(spark):
+    """The events scan runs exactly once — at build time, into the
+    K-row checkpointed aggregate. The returned plan therefore contains
+    NO parquet scan at all: totals and both headline scalars are
+    reductions of the checkpointed K rows, never a second pass."""
+    from bc_proj3_spark.plans.events import e26_ipw_uplift
+
+    plan = _plan(e26_ipw_uplift(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan
+
+
+# ---------------------------------------------------------------------------
+# hs4 — MAP@k retrieval eval
+# ---------------------------------------------------------------------------
+
+
+def test_hs4_ap_bounds_and_recall_coupling(spark):
+    """AP in [0, 1]; AP == 1 iff the ANN list's head is a perfect
+    prefix of hits covering the whole relevant set; zero hits forces
+    AP == 0; and hs4's n_rel_found equals s9's n_hits — the monitors
+    agree on WHAT was found and differ only in how order is graded."""
+    from bc_proj3_spark.operators.similarity import (
+        hs4_map_eval,
+        s9_ann_recall,
+    )
+
+    hs4 = {r.query_id: r for r in hs4_map_eval(spark, SF_DIR).collect()}
+    spark.catalog.clearCache()
+    s9 = {r.query_id: r for r in s9_ann_recall(spark, SF_DIR).collect()}
+    assert set(hs4) == set(s9) and hs4
+    for qid, r in hs4.items():
+        assert -1e-12 <= r.ap <= 1.0 + 1e-9
+        assert r.n_rel_found == s9[qid].n_hits
+        if r.n_rel_found == 0:
+            assert r.ap == 0.0
+        if r.ap >= 1.0 - 1e-9:
+            assert r.n_rel_found == r.n_rel
+
+
+def test_hs4_weights_are_compile_time_literals(spark):
+    """No division by the rank in either engine: the 1/i precision
+    weights are baked as 9-dp decimal literals (hs3's discipline), so
+    the AP numerator is an order-free exact decimal sum."""
+    from bc_proj3_spark.operators.similarity import _MAP_W, _MAP_W_CASE
+
+    assert len(_MAP_W) == 10
+    assert _MAP_W[0] == "1.000000000"
+    assert _MAP_W[2] == "0.333333333"
+    assert "WHEN 10 THEN CAST(0.100000000" in _MAP_W_CASE

@@ -309,6 +309,9 @@ AQE_OFF_QUERIES = [
     "d14_span_coverage",
     "d15_ngram_decontaminate",
     "g11_label_propagation",
+    # r10: the map-side sorted-array fold family (per-doc gate features
+    # computed without explode — values must not depend on layout)
+    "dq10_quality_gates",
 ]
 
 

@@ -92,6 +92,10 @@ SF01_QUERIES = [
     "t27_bpe_learn",  # iterative fixpoint (greedy merge trajectory)
     "s12_centroid_dendrogram",  # order statistics over IEEE pair distances
     "a18_theil_decomposition",  # log-lattice decimal sums (t21 class)
+    # round-10 additions
+    "fe5_woe_encoding",  # log-lattice smoothed odds + decimal IV sum
+    "hs4_map_eval",  # double-heavy cosine rankings on both funnel sides
+    "e26_ipw_uplift",  # lattice-decimal ATE terms over IEEE cell means
 ]
 
 
