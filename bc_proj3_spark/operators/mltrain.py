@@ -1,0 +1,422 @@
+"""Model TRAINING loops as Spark jobs, in exact arithmetic.
+
+The LLM-data operators elsewhere in this engine prepare corpora
+(filter, dedup, mix, split); these operators close the loop by showing
+the engine can also RUN the distributed-training primitives that sit
+on top of such corpora — in the repo's exact cross-engine arithmetic so
+every round of every fit is bit-identical between Spark and the DuckDB
+oracle:
+
+- ml1: batch perceptron — the canonical distributed linear classifier
+  update (each round is one map-side-combinable aggregate over the
+  corpus; Rosenblatt 1958, distributed form McDonald et al. NAACL'10).
+  Features, labels, weights and margins are ALL exact BIGINTs, so the
+  trajectory is bit-identical at any partitioning and any scale.
+- bt1: Bradley-Terry strength fit by minorization-maximization (Hunter
+  2004) — the pairwise-preference model behind RLHF reward baselines
+  and ranking evals, run in the cc3/e24 half-up scaled-integer
+  protocol so the iterate walk is bit-identical across engines.
+
+Scale shape: both fits are aggregate-then-iterate — the corpus is
+touched ONCE to build a bounded statistic (per-doc integer features;
+the K×K win matrix), then every round is O(rows-of-that-statistic),
+never a second corpus pass. That is exactly how a 100 TB fit must be
+shaped: the data-sized work is one scan per ROUND for ml1 (the
+irreducible cost of batch gradients — here over the checkpointed
+4-ints-per-doc projection, not the raw text) and one scan TOTAL for
+bt1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# ml1 — batch perceptron training trajectory (exact integer weights)
+# ---------------------------------------------------------------------------
+
+PERCEPTRON_ROUNDS = 4
+#: label: the document is "long" (n_chars >= this) — linearly tied to
+#: the n_words feature, so the fit has real signal to converge on.
+PERCEPTRON_LABEL_CHARS = 250
+#: compile-time centering offsets (median-ish word/stopword/distinct
+#: counts). Centering is what makes the raw-count design usable: the
+#: separator then passes near the origin, and the batch fit drops from
+#: 100 % error to its noise floor in ONE round (measured; with raw
+#: counts the needed bias ~ -50·w1 is unreachable and the fit
+#: oscillates at 40 % — the classic conditioning failure).
+PERCEPTRON_CENTER = (50, 4, 25)
+
+_ML1_FEAT = """
+SELECT doc_id,
+       1 AS x0,
+       len(string_split_regex(trim(text), '\\s+')) - {c1} AS x1,
+       len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> t IN ('the', 'a'))) - {c2} AS x2,
+       len(list_distinct(string_split_regex(trim(text), '\\s+'))) - {c3}
+         AS x3,
+       CASE WHEN n_chars >= {thr} THEN 1 ELSE -1 END AS y
+FROM documents
+""".strip()
+
+
+def _ml1_oracle() -> str:
+    steps = [
+        "feat AS MATERIALIZED ("
+        + _ML1_FEAT.format(
+            thr=PERCEPTRON_LABEL_CHARS,
+            c1=PERCEPTRON_CENTER[0],
+            c2=PERCEPTRON_CENTER[1],
+            c3=PERCEPTRON_CENTER[2],
+        )
+        + "),",
+        "n AS (SELECT COUNT(*) AS n_docs FROM feat),",
+        "w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,"
+        " CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),",
+    ]
+    for k in range(1, PERCEPTRON_ROUNDS + 1):
+        p = k - 1
+        steps.append(f"""
+m{k} AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_mistakes,
+         CAST(COALESCE(SUM(y * x0), 0) AS BIGINT) AS s0,
+         CAST(COALESCE(SUM(y * x1), 0) AS BIGINT) AS s1,
+         CAST(COALESCE(SUM(y * x2), 0) AS BIGINT) AS s2,
+         CAST(COALESCE(SUM(y * x3), 0) AS BIGINT) AS s3
+  FROM feat, w{p}
+  WHERE y * (w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3) <= 0
+),
+w{k} AS (
+  SELECT w{p}.w0 + m{k}.s0 AS w0, w{p}.w1 + m{k}.s1 AS w1,
+         w{p}.w2 + m{k}.s2 AS w2, w{p}.w3 + m{k}.s3 AS w3
+  FROM w{p}, m{k}
+),""".strip())
+    rows = " UNION ALL ".join(
+        f"SELECT {k} AS round, m{k}.n_mistakes,"
+        f" w{k}.w0, w{k}.w1, w{k}.w2, w{k}.w3,"
+        f" CAST(m{k}.n_mistakes AS DOUBLE) / n.n_docs AS error_rate"
+        f" FROM m{k}, w{k}, n"
+        for k in range(1, PERCEPTRON_ROUNDS + 1)
+    )
+    return "WITH " + "\n".join(steps).rstrip(",") + "\n" + rows
+
+
+@register("ml1_perceptron_train", _ml1_oracle())
+def ml1_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch perceptron TRAINING on Spark: 4 full-batch rounds of the
+    Rosenblatt update w += Σ_{mistakes} y·x over integer document
+    features (bias, word count, stopword count, distinct-word count),
+    labels y = ±1 for long-vs-short documents. Emits the training
+    trajectory — (round, n_mistakes, w0..w3, error_rate) — the curve an
+    ML engineer reads to see the fit learning (mistakes fall as the
+    margin on the correlated features grows).
+
+    Exactness: features, labels, margins and weights are ALL exact
+    BIGINTs; each round's update is an order-free integer SUM, so the
+    whole trajectory is bit-identical across engines, partitionings and
+    scales (no learning-rate float, no tie seam: margin 0 counts as a
+    mistake on both engines). error_rate is ONE IEEE division of exact
+    integers per row.
+
+    Scale shape: the text is scanned ONCE into a checkpointed
+    4-ints-per-doc projection; each round is one crossJoin(broadcast)
+    of the 1-row weight frame onto that projection and one map-side-
+    combinable aggregate — the canonical distributed batch-gradient
+    shape (McDonald et al. NAACL'10). Weight frames are 1 row, each
+    round's job is O(n_docs) over 5 integers, and lineage stays O(1)
+    via per-round eager checkpoints."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    c1, c2, c3 = PERCEPTRON_CENTER
+    feat = docs.select(
+        F.lit(1).cast("bigint").alias("x0"),
+        (F.size(toks) - c1).cast("bigint").alias("x1"),
+        (F.size(F.filter(toks, lambda t: t.isin("the", "a"))) - c2)
+        .cast("bigint")
+        .alias("x2"),
+        (F.size(F.array_distinct(toks)) - c3).cast("bigint").alias("x3"),
+        F.when(F.col("n_chars") >= PERCEPTRON_LABEL_CHARS, 1)
+        .otherwise(-1)
+        .cast("bigint")
+        .alias("y"),
+    ).localCheckpoint(eager=True)
+    n_docs = feat.count()
+
+    w = spark.range(1).select(
+        *[F.lit(0).cast("bigint").alias(f"w{i}") for i in range(4)]
+    )
+    out = None
+    for k in range(1, PERCEPTRON_ROUNDS + 1):
+        margin = sum(
+            F.col(f"w{i}") * F.col(f"x{i}") for i in range(4)
+        )
+        step = (
+            feat.crossJoin(F.broadcast(w))
+            .filter(F.col("y") * margin <= 0)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_mistakes"),
+                *[
+                    F.coalesce(
+                        F.sum(F.col("y") * F.col(f"x{i}")), F.lit(0)
+                    )
+                    .cast("bigint")
+                    .alias(f"s{i}")
+                    for i in range(4)
+                ],
+            )
+        )
+        w = (
+            step.crossJoin(F.broadcast(w))
+            .select(
+                "n_mistakes",
+                *[
+                    (F.col(f"w{i}") + F.col(f"s{i}")).alias(f"w{i}")
+                    for i in range(4)
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+        row = w.select(
+            F.lit(k).alias("round"),
+            "n_mistakes",
+            "w0",
+            "w1",
+            "w2",
+            "w3",
+            (
+                F.col("n_mistakes").cast("double") / F.lit(float(n_docs))
+            ).alias("error_rate"),
+        )
+        out = row if out is None else out.unionAll(row)
+        w = w.drop("n_mistakes")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# bt1 — Bradley-Terry preference-strength fit (scaled-integer MM rounds)
+# ---------------------------------------------------------------------------
+
+BT_SCALE = 10 ** 6
+BT_ROUNDS = 5
+
+
+def _bt_halfup(a: str, b: str) -> str:
+    return f"((2 * ({a}) + ({b})) // (2 * ({b})))"
+
+
+def _bt1_oracle() -> str:
+    s = BT_SCALE
+    steps = [f"""cells AS (
+  SELECT o_orderdate AS day, c_mktsegment AS seg,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT a.seg AS sa, b.seg AS sb,
+         CASE WHEN a.cents > b.cents THEN a.seg
+              WHEN b.cents > a.cents THEN b.seg
+              ELSE a.seg END AS winner
+  FROM cells a JOIN cells b ON a.day = b.day AND a.seg < b.seg
+),
+up AS MATERIALIZED (
+  SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN winner = sa THEN 1 ELSE 0 END) AS BIGINT)
+           AS wa
+  FROM m GROUP BY sa, sb
+),
+dir AS MATERIALIZED (
+  SELECT sa AS i, sb AS j, n FROM up
+  UNION ALL
+  SELECT sb AS i, sa AS j, n FROM up
+),
+wins AS MATERIALIZED (
+  SELECT i, CAST(SUM(w) AS BIGINT) AS n_wins,
+         CAST(SUM(n) AS BIGINT) AS n_matches
+  FROM (
+    SELECT sa AS i, wa AS w, n FROM up
+    UNION ALL
+    SELECT sb AS i, n - wa AS w, n FROM up
+  ) GROUP BY i
+),
+p0 AS MATERIALIZED (
+  SELECT i, CAST({s} // (SELECT COUNT(*) FROM wins) AS BIGINT) AS p
+  FROM wins
+)"""]
+    for k in range(1, BT_ROUNDS + 1):
+        p = k - 1
+        steps.append(f"""d{k} AS (
+  SELECT dir.i,
+         CAST(SUM({_bt_halfup(f'dir.n * {s} * {s}', 'pi.p + pj.p')})
+              AS BIGINT) AS d
+  FROM dir
+  JOIN p{p} pi ON pi.i = dir.i
+  JOIN p{p} pj ON pj.i = dir.j
+  GROUP BY dir.i
+),
+u{k} AS (
+  SELECT wins.i,
+         CAST({_bt_halfup(f'wins.n_wins * {s} * {s}', 'd{0}.d'.format(k))}
+              AS BIGINT) AS pu
+  FROM wins JOIN d{k} ON d{k}.i = wins.i
+),
+p{k} AS MATERIALIZED (
+  SELECT i, CAST({_bt_halfup(f'pu * {s}', f'(SELECT SUM(pu) FROM u{k})')}
+               AS BIGINT) AS p
+  FROM u{k}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+SELECT wins.i AS seg, wins.n_wins, wins.n_matches,
+       CAST(p.p AS BIGINT) AS p_scaled,
+       CAST(p.p AS DOUBLE) / {s} AS strength
+FROM wins JOIN p{BT_ROUNDS} p ON p.i = wins.i
+"""
+    )
+
+
+@register("bt1_bradley_terry", _bt1_oracle())
+def bt1_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference-strength fit — the pairwise-comparison
+    model behind RLHF reward baselines, ranking evals and any
+    head-to-head leaderboard — over daily market-segment spend duels:
+    each order date where two segments both transact is one match, won
+    by the larger exact-cents total (ties to the lexicographically
+    smaller segment — a deterministic rule both engines share). Five
+    minorization-maximization rounds (Hunter 2004):
+    π_i ← W_i / Σ_j n_ij/(π_i+π_j), renormalized to Σπ = 1. Emits per
+    segment the match record (wins, matches) and the fitted strength.
+
+    Exactness: the cc3/e24 half-up scaled-integer protocol end-to-end —
+    strengths live in 1e-6 fixed-point BIGINTs, every division is the
+    explicit half-up (2a+b)//(2b), and all products are bounded
+    (n_ij·S² < 2^63 up to ~9000 matches per pair; W_i·S² < 2^63 up to
+    ~9e3 wins — both orders of magnitude above any SF here), so the
+    iterate walk is bit-identical across engines; the display strength
+    is ONE exact division.
+
+    Scale shape: the fact table is scanned ONCE into the (day, segment)
+    aggregate; matches derive from a day-keyed self-join of that
+    bounded table; everything iterative runs on the K(K-1)/2-row win
+    matrix — O(K²) per round regardless of corpus size (e24's
+    aggregate-then-iterate split). The per-round 1-row normalizer rides
+    a broadcast."""
+    s = BT_SCALE
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy(
+            F.col("o_orderdate").alias("day"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        # the (day, segment) table feeds BOTH sides of the match
+        # self-join; the barrier keeps the orders ⋈ customer aggregate
+        # from running once per side
+        .localCheckpoint(eager=True)
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    m = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.seg") < F.col("b.seg")),
+        )
+        .select(
+            F.col("a.seg").alias("sa"),
+            F.col("b.seg").alias("sb"),
+            F.when(F.col("b.cents") > F.col("a.cents"), F.col("b.seg"))
+            .otherwise(F.col("a.seg"))
+            .alias("winner"),
+        )
+    )
+    up = (
+        m.groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("winner") == F.col("sa"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("wa"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dir_ = (
+        up.select(F.col("sa").alias("i"), F.col("sb").alias("j"), "n")
+        .unionAll(
+            up.select(F.col("sb").alias("i"), F.col("sa").alias("j"), "n")
+        )
+        .localCheckpoint(eager=True)
+    )
+    wins = (
+        up.select(F.col("sa").alias("i"), F.col("wa").alias("w"), "n")
+        .unionAll(
+            up.select(
+                F.col("sb").alias("i"), (F.col("n") - F.col("wa")).alias("w"), "n"
+            )
+        )
+        .groupBy("i")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_wins"),
+            F.sum("n").cast("bigint").alias("n_matches"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    k_players = wins.count()
+    p = wins.select(
+        "i", F.lit(s // k_players).cast("bigint").alias("p")
+    ).localCheckpoint(eager=True)
+    for _ in range(BT_ROUNDS):
+        d = (
+            dir_.join(p.select(F.col("i"), F.col("p").alias("p_i")), "i")
+            .join(
+                p.select(F.col("i").alias("j"), F.col("p").alias("p_j")),
+                "j",
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"(2 * n * {s} * {s} + (p_i + p_j))"
+                        f" div (2 * (p_i + p_j))"
+                    )
+                )
+                .cast("bigint")
+                .alias("d")
+            )
+        )
+        u = wins.join(d, "i").select(
+            "i",
+            F.expr(
+                f"(2 * n_wins * {s} * {s} + d) div (2 * d)"
+            ).alias("pu"),
+        )
+        tot = u.agg(F.sum("pu").cast("bigint").alias("tot"))
+        p = (
+            u.crossJoin(F.broadcast(tot))
+            .select(
+                "i",
+                F.expr(f"(2 * pu * {s} + tot) div (2 * tot)")
+                .cast("bigint")
+                .alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return wins.join(p, "i").select(
+        F.col("i").alias("seg"),
+        "n_wins",
+        "n_matches",
+        F.col("p").cast("bigint").alias("p_scaled"),
+        (F.col("p").cast("double") / F.lit(float(s))).alias("strength"),
+    )

@@ -2017,3 +2017,176 @@ def t27_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round int, merged_pair string, weighted_count long,"
         " n_spellings_changed long, total_symbols long",
     )
+
+
+# ---------------------------------------------------------------------------
+# t28 — TextRank keyword extraction (scaled-integer PageRank over the
+#       word co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+TEXTRANK_SCALE = 10 ** 9
+TEXTRANK_ROUNDS = 4
+TEXTRANK_TOP_K = 10
+
+
+def _tr_halfup(a: str, b: str) -> str:
+    return f"((2 * ({a}) + ({b})) // (2 * ({b})))"
+
+
+def _t28_oracle() -> str:
+    s = TEXTRANK_SCALE
+    steps = [f"""toks AS (
+  SELECT doc_id, {T.sql_tokenize('text')} AS w FROM documents
+),
+bigrams AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                i -> {{'a': w[i], 'b': w[i+1]}})) AS bg
+  FROM toks
+),
+bg_counts AS (
+  SELECT bg.a AS a, bg.b AS b, COUNT(*) AS n
+  FROM bigrams WHERE bg.a <> bg.b GROUP BY bg.a, bg.b
+),
+dir AS MATERIALIZED (
+  SELECT u, v, CAST(SUM(n) AS BIGINT) AS n FROM (
+    SELECT a AS u, b AS v, n FROM bg_counts
+    UNION ALL
+    SELECT b AS u, a AS v, n FROM bg_counts
+  ) GROUP BY u, v
+),
+deg AS (SELECT u, CAST(SUM(n) AS BIGINT) AS w_u FROM dir GROUP BY u),
+q AS MATERIALIZED (
+  SELECT dir.u, dir.v, {_tr_halfup(f'dir.n * {s}', 'deg.w_u')} AS q
+  FROM dir JOIN deg ON deg.u = dir.u
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+r0 AS MATERIALIZED (
+  SELECT u AS t, CAST({s} // (SELECT n_nodes FROM nn) AS BIGINT) AS r
+  FROM deg
+)"""]
+    for k in range(1, TEXTRANK_ROUNDS + 1):
+        p = k - 1
+        steps.append(f"""r{k} AS MATERIALIZED (
+  SELECT q.v AS t,
+         {_tr_halfup(f'15 * CAST({s} AS BIGINT)',
+                     '100 * (SELECT n_nodes FROM nn)')}
+         + {_tr_halfup(
+             f"85 * CAST(SUM({_tr_halfup(f'q.q * r{p}.r', str(s))}) AS BIGINT)",
+             '100',
+         )} AS r
+  FROM q JOIN r{p} ON r{p}.t = q.u
+  GROUP BY q.v
+)""")
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+SELECT t AS word,
+       CAST(r AS BIGINT) AS rank_scaled,
+       CAST(r AS DOUBLE) / {s} AS rank
+FROM r{TEXTRANK_ROUNDS}
+ORDER BY r DESC, t
+LIMIT {TEXTRANK_TOP_K}
+"""
+    )
+
+
+@register("t28_textrank_keywords", _t28_oracle())
+def t28_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau EMNLP'04): PageRank
+    over the word co-occurrence graph — nodes are content tokens, edges
+    are adjacent-pair counts symmetrized, and four damped power-
+    iteration rounds rank the words most central to the corpus's
+    phrase structure. The standard unsupervised keyword/keyphrase
+    baseline a labeling pipeline runs before paying for a model.
+
+    Exactness: the cc3/e24 half-up scaled-integer protocol — row-
+    normalized transition weights and ranks live in 1e-9 fixed-point
+    BIGINTs, the damping mix is integer arithmetic ((15·S)/(100·N) +
+    (85·contrib)/100, each an explicit half-up), and q·r products stay
+    under 2^63, so the walk and the final (rank desc, word) top-k
+    selection are bit-identical across engines; the display rank is
+    ONE exact division.
+
+    Scale shape: t11's single exploded pass builds the bigram counts
+    (adjacent-pair structs in-array JVM-side); everything after runs on
+    the vocabulary-bounded edge table — O(edges) per round regardless
+    of corpus size, with O(1) lineage via per-round eager checkpoints;
+    the top-k compiles to TakeOrderedAndProject."""
+    s = TEXTRANK_SCALE
+    docs = fanout(table(spark, sf_dir, "documents"))
+    toks = docs.select(T.tokenize(F.col("text")).alias("w"))
+    size = F.size(F.col("w"))
+    idx = F.when(size >= 2, F.sequence(F.lit(1), size - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("w"), i).alias("a"),
+                    F.element_at(F.col("w"), i + 1).alias("b"),
+                ),
+            )
+        ).alias("bg")
+    )
+    bg_counts = (
+        bigrams.filter(F.col("bg.a") != F.col("bg.b"))
+        .groupBy(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dir_ = (
+        bg_counts.select(F.col("a").alias("u"), F.col("b").alias("v"), "n")
+        .unionAll(
+            bg_counts.select(
+                F.col("b").alias("u"), F.col("a").alias("v"), "n"
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    deg = dir_.groupBy("u").agg(F.sum("n").cast("bigint").alias("w_u"))
+    q = (
+        dir_.join(deg, "u")
+        .select(
+            "u",
+            "v",
+            F.expr(f"(2 * n * {s} + w_u) div (2 * w_u)").alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = deg.count()
+    base = (2 * 15 * s + 100 * n_nodes) // (2 * 100 * n_nodes)
+    r = deg.select(
+        F.col("u").alias("t"),
+        F.lit(s // n_nodes).cast("bigint").alias("r"),
+    ).localCheckpoint(eager=True)
+    for _ in range(TEXTRANK_ROUNDS):
+        r = (
+            q.join(r, q["u"] == r["t"])
+            .select(
+                "v",
+                F.expr(f"(2 * q * r + {s}) div (2 * {s})").alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").cast("bigint").alias("contrib"))
+            .select(
+                F.col("v").alias("t"),
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr("(2 * 85 * contrib + 100) div (2 * 100)")
+                ).cast("bigint").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        r.orderBy(F.col("r").desc(), "t")
+        .limit(TEXTRANK_TOP_K)
+        .select(
+            F.col("t").alias("word"),
+            F.col("r").cast("bigint").alias("rank_scaled"),
+            (F.col("r").cast("double") / F.lit(float(s))).alias("rank"),
+        )
+    )

@@ -211,6 +211,9 @@ STRICT_VALUE_QUERIES = [
     "fe5_woe_encoding",
     "e26_ipw_uplift",
     "hs4_map_eval",
+    "ml1_perceptron_train",
+    "bt1_bradley_terry",
+    "t28_textrank_keywords",
 ]
 
 

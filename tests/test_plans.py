@@ -88,6 +88,8 @@ _BNLJ_OK = {
     "fe5_woe_encoding",  # 1-row class totals + 1-row IV scalar crosses
     "e26_ipw_uplift",  # 1-row stratum totals + 1-row ATE scalar crosses
     "hs4_map_eval",  # inherits s1's broadcast-query cross (ground truth)
+    "ml1_perceptron_train",  # 1-row weight frame crossed per round
+    "bt1_bradley_terry",  # 1-row normalizer crossed per MM round
 }
 
 #: streaming queries — their builders execute a full streaming job;

@@ -169,3 +169,75 @@ def test_hs4_weights_are_compile_time_literals(spark):
     assert _MAP_W[0] == "1.000000000"
     assert _MAP_W[2] == "0.333333333"
     assert "WHEN 10 THEN CAST(0.100000000" in _MAP_W_CASE
+
+
+# ---------------------------------------------------------------------------
+# ml1 — batch perceptron training trajectory
+# ---------------------------------------------------------------------------
+
+
+def test_ml1_trajectory_learns(spark):
+    """Round 1 misclassifies everything (zero weights give margin 0 on
+    every doc, counted as mistakes on both engines); the centered
+    features then drop the error to its noise floor and it never
+    returns to round-1 levels; weights stay exact integers."""
+    from bc_proj3_spark.operators.mltrain import ml1_perceptron_train
+
+    rows = sorted(ml1_perceptron_train(spark, SF_DIR).collect(),
+                  key=lambda r: r.round)
+    assert [r.round for r in rows] == [1, 2, 3, 4]
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert rows[0].n_mistakes == n_docs
+    assert rows[0].error_rate == 1.0
+    for r in rows[1:]:
+        assert r.n_mistakes < n_docs // 2
+        assert abs(r.error_rate - r.n_mistakes / n_docs) < 1e-15
+    for r in rows:
+        for w in (r.w0, r.w1, r.w2, r.w3):
+            assert isinstance(w, int)
+
+
+# ---------------------------------------------------------------------------
+# bt1 — Bradley-Terry strength fit
+# ---------------------------------------------------------------------------
+
+
+def test_bt1_match_accounting_and_normalization(spark):
+    """Every match has exactly one winner (total wins == total
+    matches), each segment's wins never exceed its matches, strengths
+    are positive and sum to the fixed-point scale up to K half-up
+    roundings, and the display strength is the exact scaled division."""
+    from bc_proj3_spark.operators.mltrain import BT_SCALE, bt1_bradley_terry
+
+    rows = bt1_bradley_terry(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert sum(r.n_wins for r in rows) * 2 == sum(r.n_matches for r in rows)
+    for r in rows:
+        assert 0 <= r.n_wins <= r.n_matches
+        assert r.p_scaled > 0
+        assert abs(r.strength - r.p_scaled / BT_SCALE) == 0.0
+    assert abs(sum(r.p_scaled for r in rows) - BT_SCALE) <= len(rows)
+
+
+# ---------------------------------------------------------------------------
+# t28 — TextRank keywords
+# ---------------------------------------------------------------------------
+
+
+def test_t28_ranks_positive_and_totally_ordered(spark):
+    """Exactly top-k rows, every rank positive and above the damping
+    floor (0.15/N), the list sorted by (rank desc, word) — the total
+    order both engines share — and rank the exact scaled division."""
+    from bc_proj3_spark.operators.textstats import (
+        TEXTRANK_SCALE,
+        TEXTRANK_TOP_K,
+        t28_textrank_keywords,
+    )
+
+    rows = t28_textrank_keywords(spark, SF_DIR).collect()
+    assert len(rows) == TEXTRANK_TOP_K
+    keys = [(-r.rank_scaled, r.word) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r.rank_scaled > 0
+        assert abs(r.rank - r.rank_scaled / TEXTRANK_SCALE) == 0.0

@@ -96,6 +96,9 @@ SF01_QUERIES = [
     "fe5_woe_encoding",  # log-lattice smoothed odds + decimal IV sum
     "hs4_map_eval",  # double-heavy cosine rankings on both funnel sides
     "e26_ipw_uplift",  # lattice-decimal ATE terms over IEEE cell means
+    "ml1_perceptron_train",  # iterative fixpoint (batch update rounds)
+    "bt1_bradley_terry",  # iterative fixpoint (scaled-int MM rounds)
+    "t28_textrank_keywords",  # iterative fixpoint (cc3 scaled-int class)
 ]
 
 
