@@ -241,3 +241,127 @@ def test_t28_ranks_positive_and_totally_ordered(spark):
     for r in rows:
         assert r.rank_scaled > 0
         assert abs(r.rank - r.rank_scaled / TEXTRANK_SCALE) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# adversarial scale: dq10/ml1 on a hot-key boilerplate corpus; bt1 spill
+# ---------------------------------------------------------------------------
+
+
+def test_dq10_ml1_exact_on_hotkey_boilerplate_corpus(spark):
+    """A boilerplate sentence shared by 30% of a 2000-doc corpus (the
+    license-header skew case, r9's template): the gate ledger's
+    map-side array folds and the perceptron's batch updates must stay
+    oracle-exact — neither path keys any shuffle on a token, so the hot
+    token cannot skew either plan (asserted by exact values)."""
+    import tempfile
+
+    import duckdb
+
+    from bc_proj3_spark import registry
+    from tests.test_driver_parity import strict_digest
+
+    boiler = "standard license header text applies to this file entirely"
+    docs = []
+    for i in range(1, 2001):
+        body = f"uniq{i}a the uniq{i}b a uniq{i}c uniq{i}d uniq{i}e"
+        text = (boiler + " " + body) if i % 10 < 3 else body
+        docs.append((i, text, "en" if i % 3 else "de", f"s{i % 4}",
+                     len(text) * (5 if i % 7 == 0 else 1)))
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(f"{tmp}/documents.parquet")
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+            )
+            for name in ("dq10_quality_gates", "ml1_perceptron_train"):
+                spec = registry.all_queries()[name]
+                df = spec.builder(spark, tmp)
+                rows = [tuple(r) for r in df.collect()]
+                res = con.execute(spec.oracle)
+                ocols = [d[0] for d in res.description]
+                orows = [tuple(r) for r in res.fetchall()]
+                assert len(rows) == len(orows), name
+                assert strict_digest(list(df.columns), rows) == strict_digest(
+                    ocols, orows
+                ), f"{name} diverged on the hot-key corpus"
+                spark.catalog.clearCache()
+        finally:
+            con.close()
+
+
+def test_bt1_identical_values_under_spill_pressure():
+    """bt1's per-round keyed joins and the day-keyed match self-join
+    must stay value-identical when the session is squeezed to 2 shuffle
+    partitions with floor-level force-spill thresholds (the d13/w3/d14
+    spill-gate discipline applied to the new MM-iteration path)."""
+    import json
+    import subprocess
+    import sys
+
+    prog = """
+import json, sys
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("spill-sim-bt1")
+    .config("spark.ui.enabled", "false")
+    .config("spark.shuffle.spill.numElementsForceSpillThreshold", "5000")
+    .config("spark.sql.windowExecBufferSpillThreshold", "128")
+    .getOrCreate()
+)
+import __spark_entry__ as E
+from tests.test_driver_parity import strict_digest
+df = E.queries()["bt1_bradley_terry"](spark, sys.argv[1])
+rows = [tuple(r) for r in df.collect()]
+print("SPILL_JSON:" + json.dumps([len(rows), strict_digest(list(df.columns), rows)]))
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env["SPARK_GRAFT_SHUFFLE"] = "2"
+    proc = subprocess.run(
+        [sys.executable, "-c", prog, SF_DIR],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd="/root/repo",
+    )
+    payload = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("SPILL_JSON:"):
+            payload = json.loads(line[len("SPILL_JSON:"):])
+    assert payload is not None, (
+        f"spill run produced no result (rc={proc.returncode})\n"
+        f"stderr tail: {proc.stderr[-1500:]}"
+    )
+    n_rows, digest = payload
+
+    import duckdb
+
+    from bc_proj3_spark import registry
+    from tests.test_driver_parity import strict_digest
+
+    spec = registry.all_queries()["bt1_bradley_terry"]
+    con = duckdb.connect()
+    try:
+        for t in ("orders", "customer"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        res = con.execute(spec.oracle)
+        ocols = [d[0] for d in res.description]
+        orows = [tuple(r) for r in res.fetchall()]
+    finally:
+        con.close()
+    assert n_rows == len(orows)
+    assert digest == strict_digest(ocols, orows), (
+        "bt1 values diverged under spill pressure"
+    )
