@@ -1789,3 +1789,148 @@ def g12_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_nodes").desc(), "community")
         .limit(MOD_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# g13 — HITS hubs/authorities over the customer→part purchase bipartite
+#       graph (sum-normalized, scaled-integer power iteration)
+# ---------------------------------------------------------------------------
+
+HITS_SCALE = 10 ** 6
+HITS_ROUNDS = 4
+HITS_TOP_K = 10
+
+
+def _hits_halfup(a: str, b: str) -> str:
+    return f"((2 * ({a}) + ({b})) // (2 * ({b})))"
+
+
+def _g13_oracle() -> str:
+    s = HITS_SCALE
+    steps = [f"""edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS v
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+hubs AS (SELECT DISTINCT u FROM edges),
+auths AS (SELECT DISTINCT v FROM edges),
+h0 AS MATERIALIZED (
+  SELECT u, CAST({s} // (SELECT COUNT(*) FROM hubs) AS BIGINT) AS h
+  FROM hubs
+)"""]
+    for k in range(1, HITS_ROUNDS + 1):
+        p = k - 1
+        steps.append(f"""ar{k} AS (
+  SELECT e.v, CAST(SUM(h{p}.h) AS BIGINT) AS a_raw
+  FROM edges e JOIN h{p} ON h{p}.u = e.u GROUP BY e.v
+),
+a{k} AS MATERIALIZED (
+  SELECT v, {_hits_halfup(f'a_raw * {s}', f'(SELECT SUM(a_raw) FROM ar{k})')}
+           AS a
+  FROM ar{k}
+),
+hr{k} AS (
+  SELECT e.u, CAST(SUM(a{k}.a) AS BIGINT) AS h_raw
+  FROM edges e JOIN a{k} ON a{k}.v = e.v GROUP BY e.u
+),
+h{k} AS MATERIALIZED (
+  SELECT u, {_hits_halfup(f'h_raw * {s}', f'(SELECT SUM(h_raw) FROM hr{k})')}
+           AS h
+  FROM hr{k}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+SELECT v AS part_key,
+       CAST(a AS BIGINT) AS auth_scaled,
+       CAST(a AS DOUBLE) / {s} AS authority
+FROM a{HITS_ROUNDS}
+ORDER BY a DESC, v
+LIMIT {HITS_TOP_K}
+"""
+    )
+
+
+@register("g13_hits_authorities", _g13_oracle())
+def g13_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) over the customer→part purchase bipartite
+    graph, sum-normalized: a part's authority is the total hub score of
+    the customers buying it, a customer's hub score the total authority
+    of the parts they buy — the mutually-reinforcing centrality that
+    separates 'bought by broad, well-connected buyers' from raw
+    purchase counts (the same recursion a retrieval stack runs on
+    query↔document click graphs). Emits the top-k authority parts.
+
+    Exactness: the cc3/e24 half-up scaled-integer protocol with L1
+    (sum) normalization so no square root is ever taken: scores live in
+    1e-6 fixed-point BIGINTs, each round's raw sums are exact integer
+    aggregates, each normalization is ONE explicit half-up; products
+    stay under 2^63 while max-degree·SCALE² < 2^63 (degree < ~9·10⁶ —
+    orders of magnitude above any SF here; documented bound, not a
+    silent one). Top-k selection is on exact integers with the part
+    key as tiebreak.
+
+    Scale shape: the fact tables are scanned ONCE into the distinct
+    edge list (checkpointed); every round is two edge-keyed
+    aggregations + a 1-row normalizer broadcast — O(edges) per round
+    with O(1) lineage via per-round eager checkpoints; the top-k
+    compiles to TakeOrderedAndProject."""
+    s = HITS_SCALE
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_hubs = edges.select("u").distinct().count()
+    h = (
+        edges.select("u")
+        .distinct()
+        .select("u", F.lit(s // n_hubs).cast("bigint").alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    a = None
+    for _ in range(HITS_ROUNDS):
+        ar = (
+            edges.join(h, "u")
+            .groupBy("v")
+            .agg(F.sum("h").cast("bigint").alias("a_raw"))
+        )
+        at = ar.agg(F.sum("a_raw").cast("bigint").alias("tot"))
+        a = (
+            ar.crossJoin(F.broadcast(at))
+            .select(
+                "v",
+                F.expr(f"(2 * a_raw * {s} + tot) div (2 * tot)")
+                .cast("bigint")
+                .alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hr = (
+            edges.join(a, "v")
+            .groupBy("u")
+            .agg(F.sum("a").cast("bigint").alias("h_raw"))
+        )
+        ht = hr.agg(F.sum("h_raw").cast("bigint").alias("tot"))
+        h = (
+            hr.crossJoin(F.broadcast(ht))
+            .select(
+                "u",
+                F.expr(f"(2 * h_raw * {s} + tot) div (2 * tot)")
+                .cast("bigint")
+                .alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        a.orderBy(F.col("a").desc(), "v")
+        .limit(HITS_TOP_K)
+        .select(
+            F.col("v").alias("part_key"),
+            F.col("a").cast("bigint").alias("auth_scaled"),
+            (F.col("a").cast("double") / F.lit(float(s))).alias("authority"),
+        )
+    )

@@ -420,3 +420,192 @@ def bt1_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").cast("bigint").alias("p_scaled"),
         (F.col("p").cast("double") / F.lit(float(s))).alias("strength"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml2 — multinomial naive Bayes: train + score + confusion matrix
+# ---------------------------------------------------------------------------
+
+from bc_proj3_spark.functions import text as T  # noqa: E402
+from bc_proj3_spark.functions.joins import gated_broadcast  # noqa: E402
+
+_ML2_DEC = "DECIMAL(28,10)"
+
+
+def _ml2_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({T.sql_tokenize('text')}) AS w
+  FROM documents
+),
+dt AS MATERIALIZED (
+  SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2, 3
+),
+cls AS MATERIALIZED (
+  SELECT lang AS c, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_c,
+         CAST(SUM(cnt) AS BIGINT) AS tot_c
+  FROM dt GROUP BY 1
+),
+vocab AS (SELECT DISTINCT w FROM dt),
+consts AS (
+  SELECT (SELECT CAST(SUM(n_docs_c) AS BIGINT) FROM cls) AS n_docs,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM vocab) AS v
+),
+tc AS (
+  SELECT lang AS c, w, CAST(SUM(cnt) AS BIGINT) AS n_cw
+  FROM dt GROUP BY 1, 2
+),
+grid AS MATERIALIZED (
+  SELECT cls.c, vocab.w,
+         CAST(ROUND(LN(
+           CAST(COALESCE(tc.n_cw, 0) + 1 AS DOUBLE)
+           / (cls.tot_c + (SELECT v FROM consts))
+         ), 9) AS {_ML2_DEC}) AS term
+  FROM cls CROSS JOIN vocab
+  LEFT JOIN tc ON tc.c = cls.c AND tc.w = vocab.w
+),
+prior AS (
+  SELECT c, CAST(ROUND(LN(
+           CAST(n_docs_c AS DOUBLE) / (SELECT n_docs FROM consts)
+         ), 9) AS {_ML2_DEC}) AS p
+  FROM cls
+),
+score AS (
+  SELECT dt.doc_id, dt.lang, grid.c,
+         SUM(CAST(dt.cnt AS DECIMAL(4,0)) * grid.term) + ANY_VALUE(prior.p)
+           AS s
+  FROM dt
+  JOIN grid ON grid.w = dt.w
+  JOIN prior ON prior.c = grid.c
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT doc_id, lang, c AS predicted FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY s DESC, c) AS rn
+    FROM score
+  ) t WHERE rn = 1
+),
+conf AS MATERIALIZED (
+  SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT lang, predicted, n_docs,
+       (SELECT CAST(SUM(CASE WHEN lang = predicted THEN n_docs ELSE 0 END)
+                    AS DOUBLE) / SUM(n_docs)
+        FROM conf) AS accuracy
+FROM conf
+"""
+
+
+@register("ml2_naive_bayes_confusion", _ml2_oracle())
+def ml2_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes, trained AND evaluated as one Spark job:
+    Laplace-smoothed class-conditional token probabilities and document
+    priors fit on the corpus (target = document language, which this
+    corpus's token mix genuinely encodes), every document scored
+    against every class, and the resubstitution confusion matrix
+    emitted with the overall accuracy — the baseline every text
+    classifier must beat, produced by the same engine that prepared
+    the corpus.
+
+    Exactness: every probability is ONE IEEE division of exact BIGINTs
+    ((n_cw+1)/(tot_c+V); n_c/N) followed by ROUND(LN(x), 9) — the
+    t21/g9 log-lattice — carried as DECIMAL; each document's class
+    score is an order-free decimal sum of (count × term) products
+    (counts collapse to DECIMAL(4,0) first — hs4's precision-38
+    lesson), so the (score DESC, class) argmax is bit-identical across
+    engines. Documents whose content tokens are all stopwords have no
+    token evidence and are excluded by construction on both engines.
+
+    Scale shape: ONE exploded pass builds the per-(doc, token) counts
+    (checkpointed — it feeds training counts AND scoring); the model is
+    the (V×C) grid + C priors (vocabulary-bounded, gated broadcast for
+    the scoring join); scoring is one token-keyed join + per-(doc,
+    class) map-side-combinable aggregate; the confusion matrix is C²
+    rows however big the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id", "lang", F.explode(T.tokenize(F.col("text"))).alias("w")
+        )
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    cls = (
+        dt.groupBy(F.col("lang").alias("c"))
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs_c"),
+            F.sum("cnt").cast("bigint").alias("tot_c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    vocab = dt.select("w").distinct()
+    n_docs = cls.agg(F.sum("n_docs_c")).collect()[0][0]
+    v = vocab.count()
+    tc = dt.groupBy(F.col("lang").alias("c"), "w").agg(
+        F.sum("cnt").cast("bigint").alias("n_cw")
+    )
+    grid = (
+        cls.crossJoin(vocab)
+        .join(tc, ["c", "w"], "left")
+        .select(
+            "c",
+            "w",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("n_cw"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot_c") + F.lit(v))
+                ),
+                9,
+            )
+            .cast(_ML2_DEC.lower())
+            .alias("term"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prior = cls.select(
+        "c",
+        F.round(
+            F.log(F.col("n_docs_c").cast("double") / F.lit(float(n_docs))), 9
+        )
+        .cast(_ML2_DEC.lower())
+        .alias("p"),
+    )
+    score = (
+        dt.join(gated_broadcast(grid), "w")
+        .join(F.broadcast(prior), "c")
+        .groupBy("doc_id", "lang", "c")
+        .agg(
+            (
+                F.sum(F.col("cnt").cast("decimal(4,0)") * F.col("term"))
+                + F.any_value(F.col("p"))
+            ).alias("s")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w_ = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("c"))
+    pred = (
+        score.withColumn("rn", F.row_number().over(w_))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("c").alias("predicted"))
+    )
+    conf = (
+        pred.groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
+    acc = conf.agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("lang") == F.col("predicted"), F.col("n_docs")
+                ).otherwise(0)
+            ).cast("double")
+            / F.sum("n_docs")
+        ).alias("accuracy")
+    )
+    return conf.crossJoin(F.broadcast(acc))

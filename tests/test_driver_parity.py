@@ -214,6 +214,8 @@ STRICT_VALUE_QUERIES = [
     "ml1_perceptron_train",
     "bt1_bradley_terry",
     "t28_textrank_keywords",
+    "ml2_naive_bayes_confusion",
+    "g13_hits_authorities",
 ]
 
 

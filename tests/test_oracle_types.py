@@ -128,6 +128,9 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     # integer gate-count ratio: SUM of exact 0/1 products, one IEEE
     # division by COUNT(*) — identical on both engines
     ("dq10_quality_gates", "pass_rate"),
+    # integer confusion-count ratio: exact BIGINT diagonal / total,
+    # one IEEE division
+    ("ml2_naive_bayes_confusion", "accuracy"),
 }
 
 #: Accumulation forms that are exact without ROUND:

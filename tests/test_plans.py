@@ -90,6 +90,8 @@ _BNLJ_OK = {
     "hs4_map_eval",  # inherits s1's broadcast-query cross (ground truth)
     "ml1_perceptron_train",  # 1-row weight frame crossed per round
     "bt1_bradley_terry",  # 1-row normalizer crossed per MM round
+    "ml2_naive_bayes_confusion",  # 1-row accuracy scalar crossed in
+    "g13_hits_authorities",  # 1-row normalizer crossed per HITS round
 }
 
 #: streaming queries — their builders execute a full streaming job;

@@ -365,3 +365,62 @@ print("SPILL_JSON:" + json.dumps([len(rows), strict_digest(list(df.columns), row
     assert digest == strict_digest(ocols, orows), (
         "bt1 values diverged under spill pressure"
     )
+
+
+# ---------------------------------------------------------------------------
+# ml2 — naive Bayes confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def test_ml2_confusion_accounting(spark):
+    """Confusion counts cover exactly the documents with at least one
+    content token; accuracy equals diagonal/total recomputed from the
+    matrix and is identical on every row; the fit beats the majority-
+    class prior on this corpus (the token mix genuinely encodes the
+    language); every actual language appears."""
+    from bc_proj3_spark.functions import text as T
+    from bc_proj3_spark.operators.mltrain import ml2_naive_bayes_confusion
+
+    rows = ml2_naive_bayes_confusion(spark, SF_DIR).collect()
+    assert rows
+    total = sum(r.n_docs for r in rows)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scored = docs.select(
+        F.size(T.tokenize(F.col("text"))).alias("n")
+    ).filter(F.col("n") > 0).count()
+    assert total == scored
+    diag = sum(r.n_docs for r in rows if r.lang == r.predicted)
+    assert abs(rows[0].accuracy - diag / total) < 1e-15
+    assert all(r.accuracy == rows[0].accuracy for r in rows)
+    by_actual = {}
+    for r in rows:
+        by_actual[r.lang] = by_actual.get(r.lang, 0) + r.n_docs
+    majority = max(by_actual.values()) / total
+    assert rows[0].accuracy > majority
+    assert set(by_actual) == {"de", "en", "es", "fr", "zh"}
+
+
+# ---------------------------------------------------------------------------
+# g13 — HITS authorities
+# ---------------------------------------------------------------------------
+
+
+def test_g13_topk_order_and_normalization(spark):
+    """Exactly top-k rows, sorted by (auth_scaled desc, part_key) — the
+    shared total order; authorities positive; the top-k mass never
+    exceeds the fixed-point scale (sum normalization); the display
+    authority is the exact scaled division."""
+    from bc_proj3_spark.operators.graph import (
+        HITS_SCALE,
+        HITS_TOP_K,
+        g13_hits_authorities,
+    )
+
+    rows = g13_hits_authorities(spark, SF_DIR).collect()
+    assert len(rows) == HITS_TOP_K
+    keys = [(-r.auth_scaled, r.part_key) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r.auth_scaled > 0
+        assert abs(r.authority - r.auth_scaled / HITS_SCALE) == 0.0
+    assert sum(r.auth_scaled for r in rows) <= HITS_SCALE + HITS_TOP_K

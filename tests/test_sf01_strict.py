@@ -99,6 +99,8 @@ SF01_QUERIES = [
     "ml1_perceptron_train",  # iterative fixpoint (batch update rounds)
     "bt1_bradley_terry",  # iterative fixpoint (scaled-int MM rounds)
     "t28_textrank_keywords",  # iterative fixpoint (cc3 scaled-int class)
+    "ml2_naive_bayes_confusion",  # log-lattice decimal score argmax
+    "g13_hits_authorities",  # iterative fixpoint (scaled-int HITS)
 ]
 
 
