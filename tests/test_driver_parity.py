@@ -216,6 +216,7 @@ STRICT_VALUE_QUERIES = [
     "t28_textrank_keywords",
     "ml2_naive_bayes_confusion",
     "g13_hits_authorities",
+    "ml3_decision_stump",
 ]
 
 

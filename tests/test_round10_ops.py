@@ -424,3 +424,34 @@ def test_g13_topk_order_and_normalization(spark):
         assert r.auth_scaled > 0
         assert abs(r.authority - r.auth_scaled / HITS_SCALE) == 0.0
     assert sum(r.auth_scaled for r in rows) <= HITS_SCALE + HITS_TOP_K
+
+
+# ---------------------------------------------------------------------------
+# ml3 — decision stump
+# ---------------------------------------------------------------------------
+
+
+def test_ml3_stump_accounting_and_lift(spark):
+    """The two leaves partition the corpus; n_correct and accuracy are
+    consistent; the fitted stump beats the majority-class prior (the
+    length target is axis-aligned, so a depth-1 split captures it
+    almost perfectly); the chosen feature is one of the candidates."""
+    from bc_proj3_spark.operators.mltrain import (
+        STUMP_LABEL_CHARS,
+        ml3_decision_stump,
+    )
+
+    rows = ml3_decision_stump(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    n_pos = docs.filter(F.col("n_chars") >= STUMP_LABEL_CHARS).count()
+    assert r.n_left + r.n_right == n_docs
+    assert r.n_left > 0 and r.n_right > 0
+    assert 0 < r.n_correct <= n_docs
+    assert abs(r.accuracy - r.n_correct / n_docs) < 1e-15
+    majority = max(n_pos, n_docs - n_pos) / n_docs
+    assert r.accuracy > majority
+    assert r.feature in ("n_words", "n_distinct")
+    assert r.pred_left != r.pred_right  # a degenerate stump learned nothing

@@ -101,6 +101,7 @@ SF01_QUERIES = [
     "t28_textrank_keywords",  # iterative fixpoint (cc3 scaled-int class)
     "ml2_naive_bayes_confusion",  # log-lattice decimal score argmax
     "g13_hits_authorities",  # iterative fixpoint (scaled-int HITS)
+    "ml3_decision_stump",  # scaled-int purity argmax over prefix sums
 ]
 
 
