@@ -1885,6 +1885,13 @@ def g13_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_hubs = edges.select("u").distinct().count()
+    if n_hubs == 0:
+        # degenerate input (no purchases): the oracle's final select
+        # over the empty authority table yields zero rows — mirror it
+        # instead of crashing on SCALE // 0
+        return spark.createDataFrame(
+            [], "part_key long, auth_scaled long, authority double"
+        )
     h = (
         edges.select("u")
         .distinct()

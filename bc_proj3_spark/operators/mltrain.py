@@ -145,6 +145,17 @@ def ml1_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     ).localCheckpoint(eager=True)
     n_docs = feat.count()
+    if n_docs == 0:
+        # degenerate corpus: the oracle still emits one row per round
+        # (aggregates over an empty frame return a row) with zero
+        # mistakes/weights and a NULL error rate (DuckDB 0/0 is NULL;
+        # Spark's ANSI division would THROW at constant folding) —
+        # mirror those rows literally
+        return spark.createDataFrame(
+            [(k, 0, 0, 0, 0, 0, None) for k in range(1, PERCEPTRON_ROUNDS + 1)],
+            "round int, n_mistakes long, w0 long, w1 long, w2 long,"
+            " w3 long, error_rate double",
+        )
 
     w = spark.range(1).select(
         *[F.lit(0).cast("bigint").alias(f"w{i}") for i in range(4)]
@@ -374,6 +385,15 @@ def bt1_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     k_players = wins.count()
+    if k_players == 0:
+        # degenerate input (no two segments ever share an order date):
+        # the oracle's final join over the empty win table yields zero
+        # rows — mirror it instead of crashing on SCALE // 0
+        return spark.createDataFrame(
+            [],
+            "seg string, n_wins long, n_matches long,"
+            " p_scaled long, strength double",
+        )
     p = wins.select(
         "i", F.lit(s // k_players).cast("bigint").alias("p")
     ).localCheckpoint(eager=True)
@@ -545,6 +565,13 @@ def ml2_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = dt.select("w").distinct()
     n_docs = cls.agg(F.sum("n_docs_c")).collect()[0][0]
     v = vocab.count()
+    if not n_docs or v == 0:
+        # degenerate corpus (no content tokens anywhere): the oracle's
+        # confusion CTE is empty — mirror it instead of crashing on
+        # float(None) / log of an empty-vocabulary model
+        return spark.createDataFrame(
+            [], "lang string, predicted string, n_docs long, accuracy double"
+        )
     tc = dt.groupBy(F.col("lang").alias("c"), "w").agg(
         F.sum("cnt").cast("bigint").alias("n_cw")
     )

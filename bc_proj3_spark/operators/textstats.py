@@ -2158,6 +2158,13 @@ def t28_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_nodes = deg.count()
+    if n_nodes == 0:
+        # degenerate corpus (no adjacent distinct-token pair anywhere):
+        # the oracle's final select over the empty rank table yields
+        # zero rows — mirror it instead of crashing on SCALE // 0
+        return spark.createDataFrame(
+            [], "word string, rank_scaled long, rank double"
+        )
     base = (2 * 15 * s + 100 * n_nodes) // (2 * 100 * n_nodes)
     r = deg.select(
         F.col("u").alias("t"),

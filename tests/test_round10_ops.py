@@ -455,3 +455,58 @@ def test_ml3_stump_accounting_and_lift(spark):
     assert r.accuracy > majority
     assert r.feature in ("n_words", "n_distinct")
     assert r.pred_left != r.pred_right  # a degenerate stump learned nothing
+
+
+# ---------------------------------------------------------------------------
+# degenerate inputs: every r10 op mirrors its oracle on an EMPTY corpus
+# ---------------------------------------------------------------------------
+
+
+def test_r10_ops_mirror_oracle_on_empty_tables(spark, tmp_path):
+    """Zero-row inputs must produce the oracle's exact output, not a
+    driver-side crash (r9's hardening discipline): the fits with
+    Python-literal divisors (ml1) or SCALE // count initializers
+    (bt1, t28, g13, ml2) guard explicitly; the rest degrade through
+    empty frames. Spark 4's ANSI division THROWS where DuckDB yields
+    NULL, so the guards mirror rows literally where the oracle still
+    emits aggregates over the empty frame."""
+    import duckdb
+
+    from bc_proj3_spark import registry
+    from bc_proj3_spark.plans.tables import TABLE_NAMES
+    from tests.test_driver_parity import strict_digest
+
+    tmp = str(tmp_path)
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        src = f"{SF_DIR}/{t}.parquet"
+        if not os.path.exists(src):
+            continue
+        spark.read.parquet(src).limit(0).write.parquet(f"{tmp}/{t}.parquet")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp}/{t}.parquet/*.parquet')"
+        )
+    names = [
+        "dq10_quality_gates", "fe5_woe_encoding", "e26_ipw_uplift",
+        "hs4_map_eval", "ml1_perceptron_train", "bt1_bradley_terry",
+        "t28_textrank_keywords", "ml2_naive_bayes_confusion",
+        "g13_hits_authorities", "ml3_decision_stump",
+    ]
+    try:
+        for name in names:
+            spec = registry.all_queries()[name]
+            df = spec.builder(spark, tmp)
+            rows = [tuple(r) for r in df.collect()]
+            res = con.execute(spec.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = [tuple(r) for r in res.fetchall()]
+            assert len(rows) == len(orows), (
+                f"{name}: {len(rows)} spark rows vs {len(orows)} oracle"
+            )
+            assert strict_digest(list(df.columns), rows) == strict_digest(
+                ocols, orows
+            ), f"{name} diverged on the empty corpus"
+            spark.catalog.clearCache()
+    finally:
+        con.close()
