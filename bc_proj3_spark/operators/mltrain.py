@@ -493,7 +493,7 @@ prior AS (
 ),
 score AS (
   SELECT dt.doc_id, dt.lang, grid.c,
-         SUM(CAST(dt.cnt AS DECIMAL(4,0)) * grid.term) + ANY_VALUE(prior.p)
+         SUM(CAST(dt.cnt AS DECIMAL(9,0)) * grid.term) + ANY_VALUE(prior.p)
            AS s
   FROM dt
   JOIN grid ON grid.w = dt.w
@@ -534,9 +534,12 @@ def ml2_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((n_cw+1)/(tot_c+V); n_c/N) followed by ROUND(LN(x), 9) — the
     t21/g9 log-lattice — carried as DECIMAL; each document's class
     score is an order-free decimal sum of (count × term) products
-    (counts collapse to DECIMAL(4,0) first — hs4's precision-38
-    lesson), so the (score DESC, class) argmax is bit-identical across
-    engines. Documents whose content tokens are all stopwords have no
+    (counts collapse to DECIMAL(9,0) first — (9,0)×(28,10) is exactly
+    precision 38, so no product can silently rescale; hs4's
+    precision-38 lesson). The remaining documented bound: one token
+    repeated ≥ 1e9 times in ONE document overflows the (9,0) cast on
+    both engines — loud, not silent. The (score DESC, class) argmax is
+    bit-identical across engines. Documents whose content tokens are all stopwords have no
     token evidence and are excluded by construction on both engines.
 
     Scale shape: ONE exploded pass builds the per-(doc, token) counts
@@ -607,7 +610,7 @@ def ml2_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "c")
         .agg(
             (
-                F.sum(F.col("cnt").cast("decimal(4,0)") * F.col("term"))
+                F.sum(F.col("cnt").cast("decimal(9,0)") * F.col("term"))
                 + F.any_value(F.col("p"))
             ).alias("s")
         )
@@ -681,7 +684,7 @@ pre AS (
 scored AS (
   SELECT feature, v AS threshold,
          pl, nl, pt - pl AS pr, nt - nl AS nr,
-         {{hu_l}} + {{hu_r}} AS score_scaled
+         CAST({{hu_l}} + {{hu_r}} AS BIGINT) AS score_scaled
   FROM pre
   WHERE pl + nl > 0 AND (pt - pl) + (nt - nl) > 0
 ),
@@ -700,9 +703,11 @@ SELECT feature, threshold, score_scaled,
          / (pl + nl + pr + nr) AS accuracy
 FROM best
 """.format(
-        hu_l=f"((2 * (pl * pl + nl * nl) * {s} + (pl + nl))"
+        hu_l=f"((2 * (CAST(pl AS HUGEINT) * pl"
+        f" + CAST(nl AS HUGEINT) * nl) * {s} + (pl + nl))"
         f" // (2 * (pl + nl)))",
-        hu_r=f"((2 * ((pt - pl) * (pt - pl) + (nt - nl) * (nt - nl)) * {s}"
+        hu_r=f"((2 * (CAST(pt - pl AS HUGEINT) * (pt - pl)"
+        f" + CAST(nt - nl AS HUGEINT) * (nt - nl)) * {s}"
         f" + ((pt - pl) + (nt - nl)))"
         f" // (2 * ((pt - pl) + (nt - nl))))",
     )
@@ -721,10 +726,13 @@ def ml3_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: class counts per candidate come from an integer prefix
     sum over the per-(feature, value) aggregate; the purity score is
-    two explicit half-up divisions in 1e-9 fixed point (p²·S bounded
-    < 2^63 below ~3e6 positives per feature — documented, not silent);
-    the argmax runs on exact BIGINTs with (feature, threshold)
-    tiebreaks; accuracy is ONE IEEE division of exact integers.
+    two explicit half-up divisions in 1e-9 fixed point, with the
+    2·(p²+n²)·S numerator carried in 128-bit-equivalent arithmetic
+    (HUGEINT / DECIMAL(38,0)) so the binding bound is the BIGINT
+    result ≈ p·S < 2^63 — ~9.2e9 positives per feature, not the ~7e4
+    a 64-bit numerator would allow (documented, not silent); the
+    argmax runs on exact BIGINTs with (feature, threshold) tiebreaks;
+    accuracy is ONE IEEE division of exact integers.
 
     Scale shape: ONE documents scan fans out map-side into the
     (feature, value) long format; candidate stats are a bounded
@@ -790,11 +798,13 @@ def ml3_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         nr.alias("nr"),
         (
             F.expr(
-                f"(2 * (pl * pl + nl * nl) * {s} + (pl + nl))"
+                f"(2 * (CAST(pl AS DECIMAL(38,0)) * pl"
+                f" + CAST(nl AS DECIMAL(38,0)) * nl) * {s} + (pl + nl))"
                 f" div (2 * (pl + nl))"
             )
             + F.expr(
-                f"(2 * ((pt - pl) * (pt - pl) + (nt - nl) * (nt - nl))"
+                f"(2 * (CAST(pt - pl AS DECIMAL(38,0)) * (pt - pl)"
+                f" + CAST(nt - nl AS DECIMAL(38,0)) * (nt - nl))"
                 f" * {s} + ((pt - pl) + (nt - nl)))"
                 f" div (2 * ((pt - pl) + (nt - nl)))"
             )

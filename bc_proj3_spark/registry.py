@@ -87,13 +87,6 @@ _REGISTERING_MODULES = (
 #: row at most ~2 rounds old. Update this map from CORRECTNESS_r{N}.json
 #: each round; queries absent from the map sort first (round 0).
 _VERIFIED_ROUND: dict[str, int] = {
-    # round -1: queries whose PLAN was rewritten in r7 after the r6
-    # advisor review (sp11 single-scan epoch explode; cur1
-    # interpolation-free thresholds) — their r6 green rows describe the
-    # old plan, so they re-enter the prefix ahead of the round-0 block.
-    # Exactly 2 pins: the 48 never-verified round-0 queries + these 2
-    # fill the driver's ~50-slot prefix with nothing displaced.
-    "sp11_epoch_shuffle": -1, "cur1_curriculum_schedule": -1,
     #
     # round 3 (CORRECTNESS_r03.json) — stalest greens, rotate next
     "d1_exact_dedup_groups": 3, "d2_dedup_survivors": 3,
@@ -183,76 +176,130 @@ _VERIFIED_ROUND: dict[str, int] = {
     "t18_token_entropy": 6, "t19_oov_rate": 6, "t20_shingle_novelty": 6,
     "ts1_gap_fill": 6, "ts2_ewma": 6, "ts4_twap": 6, "u3_bag_set_ops": 6,
     "w2_spend_deciles": 6, "w3_trailing_hour_range": 6,
+    # round 7 (CORRECTNESS_r07.json) — 50/50 green: the 2 re-pinned
+    # plan-rewrites (sp11, cur1) verified on their NEW plans, plus all
+    # 48 queries staged from the round-0 block.
+    "sp11_epoch_shuffle": 7, "cur1_curriculum_schedule": 7,
+    "pi1_power_iteration": 7, "pi2_spectral_gap": 7,
+    "cc2_star_components": 7, "cc4_bfs_distance": 7,
+    "tc1_triangle_census": 7,
+    "st4_stream_dedup": 7, "st5_stream_stream_join": 7,
+    "st6_stream_append_windows": 7, "st7_stream_static_join": 7,
+    "st8_stream_apply_changes": 7,
+    "s5_kmeans_assign": 7, "fe2_train_scaled": 7,
+    "cal1_reliability_bins": 7, "mi1_mutual_information": 7,
+    "d11_minhash_calibration": 7, "er1_fuzzy_name_pairs": 7,
+    "g2_centroid_shift": 7, "dq3_benford_digits": 7,
+    "o5_value_outliers": 7, "t10_unigram_logprob": 7,
+    "t16_bigram_logprob": 7, "t14_tfidf_topterms": 7,
+    "t22_readability": 7, "bm1_bm25_topk": 7,
+    "sp5_temperature_mix": 7, "sp6_weighted_sample": 7,
+    "bf1_bloom_semijoin": 7, "sj1_salted_user_join": 7,
+    "d8_incremental_dedup": 7, "ch2_duplicate_chunks": 7,
+    "m4_media_dedup": 7, "er2_canonical_assignment": 7,
+    "er3_canonical_roots": 7, "dq2_referential_integrity": 7,
+    "bmp2_bitmap_distinct_rollup": 7, "cdc4_incremental_agg": 7,
+    "ch1_chunk_documents": 7, "f1_quality_filter": 7,
+    "fe1_feature_vector": 7, "gdpr1_erasure_footprint": 7,
+    "imp1_median_impute": 7, "lab1_weak_labels": 7,
+    "o6_pareto_frontier": 7, "prof1_table_stats": 7,
+    "sk5_bloom_bits": 7, "sk6_bloom_membership": 7,
+    "t13_langid_confusion": 7, "t15_skipgram_pairs": 7,
 }
 
 
-#: Tie-break within the never-verified (round-0) block. After the r6
-#: rotation this block is exactly the 48 queries that have never held a
-#: driver-green row; all 48 fit the ~50-slot prefix, so this ordering
-#: only matters if the prefix shrinks — riskiest first (iterative
-#: fixpoints, streaming drains, double-heavy numerics — the classes
-#: where r6's cc3 lattice-tie bug hid), then the long mechanical tail.
-#: Names absent from the registry are ignored.
+#: Tie-break within the never-verified (round-0) block. After the r7
+#: rotation this block is exactly the 73 queries registered in builder
+#: rounds 7-10 that have never held a driver-green row (the driver
+#: skipped three rounds). The ~50-slot prefix takes the FIRST 50 names
+#: below in r8; the remaining 23 (the mechanical tail after the
+#: "=== r9 leftover ===" marker) clear in r9. Riskiest first: iterative
+#: fixpoints and double-heavy numerics — the classes where r6's cc3
+#: lattice-tie bug hid. Names absent from the registry are ignored;
+#: names absent from THIS list rank after every listed one, so new r8
+#: registrations sort at positions 74+ and cannot displace a staged
+#: slot.
 _SHOWCASE_FIRST: tuple[str, ...] = (
-    # iterative / fixpoint protocols
-    "pi1_power_iteration",
-    "pi2_spectral_gap",
-    "cc2_star_components",
-    "cc4_bfs_distance",
-    "tc1_triangle_census",
-    # streaming drains
-    "st4_stream_dedup",
-    "st5_stream_stream_join",
-    "st6_stream_append_windows",
-    "st7_stream_static_join",
-    "st8_stream_apply_changes",
-    # double-heavy numerics
-    "s5_kmeans_assign",
-    "fe2_train_scaled",
-    "cal1_reliability_bins",
-    "mi1_mutual_information",
-    "d11_minhash_calibration",
-    "er1_fuzzy_name_pairs",
-    "g2_centroid_shift",
-    "dq3_benford_digits",
-    "o5_value_outliers",
-    "t10_unigram_logprob",
-    "t16_bigram_logprob",
-    "t14_tfidf_topterms",
-    "t22_readability",
-    "bm1_bm25_topk",
-    "sp5_temperature_mix",
-    "sp6_weighted_sample",
-    # joins / semi-joins / dedup machinery
-    "bf1_bloom_semijoin",
-    "sj1_salted_user_join",
-    "d8_incremental_dedup",
-    "ch2_duplicate_chunks",
-    "m4_media_dedup",
-    "er2_canonical_assignment",
-    "er3_canonical_roots",
-    "dq2_referential_integrity",
-    # remaining mechanical tail
-    "bmp2_bitmap_distinct_rollup",
-    "cdc4_incremental_agg",
-    "ch1_chunk_documents",
-    "f1_quality_filter",
-    "fe1_feature_vector",
-    "gdpr1_erasure_footprint",
-    "imp1_median_impute",
-    "lab1_weak_labels",
-    "o6_pareto_frontier",
-    "prof1_table_stats",
-    "sk5_bloom_bits",
-    "sk6_bloom_membership",
-    "t13_langid_confusion",
-    "t15_skipgram_pairs",
-    # NOTE: the r7 additions (sp12_dsir_select, s7_semantic_
-    # decontaminate, t23_tokenizer_fertility, sp13_mix_rebalance) are
-    # deliberately ABSENT from this list: absent names rank after
-    # every listed one, so the new registrations sort at positions
-    # 51-54 — outside the ~50-slot prefix — and cannot displace any of
-    # the 48 rotation slots. They enter the prefix normally in r8.
+    # iterative ML / fixpoint protocols (r8 slots 1-15)
+    "ml1_perceptron_train",
+    "ml2_naive_bayes_confusion",
+    "ml3_decision_stump",
+    "bt1_bradley_terry",
+    "cal2_isotonic_calibration",
+    "g11_label_propagation",
+    "g13_hits_authorities",
+    "e24_markov_stationary",
+    "t27_bpe_learn",
+    "t28_textrank_keywords",
+    "s11_kcenter_coreset",
+    "s12_centroid_dendrogram",
+    "g5_effective_rank",
+    "g7_jl_distortion",
+    "o8_mahalanobis_outliers",
+    # double-heavy statistics (r8 slots 16-32)
+    "stat5_mann_whitney",
+    "stat6_permutation_test",
+    "stat7_bh_fdr",
+    "stat3_ks_test",
+    "stat4_bootstrap_ci",
+    "e23_kaplan_meier",
+    "e25_did_uplift",
+    "e26_ipw_uplift",
+    "dp1_dp_counts",
+    "dp2_dp_mean",
+    "a14_mad_outliers",
+    "a16_gini_concentration",
+    "a17_winsorized_mean",
+    "a18_theil_decomposition",
+    "lab3_annotator_agreement",
+    "fe5_woe_encoding",
+    "dq9_t_closeness",
+    # time-series numerics (r8 slots 33-38)
+    "ts5_seasonal_decompose",
+    "ts6_autocorrelation",
+    "ts7_trend_slope",
+    "ts8_dispersion",
+    "ts9_cross_correlation",
+    "ts10_theil_sen",
+    # retrieval eval + ANN funnel (r8 slots 39-44)
+    "hs3_ndcg_eval",
+    "hs4_map_eval",
+    "hs2_mmr_rerank",
+    "s9_ann_recall",
+    "s10_pq_codes",
+    "s8_hard_negatives",
+    # streaming drains (r8 slots 45-46)
+    "st11_stream_countsketch",
+    "st12_stream_decontaminate",
+    # graph measures (r8 slots 47-50)
+    "g12_modularity",
+    "g10_clustering_coefficient",
+    "g6_kcore",
+    "d13_hamming_neardup_pairs",
+    # === r9 leftover (positions 51-73): mechanical tail ===
+    "g3_degree_assortativity",
+    "g4_rich_club",
+    "g9_adamic_adar",
+    "d14_span_coverage",
+    "d15_ngram_decontaminate",
+    "s7_semantic_decontaminate",
+    "sp12_dsir_select",
+    "sp13_mix_rebalance",
+    "sp14_epoch_upsample",
+    "sp15_length_bucketing",
+    "t23_tokenizer_fertility",
+    "t24_lexical_diversity",
+    "t25_heaps_law",
+    "t26_ngram_coverage",
+    "fe4_feature_hashing",
+    "dq8_l_diversity",
+    "dq10_quality_gates",
+    "ch3_content_defined_chunks",
+    "e21_peak_concurrency",
+    "e22_missing_hours",
+    "m6_multimodal_packing",
+    "pipe2_ingest_manifest",
+    "sk13_countsketch",
 )
 _SHOWCASE_RANK = {n: i for i, n in enumerate(_SHOWCASE_FIRST)}
 

@@ -1,0 +1,132 @@
+"""Round-11 hardening: overflow-headroom pins for the ml2/ml3 fixes.
+
+The r7 advisor found two silent arithmetic caps in operators/mltrain.py:
+
+- ml3's purity-score numerator 2*(pl²+nl²)*10⁹ overflows int64 once a
+  feature side accumulates ~6.8e4 positives — far below the claimed
+  ~3e6 — so a 1e5-doc corpus errored (DuckDB) or wrapped (Spark
+  non-ANSI). Fixed by carrying the numerator in HUGEINT (DuckDB) /
+  DECIMAL(38,0) (Spark); the binding bound is now the BIGINT result
+  ≈ p·10⁹ < 2⁶³, i.e. ~9.2e9 positives per feature.
+- ml2 collapsed per-(doc, token) counts to DECIMAL(4,0) — a hard cap
+  of 9,999 occurrences of one token in one document. Widened to
+  DECIMAL(9,0), which keeps the (9,0)×(28,10) product at exactly
+  precision 38 (no silent rescale).
+
+Both pins build a synthetic documents table that sits ABOVE the old
+cap and assert exact Spark↔DuckDB parity through the driver-grade
+comparator — on the old arithmetic these inputs error/diverge.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from bc_proj3_spark.registry import all_queries
+from conftest import strict_rows_key
+
+SPECS = all_queries()
+
+
+def _run_vs_oracle(spark, spec, sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    try:
+        sdf = spec.builder(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = list(sdf.columns)
+        res = con.execute(spec.oracle)
+        ocols = [d[0] for d in res.description]
+        orows = [tuple(r) for r in res.fetchall()]
+    finally:
+        con.close()
+    assert len(srows) == len(orows)
+    assert sorted(scols) == sorted(ocols)
+    skey, _ = strict_rows_key(scols, srows)
+    okey, _ = strict_rows_key(ocols, orows)
+    assert skey == okey, f"{spec.name}: value drift above the old cap"
+    return srows, scols
+
+
+def test_ml3_purity_score_survives_70k_positives(spark, tmp_path):
+    """70,001 positives on one split side: the old int64 numerator
+    needs 2·(70001²)·10⁹ ≈ 9.8e18 > 2⁶³ and dies; the widened
+    arithmetic must stay exact across both engines."""
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT i AS doc_id, 'aa bb cc' AS text, 'en' AS lang,
+                 'synthetic' AS source, CAST(250 AS BIGINT) AS n_chars
+          FROM range(70001) t(i)
+          UNION ALL
+          SELECT 70001 + i, 'aa bb', 'en', 'synthetic', CAST(10 AS BIGINT)
+          FROM range(1000) t(i)
+        ) TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+
+    rows, cols = _run_vs_oracle(
+        spark, SPECS["ml3_decision_stump"], str(tmp_path)
+    )
+    row = dict(zip(cols, rows[0]))
+    # the 2-word/3-word split separates the classes perfectly
+    assert row["threshold"] == 2
+    assert row["n_correct"] == 71001
+    assert row["accuracy"] == 1.0
+    # and the score really exercised the >2^63 numerator region:
+    # right side is the pure 70001-positive leaf, pl·S ≈ 7.0e13
+    assert row["score_scaled"] > 70_000 * 10**9
+
+
+def test_ml2_token_count_survives_10k_repeats(spark, tmp_path):
+    """One document repeating a token 10,000 times: the old
+    DECIMAL(4,0) cast errors (DuckDB) / nulls (Spark). The widened
+    DECIMAL(9,0) path must agree exactly across engines."""
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT 1 AS doc_id, repeat('zzzz ', 10000) AS text,
+                 'en' AS lang, 'synthetic' AS source,
+                 CAST(50000 AS BIGINT) AS n_chars
+          UNION ALL
+          SELECT 2, 'zzzz wwww vvvv', 'en', 'synthetic', CAST(14 AS BIGINT)
+          UNION ALL
+          SELECT 3, 'qqqq rrrr qqqq', 'fr', 'synthetic', CAST(14 AS BIGINT)
+          UNION ALL
+          SELECT 4, 'rrrr qqqq wwww', 'fr', 'synthetic', CAST(14 AS BIGINT)
+        ) TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+
+    rows, cols = _run_vs_oracle(
+        spark, SPECS["ml2_naive_bayes_confusion"], str(tmp_path)
+    )
+    conf = {
+        (r[cols.index("lang")], r[cols.index("predicted")]): r[
+            cols.index("n_docs")
+        ]
+        for r in rows
+    }
+    # the 10k-repeat doc dominates the 'en' class-conditional mass;
+    # doc 1 must still classify (a NULLed count would drop its evidence)
+    assert sum(conf.values()) == 4
+
+
+def test_o3_take_n_display_samples(spark):
+    """SURVEY §2 O3: the reference's notebook display verb is a plain
+    bounded ``df.take(n)`` (silver_arxiv.py:105,
+    gold_integrated_data_preNLP.py:75,111,147) — a driver-side fetch of
+    n rows, never a full collect. Anchored here so every §2 row has a
+    test."""
+    from bc_proj3_spark.plans.tables import table
+
+    rows = table(spark, "/root/testdata/sf0.001", "documents").take(5)
+    assert len(rows) == 5 and {"doc_id", "text"} <= set(rows[0].asDict())

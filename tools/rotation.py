@@ -64,29 +64,43 @@ def main() -> None:
         or row.get("err")
     ]
 
+    red_names = {name for name, _ in reds}
+
     print(f"# freshest green round per query (from r{min(rounds)}..r{newest})")
+    print("# (names RED in the newest file are EXCLUDED from the paste-ready")
+    print("#  lines below — an old green must not rotate a currently-failing")
+    print("#  query out of the prefix; see the red list.)")
     by_round: dict[int, list[str]] = {}
     for name, rnd in freshest.items():
         by_round.setdefault(rnd, []).append(name)
     for rnd in sorted(by_round):
         print(f"    # round {rnd} (CORRECTNESS_r{rnd:02d}.json)")
         for name in sorted(by_round[rnd]):
-            print(f'    "{name}": {rnd},')
+            if name in red_names:
+                print(f'    # "{name}": {rnd},  # EXCLUDED: RED in r{newest}')
+            else:
+                print(f'    "{name}": {rnd},')
 
     print(f"\n# RED rows in r{newest} (fix before rotating): {len(reds)}")
     for name, err in reds:
         print(f"    {name}: {err}")
 
-    from bc_proj3_spark.registry import _REGISTRY, _ordered, all_queries
+    from bc_proj3_spark.registry import _REGISTRY, all_queries
 
-    all_queries()  # trigger registration
+    # Preview the driver-facing prefix with the REAL registry ordering
+    # (showcase rank within the stalest round), using the paste-ready
+    # map above as if it had been applied: freshest-green round, except
+    # red-in-newest names which stay at their pre-update staleness.
+    ordered = list(all_queries())
+    effective = {
+        n: freshest[n] for n in freshest if n not in red_names
+    }
     names = sorted(
-        _REGISTRY,
-        key=lambda n: (freshest.get(n, 0), n),
+        ordered,
+        key=lambda n: (effective.get(n, 0), ordered.index(n)),
     )
     print("\n# next 50-slot prefix preview after this update (stalest first;")
-    print("# within round-0 the registry's showcase order applies, shown")
-    print("# here alphabetically):")
+    print("# within a staleness tie the registry's live order applies):")
     for i in range(0, 50, 5):
         print("   ", names[i : i + 5])
     never = [n for n in _REGISTRY if n not in freshest]
