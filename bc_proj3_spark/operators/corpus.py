@@ -299,3 +299,271 @@ def pipe2_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("split"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe3 — the full training-data recipe as a per-stage attrition ledger
+# ---------------------------------------------------------------------------
+
+from bc_proj3_spark.operators.dedup import _D7_ORACLE, d7_decontaminate  # noqa: E402
+from bc_proj3_spark.operators.sampling import (  # noqa: E402
+    MIX_QUOTA,
+    PACK_BUCKETS,
+    PACK_WINDOW,
+)
+from bc_proj3_spark.operators.textstats import BPE_RE  # noqa: E402
+
+_P3_HM = sql_hash60(_sql_seeded("mix", "CAST(doc_id AS VARCHAR)"))
+_P3_HP = sql_hash60(_sql_seeded("pack", "CAST(doc_id AS VARCHAR)"))
+
+_PIPE3_ORACLE = f"""{_DEDUP_FUNNEL_CTES.rstrip()},
+{_F1_AS_CTE},
+contaminated AS (
+{_D7_ORACLE}
+),
+p3_base AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '{BPE_RE}')) AS n_tokens,
+         {_P3_HM} AS hm,
+         {_P3_HP} AS hp
+  FROM documents WHERE doc_id % 50 <> 0
+),
+led AS (
+  SELECT b.*,
+         (c.doc_id IS NULL) AS s1,
+         (c.doc_id IS NULL AND sv.doc_id IS NOT NULL
+          AND dr.doc_id IS NULL) AS s2,
+         (c.doc_id IS NULL AND sv.doc_id IS NOT NULL AND dr.doc_id IS NULL
+          AND f.doc_id IS NOT NULL) AS s3
+  FROM p3_base b
+  LEFT JOIN (SELECT DISTINCT doc_id FROM contaminated) c USING (doc_id)
+  LEFT JOIN surv sv USING (doc_id)
+  LEFT JOIN dropped dr USING (doc_id)
+  LEFT JOIN f1_pass f USING (doc_id)
+),
+mixq AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY hm, doc_id) AS rk
+    FROM led WHERE s3
+  ) r WHERE rk <= {MIX_QUOTA}
+),
+led2 AS (
+  SELECT led.*, (m.doc_id IS NOT NULL) AS s4
+  FROM led LEFT JOIN mixq m USING (doc_id)
+),
+packed AS (
+  SELECT hp % {PACK_BUCKETS} AS bucket,
+         CAST(floor((SUM(n_tokens) OVER (
+                PARTITION BY hp % {PACK_BUCKETS} ORDER BY hp, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) - n_tokens) / {PACK_WINDOW}.0) AS BIGINT) AS pack_id
+  FROM led2 WHERE s4
+),
+np AS (
+  SELECT CAST(COUNT(DISTINCT (bucket, pack_id)) AS BIGINT) AS n_packs
+  FROM packed
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+         CAST(SUM(CASE WHEN s1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tok1,
+         CAST(SUM(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT) AS tok2,
+         CAST(SUM(CASE WHEN s3 THEN n_tokens ELSE 0 END) AS BIGINT) AS tok3,
+         CAST(SUM(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS BIGINT) AS tok4
+  FROM led2
+)
+SELECT 1 AS stage_order, 'decontaminate' AS stage, n0 AS docs_in,
+       n0 - n1 AS docs_dropped, n1 AS docs_out, tok1 AS tokens_out,
+       CAST(NULL AS BIGINT) AS n_packs
+FROM agg
+UNION ALL
+SELECT 2, 'dedup', n1, n1 - n2, n2, tok2, CAST(NULL AS BIGINT) FROM agg
+UNION ALL
+SELECT 3, 'quality', n2, n2 - n3, n3, tok3, CAST(NULL AS BIGINT) FROM agg
+UNION ALL
+SELECT 4, 'mix', n3, n3 - n4, n4, tok4, CAST(NULL AS BIGINT) FROM agg
+UNION ALL
+SELECT 5, 'pack', n4, CAST(0 AS BIGINT), n4, tok4,
+       (SELECT n_packs FROM np)
+FROM agg
+"""
+
+
+@register("pipe3_recipe_attrition", _PIPE3_ORACLE)
+def pipe3_recipe_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete pre-training data recipe as ONE manifest: chain
+    decontaminate (d7's eval-overlap flags) → dedup (d6's exact+near
+    funnel) → quality gate (f1) → source mix (sp3's per-source hash
+    quota) → sequence packing (sp4's bucketed greedy fill), and emit
+    the per-stage attrition ledger — docs in/dropped/out and the
+    surviving token budget per stage, plus the packed-sequence count —
+    the one-page answer to "where did my corpus go". Attrition-mix
+    drift between runs (dedup spiking vs quality spiking) is the
+    production signal that distinguishes a recrawl loop from a crawler
+    regression; the token column is what a compute plan is written
+    against.
+
+    Composition discipline (pipe1's): the drop sets come from the
+    REGISTERED stage operators (d7, d6, f1 are called, not
+    re-implemented; the oracle splices their own CTE/statement text
+    verbatim), applied sequentially as flags on one document ledger.
+    The mix and pack stages re-apply sp3/sp4's exact mechanisms (same
+    seeded hashes, same constants) over the stage-3 survivor set —
+    quota ranks and pack offsets must reflect what actually remains,
+    not the raw corpus. Recipe input is the train-candidate side of
+    d7's standing eval/train partition (doc_id % 50 <> 0): eval-set
+    members are benchmark data, never corpus candidates.
+
+    Scale shape: the stage flags are doc-id-keyed left joins onto one
+    corpus projection (each stage op keeps its own banded/gated plan);
+    the ledger aggregate is ONE pass with conditional sums; mix is one
+    rank window per source partition over stage-3 survivors only;
+    packing is sharded into {PACK_BUCKETS} independent hash-bucket
+    streams (never a global running sum); the output is five rows."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), F.lit(0))
+    )
+    hm = hash60(_seeded("mix", F.col("doc_id").cast("string")))
+    hp = hash60(_seeded("pack", F.col("doc_id").cast("string")))
+    base = docs.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id",
+        "source",
+        ntok.alias("n_tokens"),
+        hm.alias("hm"),
+        hp.alias("hp"),
+    )
+    cont = (
+        d7_decontaminate(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(1).alias("c"))
+    )
+    kept = d6_dedup_corpus(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("k")
+    )
+    passed = f1_quality_filter(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("p")
+    )
+    led = (
+        base.join(cont, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .join(passed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "hm",
+            "hp",
+            F.col("c").isNull().alias("s1"),
+            (F.col("c").isNull() & F.col("k").isNotNull()).alias("s2"),
+            (
+                F.col("c").isNull()
+                & F.col("k").isNotNull()
+                & F.col("p").isNotNull()
+            ).alias("s3"),
+        )
+    )
+    w_mix = Window.partitionBy("source").orderBy(
+        F.col("hm").asc(), F.col("doc_id").asc()
+    )
+    mixq = (
+        led.filter(F.col("s3"))
+        .withColumn("rk", F.row_number().over(w_mix))
+        .filter(F.col("rk") <= MIX_QUOTA)
+        .select("doc_id", F.lit(1).alias("m"))
+    )
+    # the ledger feeds the 1-row aggregate AND the packing window; one
+    # persist keeps the three stage operators' funnels from re-running
+    led2 = led.join(mixq, "doc_id", "left").persist()
+    w_pack = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("hp").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        led2.filter(F.col("m").isNotNull())
+        .select(
+            "doc_id",
+            "hp",
+            "n_tokens",
+            (F.col("hp") % PACK_BUCKETS).alias("bucket"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w_pack))
+        .select(
+            "bucket",
+            F.floor(
+                (F.col("cum") - F.col("n_tokens")) / float(PACK_WINDOW)
+            )
+            .cast("bigint")
+            .alias("pack_id"),
+        )
+    )
+    np_df = packed.agg(
+        F.countDistinct("bucket", "pack_id").cast("bigint").alias("n_packs")
+    )
+
+    def _n(flag):
+        return F.sum(F.when(flag, 1).otherwise(0)).cast("bigint")
+
+    def _tok(flag):
+        return F.sum(F.when(flag, F.col("n_tokens")).otherwise(0)).cast(
+            "bigint"
+        )
+
+    agg = led2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        _n(F.col("s1")).alias("n1"),
+        _n(F.col("s2")).alias("n2"),
+        _n(F.col("s3")).alias("n3"),
+        _n(F.col("m").isNotNull()).alias("n4"),
+        _tok(F.col("s1")).alias("tok1"),
+        _tok(F.col("s2")).alias("tok2"),
+        _tok(F.col("s3")).alias("tok3"),
+        _tok(F.col("m").isNotNull()).alias("tok4"),
+    )
+
+    def _stage(order, name, n_in, n_out, tok, n_packs, dropped=None):
+        # pack drops nothing BY CONSTRUCTION: its ledger row carries a
+        # literal 0 (not n4 - n4, which is NULL on an empty corpus —
+        # the oracle's CAST(0 AS BIGINT) must be mirrored exactly)
+        if dropped is None:
+            dropped = n_in - n_out
+        return F.struct(
+            F.lit(order).alias("stage_order"),
+            F.lit(name).alias("stage"),
+            n_in.alias("docs_in"),
+            dropped.alias("docs_dropped"),
+            n_out.alias("docs_out"),
+            tok.alias("tokens_out"),
+            n_packs.alias("n_packs"),
+        )
+
+    null_packs = F.lit(None).cast("bigint")
+    return (
+        agg.crossJoin(F.broadcast(np_df))
+        .select(
+            F.explode(
+                F.array(
+                    _stage(1, "decontaminate", F.col("n0"), F.col("n1"),
+                           F.col("tok1"), null_packs),
+                    _stage(2, "dedup", F.col("n1"), F.col("n2"),
+                           F.col("tok2"), null_packs),
+                    _stage(3, "quality", F.col("n2"), F.col("n3"),
+                           F.col("tok3"), null_packs),
+                    _stage(4, "mix", F.col("n3"), F.col("n4"),
+                           F.col("tok4"), null_packs),
+                    _stage(5, "pack", F.col("n4"), F.col("n4"),
+                           F.col("tok4"), F.col("n_packs"),
+                           dropped=F.lit(0).cast("bigint")),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+    )

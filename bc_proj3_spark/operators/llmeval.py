@@ -1,0 +1,298 @@
+"""LLM evaluation harness operators: pass@k and corpus BLEU.
+
+The engine already evaluates RETRIEVAL (s9 recall, hs3 nDCG, hs4 MAP,
+hs5 MRR) and CALIBRATION (cal1/cal3); this module adds the two
+generation-side eval aggregates a training-data pipeline publishes next
+to its corpora:
+
+- ev1: the unbiased pass@k estimator (1 - C(n-c,k)/C(n,k)) over
+  per-task sample outcomes — the functional-correctness metric of
+  code-generation benchmarks, computed here over a deterministic
+  task/sample construction on the events table (task = user, sample =
+  the user's first N_SAMP events by event_id, success = a 'purchase'
+  outcome) so the oracle can value-match.
+- ev2: corpus-level BLEU components over deterministically paired
+  documents (hypothesis doc 2i vs reference doc 2i+1) — clipped
+  modified n-gram precisions, the brevity term, and the 2-gram
+  log-BLEU on the repo's ROUND(LN, 9) lattice.
+
+Reference scope: the reference pipeline (infinit3labs/bc-proj3,
+notebooks/gold_article_scoring.py) ends at heuristic document scores;
+model-eval aggregates are the engine's LLM-pipeline extension of that
+scoring lane (SURVEY.md §2.11 additions).
+
+Exactness: every count is an exact BIGINT; pass@k's falling factorials
+are explicit 10-factor integer products (max 20!/10! ~ 6.7e11, far
+inside int64) and the estimator is ONE IEEE division by a compile-time
+constant; BLEU precisions are single IEEE divisions of exact clipped
+counts; the only transcendental (LN) goes through the established
+ROUND(LN(x), 9) lattice (t21/g9/ml2 discipline).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# ev1 — pass@k over per-task sample outcomes
+# ---------------------------------------------------------------------------
+
+N_SAMP = 20  # samples per task (tasks with fewer are not evaluable)
+PASS_K = 10  # the k of pass@k
+#: ff(N_SAMP, PASS_K) = 20*19*...*11 — the constant denominator
+_FF_N = math.prod(range(N_SAMP - PASS_K + 1, N_SAMP + 1))
+
+
+def _sql_ff(m: str) -> str:
+    """Falling factorial ff(m, PASS_K) as an explicit product; hits a
+    zero factor (and stays zero) whenever m < PASS_K, which is exactly
+    the C(m, k) = 0 case the estimator needs."""
+    return " * ".join(f"({m} - {i})" for i in range(PASS_K))
+
+
+_EV1_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+),
+agg AS (
+  SELECT user_id AS task_id,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct
+  FROM ranked WHERE rn <= {N_SAMP} GROUP BY user_id
+)
+SELECT task_id, n_samples, n_correct,
+       CAST(n_correct AS DOUBLE) / {N_SAMP} AS pass_at_1,
+       1 - CAST({_sql_ff(f'({N_SAMP} - n_correct)')} AS DOUBLE)
+           / {_FF_N} AS pass_at_{PASS_K}
+FROM agg WHERE n_samples = {N_SAMP}
+"""
+
+
+@register("ev1_pass_at_k", _EV1_ORACLE)
+def ev1_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbiased pass@k estimator per task: with n samples and c
+    successes, pass@k = 1 - C(n-c,k)/C(n,k) — the probability that at
+    least one of k drawn samples succeeds, THE metric of
+    functional-correctness eval (HumanEval-style harnesses). Task =
+    user, samples = the user's first {N_SAMP} events in event_id
+    order, success = a 'purchase' outcome; tasks with fewer than
+    {N_SAMP} samples are not evaluable and are excluded (the standard
+    harness contract — the estimator is undefined for n < k... n).
+
+    Exactness: C(n-c,k)/C(n,k) collapses to the falling-factorial
+    ratio ff(n-c,k)/ff(n,k); with n pinned to {N_SAMP} the denominator
+    is the compile-time constant {_FF_N} and the numerator is an
+    explicit {PASS_K}-factor exact-integer product (which passes
+    through a zero factor exactly when n-c < k, yielding the correct
+    pass@k = 1), so each output is ONE IEEE division of exact ints.
+
+    Scale shape: one rank window per task partition (the cap bounds
+    every task's contribution), one groupBy task — at any corpus size
+    the aggregate is |tasks| rows, and the per-task state is two
+    BIGINTs."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    samp = (
+        ev.select("user_id", "event_type", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= N_SAMP)
+    )
+    agg = (
+        samp.groupBy(F.col("user_id").alias("task_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .filter(F.col("n_samples") == N_SAMP)
+    )
+    ff_num = F.expr(_sql_ff(f"({N_SAMP} - n_correct)"))
+    return agg.select(
+        "task_id",
+        "n_samples",
+        "n_correct",
+        (F.col("n_correct").cast("double") / F.lit(N_SAMP)).alias(
+            "pass_at_1"
+        ),
+        (F.lit(1) - ff_num.cast("double") / F.lit(_FF_N)).alias(
+            f"pass_at_{PASS_K}"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev2 — corpus BLEU components over paired documents
+# ---------------------------------------------------------------------------
+
+
+_EV2_ORACLE = """
+WITH pairs AS (
+  SELECT h.doc_id // 2 AS pair_id,
+         string_split_regex(trim(h.text), '\\s+') AS hyp,
+         string_split_regex(trim(r.text), '\\s+') AS ref
+  FROM documents h
+  JOIN documents r ON r.doc_id = h.doc_id + 1
+  WHERE h.doc_id % 2 = 0
+),
+uni AS (
+  SELECT pair_id, g,
+         CAST(COUNT(*) FILTER (WHERE side = 'h') AS BIGINT) AS hc,
+         CAST(COUNT(*) FILTER (WHERE side = 'r') AS BIGINT) AS rc
+  FROM (
+    SELECT pair_id, 'h' AS side, unnest(hyp) AS g FROM pairs
+    UNION ALL
+    SELECT pair_id, 'r', unnest(ref) FROM pairs
+  ) t GROUP BY pair_id, g
+),
+bi AS (
+  SELECT pair_id, g,
+         CAST(COUNT(*) FILTER (WHERE side = 'h') AS BIGINT) AS hc,
+         CAST(COUNT(*) FILTER (WHERE side = 'r') AS BIGINT) AS rc
+  FROM (
+    SELECT pair_id, 'h' AS side,
+           unnest(list_transform(
+             generate_series(1, greatest(len(hyp) - 1, 0)),
+             i -> hyp[i] || ' ' || hyp[i+1])) AS g
+    FROM pairs
+    UNION ALL
+    SELECT pair_id, 'r',
+           unnest(list_transform(
+             generate_series(1, greatest(len(ref) - 1, 0)),
+             i -> ref[i] || ' ' || ref[i+1]))
+    FROM pairs
+  ) t GROUP BY pair_id, g
+),
+tot AS (
+  SELECT CAST(SUM(len(hyp)) AS BIGINT) AS hyp_len,
+         CAST(SUM(len(ref)) AS BIGINT) AS ref_len,
+         CAST(SUM(greatest(len(hyp) - 1, 0)) AS BIGINT) AS hyp_bi
+  FROM pairs
+),
+c1 AS (SELECT CAST(SUM(LEAST(hc, rc)) AS BIGINT) AS clip1 FROM uni),
+c2 AS (SELECT CAST(SUM(LEAST(hc, rc)) AS BIGINT) AS clip2 FROM bi)
+SELECT hyp_len, ref_len, clip1, clip2,
+       CAST(clip1 AS DOUBLE) / hyp_len AS p1,
+       CAST(clip2 AS DOUBLE) / hyp_bi AS p2,
+       LEAST(CAST(0 AS DOUBLE),
+             1 - CAST(ref_len AS DOUBLE) / hyp_len) AS brevity_log,
+       ROUND(LN(CAST(clip1 AS DOUBLE) / hyp_len), 9) / 2
+         + ROUND(LN(CAST(clip2 AS DOUBLE) / hyp_bi), 9) / 2
+         + LEAST(CAST(0 AS DOUBLE),
+                 1 - CAST(ref_len AS DOUBLE) / hyp_len) AS log_bleu2
+FROM tot, c1, c2
+"""
+
+
+@register("ev2_bleu_corpus", _EV2_ORACLE)
+def ev2_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU-2 between deterministically paired documents
+    (hypothesis doc 2i vs reference doc 2i+1): clipped modified 1- and
+    2-gram precisions, the brevity-penalty exponent, and the combined
+    log-BLEU — the machine-translation/summarization eval aggregate,
+    and in a data pipeline the standard similarity scorecard for
+    paraphrase mining and distillation-output QA. Corpus-level (one
+    row) by design: per-pair BLEU is noise on short texts AND hits
+    ln(0) on zero-overlap pairs; the corpus aggregate is the number
+    BLEU was defined as.
+
+    Exactness: clipped counts are exact integers (per-pair per-gram
+    LEAST of the two sides' counts, summed); each precision is ONE
+    IEEE division of exact BIGINTs; LN goes through the repo's
+    ROUND(LN(x), 9) lattice so both engines combine identical 9-dp
+    values; the brevity exponent min(0, 1 - ref/hyp) stays in the
+    log domain — no engine ever evaluates EXP.
+
+    Scale shape: pairing is a doc-id-keyed self-join (shuffle on the
+    id, no skew — ids are unique); n-gram counts shuffle on (pair_id,
+    gram) with map-side combine; everything reduces to a 1-row
+    aggregate. No vocabulary or pair list is ever collected."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    h = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            (F.col("doc_id") / 2).cast("bigint").alias("pair_id"),
+            F.col("doc_id").alias("h_id"),
+            toks.alias("hyp"),
+        )
+    )
+    r = docs.select(
+        (F.col("doc_id") - 1).alias("h_id"), toks.alias("ref")
+    )
+    pairs = h.join(r, "h_id").select("pair_id", "hyp", "ref")
+
+    def grams2(col):
+        return F.expr(
+            f"transform(slice({col}, 1, greatest(size({col}) - 1, 0)),"
+            f" (x, i) -> concat(x, ' ', {col}[i + 1]))"
+        )
+
+    def clipped(hyp_grams, ref_grams, out_name):
+        sides = pairs.select(
+            "pair_id", F.lit("h").alias("side"),
+            F.explode(hyp_grams).alias("g"),
+        ).unionAll(
+            pairs.select(
+                "pair_id", F.lit("r").alias("side"),
+                F.explode(ref_grams).alias("g"),
+            )
+        )
+        cnt = sides.groupBy("pair_id", "g").agg(
+            F.sum(F.when(F.col("side") == "h", 1).otherwise(0))
+            .cast("bigint")
+            .alias("hc"),
+            F.sum(F.when(F.col("side") == "r", 1).otherwise(0))
+            .cast("bigint")
+            .alias("rc"),
+        )
+        return cnt.agg(
+            F.sum(F.least(F.col("hc"), F.col("rc")))
+            .cast("bigint")
+            .alias(out_name)
+        )
+
+    c1 = clipped(F.col("hyp"), F.col("ref"), "clip1")
+    c2 = clipped(grams2("hyp"), grams2("ref"), "clip2")
+    tot = pairs.agg(
+        F.sum(F.size("hyp")).cast("bigint").alias("hyp_len"),
+        F.sum(F.size("ref")).cast("bigint").alias("ref_len"),
+        F.sum(F.greatest(F.size("hyp") - 1, F.lit(0)))
+        .cast("bigint")
+        .alias("hyp_bi"),
+    )
+    p1 = F.col("clip1").cast("double") / F.col("hyp_len")
+    p2 = F.col("clip2").cast("double") / F.col("hyp_bi")
+    brevity = F.least(
+        F.lit(0.0), F.lit(1) - F.col("ref_len").cast("double") / F.col("hyp_len")
+    )
+    return (
+        tot.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .select(
+            "hyp_len",
+            "ref_len",
+            "clip1",
+            "clip2",
+            p1.alias("p1"),
+            p2.alias("p2"),
+            brevity.alias("brevity_log"),
+            (
+                F.round(F.log(p1), 9) / 2
+                + F.round(F.log(p2), 9) / 2
+                + brevity
+            ).alias("log_bleu2"),
+        )
+    )

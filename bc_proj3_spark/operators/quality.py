@@ -961,6 +961,61 @@ def cal1_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cal3 — expected calibration error over cal1's reliability bins
+# ---------------------------------------------------------------------------
+
+_CAL3_ORACLE = f"""
+WITH bins AS (
+{_CAL1_ORACLE}
+)
+SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(CAST(n_docs AS DECIMAL(18,0))
+                * CAST(ROUND(ABS(mean_score - positive_rate), 9)
+                       AS DECIMAL(11,10))) AS DOUBLE)
+         / SUM(n_docs) AS ece,
+       MAX(ABS(mean_score - positive_rate)) AS mce
+FROM bins
+"""
+
+
+@register("cal3_expected_calibration_error", _CAL3_ORACLE)
+def cal3_expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The calibration scorecard: collapse cal1's reliability bins to
+    the two numbers a model card reports — ECE (the doc-weighted mean
+    |confidence − accuracy| gap across bins) and MCE (the worst bin's
+    gap). cal1 DIAGNOSES miscalibration bin by bin; cal3 is the
+    regression metric a pipeline gates on before a quality score may
+    be consumed as a probability (sp5 temperature mixing, cur1
+    schedule thresholds).
+
+    Exactness: composed on cal1's own output (the builder calls the
+    registered operator; the oracle nests cal1's statement verbatim),
+    whose per-bin means are already 6-dp ROUND values identical across
+    engines. Each bin's gap re-enters exact arithmetic as a
+    DECIMAL(11,10) lattice value (gaps live in [0,1], so the
+    (18,0)x(11,10) product is precision 30 — nowhere near Spark's
+    38-digit rescale cliff), the doc weights stay exact integers, and
+    ECE is ONE terminal IEEE division; MCE is an order-free MAX of
+    bit-identical doubles.
+
+    Scale shape: cal1 is one corpus scan into a 10-row aggregate; cal3
+    adds a 10-row reduction — nothing scales with the corpus."""
+    gap = F.abs(F.col("mean_score") - F.col("positive_rate"))
+    term = F.col("n_docs").cast("decimal(18,0)") * F.round(gap, 9).cast(
+        "decimal(11,10)"
+    )
+    return cal1_reliability_bins(spark, sf_dir).agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        (F.sum(term).cast("double") / F.sum("n_docs")).alias("ece"),
+        F.max(gap).alias("mce"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # gdpr1 — right-to-erasure cascade footprint
 # ---------------------------------------------------------------------------
 

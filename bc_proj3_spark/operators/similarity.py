@@ -1954,3 +1954,144 @@ def hs4_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hs5 — MRR@k of the ANN ranking vs the exact ranking (first-hit s9)
+# ---------------------------------------------------------------------------
+
+#: Reciprocal-rank literals 1/r at 9 dp (hs4's weights, reused): the
+#: lookup is a compile-time CASE on the first relevant rank — neither
+#: engine ever divides by a rank.
+_MRR_CASE = (
+    "CASE first_rel_rank "
+    + " ".join(
+        f"WHEN {r + 1} THEN CAST({w} AS DECIMAL(28,10))"
+        for r, w in enumerate(_MAP_W)
+    )
+    + " ELSE CAST(0 AS DECIMAL(28,10)) END"
+)
+
+_HS5_ORACLE = f"""
+WITH {_SQL_BASE},
+ex_scored AS (
+  SELECT query_id, e.vec_id,
+         {_sql_dot('qv', 'v')} / (qn * nrm) AS cosine
+  FROM q, e
+  WHERE e.vec_id <> query_id
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM ex_scored
+  ) t WHERE rn <= {TOP_K}
+),
+cb AS MATERIALIZED ({_sql_bucket_union('e', 'vec_id')}),
+qb AS (SELECT vec_id AS query_id, t, bkt FROM cb WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id
+  FROM qb JOIN cb ON qb.t = cb.t AND qb.bkt = cb.bkt
+  WHERE cb.vec_id <> qb.query_id
+),
+ann_scored AS (
+  SELECT c.query_id, c.vec_id,
+         {_sql_dot('q.qv', 'e.v')} / (q.qn * e.nrm) AS cosine
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN e ON e.vec_id = c.vec_id
+),
+ann AS (
+  SELECT query_id, vec_id, rn AS ann_rn FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM ann_scored
+  ) t WHERE rn <= {TOP_K}
+),
+j AS (
+  SELECT x.query_id, a.ann_rn
+  FROM exact x LEFT JOIN ann a
+    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+),
+agg AS (
+  SELECT query_id, MIN(ann_rn) AS first_rel_rank FROM j GROUP BY query_id
+)
+SELECT query_id, first_rel_rank,
+       CAST({_MRR_CASE} AS DOUBLE) AS rr
+FROM agg
+"""
+
+
+@register("hs5_mrr_eval", _HS5_ORACLE)
+def hs5_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank@k of s2's LSH ANN ranking against s1's
+    exact cosine top-k — the fourth retrieval-eval leg: s9's recall
+    counts hits anywhere, hs3's nDCG grades the whole ordering, hs4's
+    AP averages precision over every hit, MRR isolates the HEAD — how
+    high does the first truly-relevant neighbor sit. The single-answer
+    retrieval regimes (RAG with one context slot, dedup
+    first-candidate verify) live and die on this number; a funnel can
+    hold recall and even AP while the first hit slips from rank 1 to
+    rank 4.
+
+    Exactness: cosines use the module's sequential-fold arithmetic
+    (bit-identical, vec_id tiebreaks); the first relevant rank is an
+    exact integer MIN over the shared total order; the reciprocal is a
+    compile-time 9-dp decimal literal looked up by rank (hs4's weight
+    lattice — no engine divides), cast once to double; queries whose
+    relevant set is entirely missed by the funnel report rank NULL and
+    rr = 0 on both engines.
+
+    Scale shape: identical to s9/hs3/hs4 — one persisted corpus
+    projection feeds the brute-force ground truth over the sampled
+    queries and the (table, bucket) equi-join ANN side; the final
+    left-join + MIN aggregate runs on k·|queries| rows regardless of
+    corpus size."""
+    corpus = _corpus(spark, sf_dir).persist()
+    q = _queries(corpus)
+    ex_scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    exact = _ranked(ex_scored, "rn").localCheckpoint(eager=True)
+
+    cb = _bucketed(corpus)
+    qb = cb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "t", "bkt"
+    )
+    cand = (
+        qb.join(cb, ["t", "bkt"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    ann_scored = (
+        cand.join(q, "query_id")
+        .join(corpus.select("vec_id", "v", "nrm"), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    ann = _ranked(ann_scored, "ann_rn").localCheckpoint(eager=True)
+
+    return (
+        exact.join(ann, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.min("ann_rn").alias("first_rel_rank"))
+        .select(
+            "query_id",
+            "first_rel_rank",
+            F.expr(_MRR_CASE).cast("double").alias("rr"),
+        )
+    )

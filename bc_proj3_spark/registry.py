@@ -75,6 +75,7 @@ _REGISTERING_MODULES = (
     "bc_proj3_spark.operators.profile",
     "bc_proj3_spark.operators.multimodal",
     "bc_proj3_spark.operators.mltrain",
+    "bc_proj3_spark.operators.llmeval",
     "bc_proj3_spark.streaming.incremental",
 )
 

@@ -217,6 +217,12 @@ STRICT_VALUE_QUERIES = [
     "ml2_naive_bayes_confusion",
     "g13_hits_authorities",
     "ml3_decision_stump",
+    # r11's new operators, same pre-flight discipline
+    "pipe3_recipe_attrition",
+    "hs5_mrr_eval",
+    "cal3_expected_calibration_error",
+    "ev1_pass_at_k",
+    "ev2_bleu_corpus",
 ]
 
 

@@ -120,6 +120,54 @@ def test_ml2_token_count_survives_10k_repeats(spark, tmp_path):
     assert sum(conf.values()) == 4
 
 
+def test_r11_ops_mirror_oracle_on_empty_tables(spark, tmp_path):
+    """Zero-row inputs must produce the oracle's exact output for every
+    r11 registration (the standing r9/r10 hardening discipline —
+    Spark 4 ANSI division throws where DuckDB yields NULL, so empty
+    frames are where driver-side guards break first)."""
+    import os
+
+    from bc_proj3_spark.plans.tables import TABLE_NAMES
+    from tests.conftest import SF_DIR
+    from tests.test_driver_parity import strict_digest
+
+    tmp = str(tmp_path)
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        src = f"{SF_DIR}/{t}.parquet"
+        if not os.path.exists(src):
+            continue
+        spark.read.parquet(src).limit(0).write.parquet(f"{tmp}/{t}.parquet")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp}/{t}.parquet/*.parquet')"
+        )
+    names = [
+        "pipe3_recipe_attrition",
+        "hs5_mrr_eval",
+        "cal3_expected_calibration_error",
+        "ev1_pass_at_k",
+        "ev2_bleu_corpus",
+    ]
+    try:
+        for name in names:
+            spec = SPECS[name]
+            df = spec.builder(spark, tmp)
+            rows = [tuple(r) for r in df.collect()]
+            res = con.execute(spec.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = [tuple(r) for r in res.fetchall()]
+            assert len(rows) == len(orows), (
+                f"{name}: {len(rows)} spark rows vs {len(orows)} oracle"
+            )
+            assert strict_digest(list(df.columns), rows) == strict_digest(
+                ocols, orows
+            ), f"{name} diverged on the empty corpus"
+            spark.catalog.clearCache()
+    finally:
+        con.close()
+
+
 def test_o3_take_n_display_samples(spark):
     """SURVEY §2 O3: the reference's notebook display verb is a plain
     bounded ``df.take(n)`` (silver_arxiv.py:105,

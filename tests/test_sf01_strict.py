@@ -102,6 +102,10 @@ SF01_QUERIES = [
     "ml2_naive_bayes_confusion",  # log-lattice decimal score argmax
     "g13_hits_authorities",  # iterative fixpoint (scaled-int HITS)
     "ml3_decision_stump",  # scaled-int purity argmax over prefix sums
+    # round-11 additions
+    "hs5_mrr_eval",  # double-heavy cosine rankings on both funnel sides
+    "cal3_expected_calibration_error",  # ROUND of derived IEEE gap doubles
+    "ev2_bleu_corpus",  # log-lattice LN of corpus-ratio doubles
 ]
 
 
