@@ -296,3 +296,150 @@ def ev2_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("log_bleu2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ev3 — corpus character-n-gram F-score (chrF-style) over the ev2 pairs
+# ---------------------------------------------------------------------------
+
+CHR_N = 4  # character n-gram width (chrF uses 1..6; one width keeps
+#            the aggregate single-pass — stated in the output name)
+
+
+_EV3_ORACLE = f"""
+WITH pairs AS (
+  SELECT h.doc_id // 2 AS pair_id,
+         lower(h.text) AS hyp, lower(r.text) AS ref
+  FROM documents h
+  JOIN documents r ON r.doc_id = h.doc_id + 1
+  WHERE h.doc_id % 2 = 0
+),
+grams AS (
+  SELECT pair_id, g,
+         CAST(COUNT(*) FILTER (WHERE side = 'h') AS BIGINT) AS hc,
+         CAST(COUNT(*) FILTER (WHERE side = 'r') AS BIGINT) AS rc
+  FROM (
+    SELECT pair_id, 'h' AS side,
+           unnest(list_transform(
+             generate_series(1, greatest(length(hyp) - {CHR_N - 1}, 0)),
+             i -> substr(hyp, i, {CHR_N}))) AS g
+    FROM pairs
+    UNION ALL
+    SELECT pair_id, 'r',
+           unnest(list_transform(
+             generate_series(1, greatest(length(ref) - {CHR_N - 1}, 0)),
+             i -> substr(ref, i, {CHR_N})))
+    FROM pairs
+  ) t GROUP BY pair_id, g
+),
+tot AS (
+  SELECT CAST(SUM(greatest(length(hyp) - {CHR_N - 1}, 0)) AS BIGINT)
+           AS hyp_grams,
+         CAST(SUM(greatest(length(ref) - {CHR_N - 1}, 0)) AS BIGINT)
+           AS ref_grams
+  FROM pairs
+),
+cl AS (SELECT CAST(SUM(LEAST(hc, rc)) AS BIGINT) AS clip FROM grams)
+SELECT hyp_grams, ref_grams, clip,
+       CAST(clip AS DOUBLE) / hyp_grams AS chr_precision,
+       CAST(clip AS DOUBLE) / ref_grams AS chr_recall,
+       CASE WHEN 4 * (CAST(clip AS DOUBLE) / hyp_grams)
+                 + (CAST(clip AS DOUBLE) / ref_grams) > 0
+            THEN 5 * (CAST(clip AS DOUBLE) / hyp_grams)
+                   * (CAST(clip AS DOUBLE) / ref_grams)
+                 / (4 * (CAST(clip AS DOUBLE) / hyp_grams)
+                    + (CAST(clip AS DOUBLE) / ref_grams))
+            ELSE CAST(0 AS DOUBLE) END AS chrf2
+FROM tot, cl
+"""
+
+
+@register("ev3_chargram_fscore", _EV3_ORACLE)
+def ev3_chargram_fscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus character-{CHR_N}-gram F-score (the chrF family's
+    recall-weighted F2) over ev2's deterministic document pairing —
+    the tokenization-free similarity scorecard: BLEU collapses on
+    morphology-rich or whitespace-poor text because it scores whole
+    tokens; character n-grams credit partial word overlap, which is
+    why chrF is the WMT-standard companion metric. In a data pipeline
+    the pair (ev2, ev3) disagreeing is itself the signal — token-level
+    divergence with character-level agreement means tokenizer drift,
+    not content drift.
+
+    Exactness: clipped counts are exact integers (per-pair per-gram
+    LEAST, summed); precision and recall are single IEEE divisions of
+    exact BIGINTs; F2 combines the two identical doubles with the
+    same literal arithmetic on both engines, with the zero-overlap
+    corpus pinned to 0 (not NaN) by the same CASE on both sides.
+
+    Scale shape: ev2's — the pairing is a doc-id-keyed self-join; gram
+    counts shuffle on (pair_id, gram) with map-side combine; the
+    result is a 1-row aggregate. Character grams multiply row volume
+    by ~|text| — the shuffle payload is the 4-char gram plus two
+    bigints, and at 100 TB the same plan holds because nothing is ever
+    collected or broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    h = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            (F.col("doc_id") / 2).cast("bigint").alias("pair_id"),
+            F.col("doc_id").alias("h_id"),
+            F.lower(F.col("text")).alias("hyp"),
+        )
+    )
+    r = docs.select(
+        (F.col("doc_id") - 1).alias("h_id"),
+        F.lower(F.col("text")).alias("ref"),
+    )
+    pairs = h.join(r, "h_id").select("pair_id", "hyp", "ref")
+
+    def grams(col):
+        return F.expr(
+            f"transform(sequence(1, greatest(length({col}) - {CHR_N - 1},"
+            f" 0)), i -> substring({col}, i, {CHR_N}))"
+        )
+
+    sides = pairs.select(
+        "pair_id", F.lit("h").alias("side"), F.explode(grams("hyp")).alias("g")
+    ).unionAll(
+        pairs.select(
+            "pair_id", F.lit("r").alias("side"),
+            F.explode(grams("ref")).alias("g"),
+        )
+    )
+    cl = (
+        sides.groupBy("pair_id", "g")
+        .agg(
+            F.sum(F.when(F.col("side") == "h", 1).otherwise(0))
+            .cast("bigint")
+            .alias("hc"),
+            F.sum(F.when(F.col("side") == "r", 1).otherwise(0))
+            .cast("bigint")
+            .alias("rc"),
+        )
+        .agg(
+            F.sum(F.least(F.col("hc"), F.col("rc")))
+            .cast("bigint")
+            .alias("clip")
+        )
+    )
+    tot = pairs.agg(
+        F.sum(F.greatest(F.length("hyp") - (CHR_N - 1), F.lit(0)))
+        .cast("bigint")
+        .alias("hyp_grams"),
+        F.sum(F.greatest(F.length("ref") - (CHR_N - 1), F.lit(0)))
+        .cast("bigint")
+        .alias("ref_grams"),
+    )
+    p = F.col("clip").cast("double") / F.col("hyp_grams")
+    rr = F.col("clip").cast("double") / F.col("ref_grams")
+    return tot.crossJoin(F.broadcast(cl)).select(
+        "hyp_grams",
+        "ref_grams",
+        "clip",
+        p.alias("chr_precision"),
+        rr.alias("chr_recall"),
+        F.when(4 * p + rr > 0, 5 * p * rr / (4 * p + rr))
+        .otherwise(F.lit(0.0))
+        .alias("chrf2"),
+    )

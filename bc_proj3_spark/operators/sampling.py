@@ -1229,3 +1229,101 @@ def sp15_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(pad).cast("double")
         ).alias("waste_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sp16 — packing-efficiency report over sp4's context windows
+# ---------------------------------------------------------------------------
+
+
+def _sp16_oracle() -> str:
+    from bc_proj3_spark.operators.textstats import BPE_RE
+
+    h = sql_hash60(_sql_seeded("pack", "CAST(doc_id AS VARCHAR)"))
+    return f"""
+WITH staged AS (
+  SELECT doc_id,
+         {h} % {PACK_BUCKETS} AS bucket,
+         {h} AS h,
+         len(regexp_extract_all(lower(text), '{BPE_RE}')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT bucket, n_tokens,
+         CAST(floor((SUM(n_tokens) OVER (
+                PARTITION BY bucket ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) - n_tokens) / {PACK_WINDOW}.0) AS BIGINT) AS pack_id
+  FROM staged
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(SUM(n_tokens) AS BIGINT) AS token_sum,
+       CAST(SUM(n_tokens) AS DOUBLE)
+         / (COUNT(DISTINCT pack_id) * {PACK_WINDOW}) AS fill_rate
+FROM packed
+GROUP BY bucket
+"""
+
+
+@register("sp16_pack_efficiency", _sp16_oracle())
+def sp16_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing efficiency report over sp4's context-window
+    assignment: per hash-bucket stream, document count, window count,
+    token total and fill rate (tokens / window capacity) — the padding
+    -waste number a training budget is checked against (a fill rate of
+    0.7 means 30% of paid FLOPs train on padding; above 1.0 means docs
+    straddle window boundaries and the truncation policy is live).
+    sp4 ASSIGNS the windows; sp16 is the audit a batch-prep job
+    publishes next to them, and the per-bucket breakdown localizes a
+    skewed stream before it serializes an epoch.
+
+    Exactness: reuses sp4's exact mechanism verbatim (same seeded
+    hash, same cumulative-sum window, same constants); every count is
+    an exact BIGINT and the fill rate is ONE IEEE division of exact
+    integers.
+
+    Scale shape: sp4's — packing runs as {PACK_BUCKETS} independent
+    per-bucket running sums (no global window), then ONE {PACK_BUCKETS}
+    -row aggregate. The distinct-pack count collapses map-side: pack
+    ids are already bucket-local."""
+    from pyspark.sql.window import Window
+
+    from bc_proj3_spark.operators.textstats import BPE_RE
+
+    docs = table(spark, sf_dir, "documents")
+    h = hash60(_seeded("pack", F.col("doc_id").cast("string")))
+    n_tokens = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), F.lit(0))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        docs.select(
+            "doc_id",
+            (h % PACK_BUCKETS).alias("bucket"),
+            h.alias("h"),
+            n_tokens.alias("n_tokens"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "bucket",
+            "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")) / float(PACK_WINDOW))
+            .cast("bigint")
+            .alias("pack_id"),
+        )
+    )
+    return packed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("pack_id").cast("bigint").alias("n_packs"),
+        F.sum("n_tokens").cast("bigint").alias("token_sum"),
+        (
+            F.sum("n_tokens").cast("double")
+            / (F.countDistinct("pack_id") * PACK_WINDOW)
+        ).alias("fill_rate"),
+    )

@@ -2095,3 +2095,132 @@ def hs5_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_MRR_CASE).cast("double").alias("rr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s13 — dimension-ablation recall (Matryoshka-style truncation eval)
+# ---------------------------------------------------------------------------
+
+ABLATE_DIM = DIM // 2  # retrieval with only the leading half of each vector
+
+
+_S13_ORACLE = f"""
+WITH {_SQL_BASE},
+et AS (
+  SELECT vec_id, v[1:{ABLATE_DIM}] AS tv,
+         {_sql_norm(f'v[1:{ABLATE_DIM}]')} AS tnrm
+  FROM e
+),
+qt AS (
+  SELECT vec_id AS query_id, tv AS qtv, tnrm AS qtn FROM et
+  WHERE vec_id < {N_QUERIES}
+),
+full_scored AS (
+  SELECT query_id, e.vec_id,
+         {_sql_dot('qv', 'v')} / (qn * nrm) AS cosine
+  FROM q, e
+  WHERE e.vec_id <> query_id
+),
+full_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM full_scored
+  ) t WHERE rn <= {TOP_K}
+),
+trunc_scored AS (
+  SELECT query_id, et.vec_id,
+         {_sql_dot('qtv', 'tv')} / (qtn * tnrm) AS cosine
+  FROM qt, et
+  WHERE et.vec_id <> query_id
+),
+trunc_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM trunc_scored
+  ) t WHERE rn <= {TOP_K}
+)
+SELECT f.query_id,
+       CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(t.vec_id) AS DOUBLE) / {TOP_K} AS recall
+FROM full_topk f
+LEFT JOIN trunc_topk t
+  ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+GROUP BY f.query_id
+"""
+
+
+@register("s13_dim_ablation_recall", _S13_ORACLE)
+def s13_dim_ablation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-ablation retrieval eval: recall@k of cosine search
+    using only the LEADING {ABLATE_DIM} of {DIM} embedding dimensions
+    against the full-width exact top-k — the evaluation behind
+    Matryoshka-style truncatable embeddings and every
+    "can we store half the vector" capacity decision. A pipeline that
+    ships truncated vectors without this number is guessing at its
+    recall budget; run per release, the trend catches embedding-model
+    drift that concentrates signal in late dimensions.
+
+    Exactness: both rankings use the module's sequential-fold cosine
+    (bit-identical across engines, vec_id tiebreaks); the truncated
+    side re-derives its own norms over the slice (never a rescale of
+    the full norm); overlap is an exact integer count and recall is
+    ONE IEEE division by the compile-time k.
+
+    Scale shape: s1's bounded brute-force shape twice — the query set
+    is {N_QUERIES} broadcast rows against one corpus scan per ranking
+    (the slice projects the scan to half width; column pruning keeps
+    the full vector out of the truncated side); the final join +
+    aggregate runs on k·|queries| rows regardless of corpus size."""
+    corpus = _corpus(spark, sf_dir).persist()
+    tv = F.slice(F.col("v"), 1, ABLATE_DIM)
+    trunc = corpus.select(
+        "vec_id", tv.alias("tv"), _norm(tv).alias("tnrm")
+    )
+    q = _queries(corpus)
+    qt = trunc.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tv").alias("qtv"),
+        F.col("tnrm").alias("qtn"),
+    )
+    full_scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    full_topk = _ranked(full_scored, "rn").localCheckpoint(eager=True)
+    trunc_scored = (
+        trunc.crossJoin(F.broadcast(qt))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("qtv"), F.col("tv"))
+                / (F.col("qtn") * F.col("tnrm"))
+            ).alias("cosine"),
+        )
+    )
+    trunc_topk = _ranked(trunc_scored, "t_rn").localCheckpoint(eager=True)
+    return (
+        full_topk.join(
+            trunc_topk.select(
+                "query_id", F.col("vec_id").alias("t_vec")
+            ).withColumnRenamed("t_vec", "vec_id")
+            .select("query_id", "vec_id", F.lit(1).alias("hit")),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_overlap"),
+            (F.count("hit").cast("double") / F.lit(TOP_K)).alias("recall"),
+        )
+    )

@@ -223,6 +223,9 @@ STRICT_VALUE_QUERIES = [
     "cal3_expected_calibration_error",
     "ev1_pass_at_k",
     "ev2_bleu_corpus",
+    "s13_dim_ablation_recall",
+    "sp16_pack_efficiency",
+    "ev3_chargram_fscore",
 ]
 
 

@@ -187,9 +187,9 @@ SF01_EXEMPT: frozenset[str] = frozenset(
         "ch1_chunk_documents", "ch2_duplicate_chunks",
         "ch3_content_defined_chunks", "pipe1_corpus_build",
         "pipe2_ingest_manifest", "pipe3_recipe_attrition",
-        # ev1: exact-integer falling factorials + one division by a
+        # ev1/sp16: exact-integer counts + one division by a
         # compile-time constant — nothing accumulates with scale
-        "ev1_pass_at_k",
+        "ev1_pass_at_k", "sp16_pack_efficiency",
         # time-series on exact ints/decimals (the moment-product and
         # fixpoint members ts5-ts7/ts9/ts10/ts2 are IN the sweep)
         "ts1_gap_fill", "ts3_ohlc_bars", "ts4_twap", "ts8_dispersion",

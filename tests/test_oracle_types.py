@@ -68,6 +68,9 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     # divisions of exact small integers, identical on both engines
     ("s9_ann_recall", "recall_at_k"),
     ("s9_ann_recall", "rr_top1"),
+    # integer-sum ratio: exact BIGINT token total over exact window
+    # capacity (count x compile-time constant), one IEEE division
+    ("sp16_pack_efficiency", "fill_rate"),
     # contingency-cell ratios on common denominators: exact BIGINT
     # numerator/denominator, one IEEE division
     ("lab3_annotator_agreement", "po"),

@@ -92,6 +92,12 @@ _BNLJ_OK = {
     "bt1_bradley_terry",  # 1-row normalizer crossed per MM round
     "ml2_naive_bayes_confusion",  # 1-row accuracy scalar crossed in
     "g13_hits_authorities",  # 1-row normalizer crossed per HITS round
+    # round-11 additions, same 1-row-aggregate broadcast shape:
+    "pipe3_recipe_attrition",  # 1-row ledger agg x 1-row pack count
+    "hs5_mrr_eval",  # inherits s1's broadcast-query cross (ground truth)
+    "ev2_bleu_corpus",  # 1-row totals x 1-row clip1 x 1-row clip2
+    "ev3_chargram_fscore",  # 1-row totals x 1-row clip cross
+    "s13_dim_ablation_recall",  # inherits s1's broadcast-query cross
 }
 
 #: streaming queries — their builders execute a full streaming job;

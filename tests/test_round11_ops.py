@@ -148,6 +148,9 @@ def test_r11_ops_mirror_oracle_on_empty_tables(spark, tmp_path):
         "cal3_expected_calibration_error",
         "ev1_pass_at_k",
         "ev2_bleu_corpus",
+        "s13_dim_ablation_recall",
+        "sp16_pack_efficiency",
+        "ev3_chargram_fscore",
     ]
     try:
         for name in names:

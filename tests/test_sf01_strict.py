@@ -106,6 +106,8 @@ SF01_QUERIES = [
     "hs5_mrr_eval",  # double-heavy cosine rankings on both funnel sides
     "cal3_expected_calibration_error",  # ROUND of derived IEEE gap doubles
     "ev2_bleu_corpus",  # log-lattice LN of corpus-ratio doubles
+    "s13_dim_ablation_recall",  # double-heavy cosine rankings, two widths
+    "ev3_chargram_fscore",  # F2 combination of derived IEEE ratios
 ]
 
 
