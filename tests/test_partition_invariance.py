@@ -32,6 +32,8 @@ INVARIANCE_QUERIES = [
     "t7_rolling_fingerprint",  # ordered rolling hash
     "d2_dedup_survivors",  # rank-window survivor pick
     "sk10_kmv_intersection",  # bottom-K sketch ranks over hash order
+    "sp16_pack_efficiency",  # per-bucket cumulative fill over hash order
+    "pipe3_recipe_attrition",  # mix ranks + pack offsets over hash order
 ]
 
 _PROG = """

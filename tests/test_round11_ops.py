@@ -171,6 +171,59 @@ def test_r11_ops_mirror_oracle_on_empty_tables(spark, tmp_path):
         con.close()
 
 
+def test_pipe3_ledger_is_internally_consistent(spark):
+    """The attrition ledger must chain: stage N's docs_in equals stage
+    N-1's docs_out, drops are non-negative, docs_out = in - dropped,
+    and the token budget never grows through a stage."""
+    rows = {
+        r["stage_order"]: r.asDict()
+        for r in SPECS["pipe3_recipe_attrition"]
+        .builder(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    prev_out = None
+    prev_tok = None
+    for i in range(1, 6):
+        r = rows[i]
+        assert r["docs_dropped"] >= 0
+        assert r["docs_out"] == r["docs_in"] - r["docs_dropped"]
+        if prev_out is not None:
+            assert r["docs_in"] == prev_out
+            assert r["tokens_out"] <= prev_tok
+        prev_out, prev_tok = r["docs_out"], r["tokens_out"]
+    assert rows[5]["n_packs"] >= 1
+    # packing covers the surviving token budget: windows x capacity
+    # must be able to hold the tokens that remain
+    from bc_proj3_spark.operators.sampling import PACK_BUCKETS, PACK_WINDOW
+
+    assert rows[5]["n_packs"] * PACK_WINDOW >= rows[5]["tokens_out"] - (
+        PACK_BUCKETS * PACK_WINDOW
+    )
+
+
+def test_eval_metrics_live_in_their_ranges(spark):
+    """Range/monotonicity pins the oracle compare can't express: pass@k
+    dominates pass@1, recall and F-scores live in [0, 1]."""
+    sf = "/root/testdata/sf0.01"
+    ev1 = SPECS["ev1_pass_at_k"].builder(spark, sf).collect()
+    assert ev1 and all(
+        0.0 <= r["pass_at_1"] <= r["pass_at_10"] <= 1.0 for r in ev1
+    )
+    s13 = SPECS["s13_dim_ablation_recall"].builder(spark, sf).collect()
+    assert s13 and all(0.0 <= r["recall"] <= 1.0 for r in s13)
+    ev3 = SPECS["ev3_chargram_fscore"].builder(spark, sf).collect()[0]
+    assert 0.0 <= ev3["chrf2"] <= 1.0
+    assert 0.0 <= ev3["chr_precision"] <= 1.0
+    assert 0.0 <= ev3["chr_recall"] <= 1.0
+    hs5 = SPECS["hs5_mrr_eval"].builder(spark, sf).collect()
+    assert hs5 and all(
+        (r["first_rel_rank"] is None and r["rr"] == 0.0)
+        or (1 <= r["first_rel_rank"] and 0.0 < r["rr"] <= 1.0)
+        for r in hs5
+    )
+
+
 def test_o3_take_n_display_samples(spark):
     """SURVEY §2 O3: the reference's notebook display verb is a plain
     bounded ``df.take(n)`` (silver_arxiv.py:105,
