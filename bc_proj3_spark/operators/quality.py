@@ -1016,6 +1016,78 @@ def cal3_expected_calibration_error(
 
 
 # ---------------------------------------------------------------------------
+# ev4 — Brier score of the quality score against the weak label
+# ---------------------------------------------------------------------------
+
+#: cal1's scored+labeled CTEs, reused verbatim (split keeps cal1's own
+#: statement byte-identical — it is driver-green and must not move)
+_CAL_SCORED_CTES = _CAL1_ORACLE.split(",\nbinned AS", 1)[0]
+
+_EV4_ORACLE = f"""{_CAL_SCORED_CTES}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM((CAST(ROUND(score, 9) AS DECIMAL(11,10)) - label)
+                * (CAST(ROUND(score, 9) AS DECIMAL(11,10)) - label))
+            AS DOUBLE) / COUNT(*) AS brier,
+       CAST(SUM(label) AS DOUBLE) / COUNT(*) AS base_rate
+FROM labeled
+"""
+
+
+@register("ev4_brier_score", _EV4_ORACLE)
+def ev4_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Brier score of the t2-style quality score against cal1's
+    weak positive label — the single proper scoring rule that charges
+    BOTH miscalibration and lack of resolution at once (cal3's ECE
+    only sees the calibration half; a constant predictor at the base
+    rate has perfect ECE and a terrible Brier). Published with the
+    base rate because Brier is only meaningful against the trivial
+    baseline base_rate*(1-base_rate). The third leg of the
+    probability-quality stool: cal1 diagnoses, cal3 gates calibration,
+    ev4 gates overall probabilistic skill.
+
+    Exactness: the per-doc squared error enters exact arithmetic as
+    (DECIMAL(11,10) - label)^2 — scores live in [0,1], so the square
+    is precision 25, far from the 38-digit cliff — summed order-free
+    in DECIMAL; Brier and base rate are each ONE terminal IEEE
+    division. Reuses cal1's scoring/labeling expressions and its
+    oracle's own CTE text verbatim.
+
+    Scale shape: ONE corpus scan into a 1-row aggregate; nothing
+    scales past the scan."""
+    from bc_proj3_spark.functions import text as T
+
+    docs = table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    n_chars = F.length(F.col("text"))
+    n_clean = F.length(F.regexp_replace(lower, r"[^a-z0-9\s]", ""))
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_content = F.size(T.tokenize(F.col("text")))
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_words.cast("double") / F.lit(60.0))
+        + F.lit(0.3)
+        * (F.lit(1.0) - (n_chars - n_clean).cast("double") / n_chars)
+        + F.lit(0.3)
+        * (F.lit(1.0) - (n_words - n_content).cast("double") / n_words)
+    )
+    label = (
+        F.when(
+            (F.col("text").contains("spark")) | (F.col("n_chars") >= 400), 1
+        ).otherwise(0)
+    )
+    err = F.round(score, 9).cast("decimal(11,10)") - label
+    return docs.select(err.alias("e"), label.alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum(F.col("e") * F.col("e")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("brier"),
+        (F.sum("label").cast("double") / F.count(F.lit(1))).alias(
+            "base_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # gdpr1 — right-to-erasure cascade footprint
 # ---------------------------------------------------------------------------
 

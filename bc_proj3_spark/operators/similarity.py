@@ -2224,3 +2224,198 @@ def s13_dim_ablation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / F.lit(TOP_K)).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s14 — PQ-ADC retrieval recall vs the exact L2 top-k (s10's end-to-end)
+# ---------------------------------------------------------------------------
+
+_S14_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+sub AS (
+  SELECT vec_id, m.m AS m, v[m.m * {PQ_SUB} + 1 : (m.m + 1) * {PQ_SUB}] AS sv
+  FROM e, (SELECT unnest(range(0, {PQ_M})) AS m) m
+),
+cb AS (
+  SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {PQ_K}
+),
+assigned AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT s.vec_id, s.m, cb.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {_sql_d2('s.sv', 'cb.cv')}, cb.cid) AS rn
+    FROM sub s JOIN cb ON s.m = cb.m
+  ) t WHERE rn = 1
+),
+qsub AS (
+  SELECT vec_id AS query_id, m, sv AS qsv FROM sub
+  WHERE vec_id < {N_QUERIES}
+),
+adc_terms AS (
+  SELECT q.query_id, a.vec_id, a.m, {_sql_d2('q.qsv', 'cb.cv')} AS term
+  FROM assigned a
+  JOIN cb ON cb.m = a.m AND cb.cid = a.cid
+  JOIN qsub q ON q.m = a.m
+  WHERE a.vec_id <> q.query_id
+),
+adc AS (
+  SELECT query_id, vec_id,
+         list_reduce(list(term ORDER BY m), (acc, x) -> acc + x) AS adc_d2
+  FROM adc_terms GROUP BY query_id, vec_id
+),
+adc_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rn
+    FROM adc
+  ) t WHERE rn <= {TOP_K}
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+),
+exact_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_sql_d2('q.qv', 'e.v')}, e.vec_id) AS rn
+    FROM q, e WHERE e.vec_id <> q.query_id
+  ) t WHERE rn <= {TOP_K}
+)
+SELECT x.query_id,
+       CAST(COUNT(a.vec_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(a.vec_id) AS DOUBLE) / {TOP_K} AS recall
+FROM exact_topk x
+LEFT JOIN adc_topk a
+  ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+GROUP BY x.query_id
+"""
+
+
+@register("s14_pq_adc_recall", _S14_ORACLE)
+def s14_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end quality of the PQ compression path: recall@k of
+    asymmetric-distance (ADC) retrieval — the query stays full-width,
+    every corpus vector is replaced by its s10 code's sub-centroids,
+    distance = sum of per-subspace squared L2 to the assigned centroid
+    — against the exact full-width L2 top-k. s10's recon_err says how
+    lossy the codes are geometrically; s14 says what that loss COSTS
+    in retrieval, which is the number that decides whether an M-byte
+    code can replace a 256-byte vector at a billion rows. Completes
+    the compression-eval pair the way s9/hs3/hs4/hs5 complete the
+    LSH-funnel eval.
+
+    Exactness: subspace assignment replays s10's exact (d2, cid)
+    argmin; every ADC term is the module's sequential-fold d2
+    (bit-identical IEEE); the per-(query, vector) sum folds the M
+    terms IN SUBSPACE ORDER (s10's recon_err discipline — an ordered
+    list fold, never a parallel double sum); both top-k rankings break
+    ties by vec_id; recall is ONE IEEE division by the compile-time k.
+
+    Scale shape: the codebook is PQ_M x PQ_K rows broadcast over one
+    corpus-wide assignment pass (s10's plan); ADC scoring fans each
+    assigned row out by the {N_QUERIES} broadcast query slices —
+    corpus x M x |queries| skinny rows, linear in the corpus with
+    bounded query sets; the final aggregates are k·|queries| rows."""
+    emb = fanout(table(spark, sf_dir, "embeddings"))
+    v = F.col("embedding").cast("array<double>")
+    e = emb.select("vec_id", v.alias("v"))
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB).alias(
+                            "sv"
+                        ),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    cb = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    assigned = (
+        sub.join(F.broadcast(cb), "m")
+        .select(
+            "vec_id", "m", "cid",
+            _d2(F.col("sv"), F.col("cv")).alias("d2"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cid")).alias("b"))
+        .select("vec_id", "m", F.col("b.cid").alias("cid"))
+    )
+    qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv")
+    )
+    adc_terms = (
+        assigned.join(F.broadcast(cb), ["m", "cid"])
+        .join(F.broadcast(qsub), "m")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", "m",
+            _d2(F.col("qsv"), F.col("cv")).alias("term"),
+        )
+    )
+    adc = adc_terms.groupBy("query_id", "vec_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("m", F.col("term").alias("t")))
+                ),
+                lambda s: s.t,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("adc_d2")
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    adc_topk = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    ex_scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            _d2(F.col("qv"), F.col("v")).alias("d2"),
+        )
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    exact_topk = (
+        ex_scored.withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    return (
+        exact_topk.join(
+            adc_topk.select("query_id", "vec_id", F.lit(1).alias("hit")),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_overlap"),
+            (F.count("hit").cast("double") / F.lit(TOP_K)).alias("recall"),
+        )
+    )

@@ -226,6 +226,8 @@ STRICT_VALUE_QUERIES = [
     "s13_dim_ablation_recall",
     "sp16_pack_efficiency",
     "ev3_chargram_fscore",
+    "s14_pq_adc_recall",
+    "ev4_brier_score",
 ]
 
 

@@ -71,6 +71,10 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     # integer-sum ratio: exact BIGINT token total over exact window
     # capacity (count x compile-time constant), one IEEE division
     ("sp16_pack_efficiency", "fill_rate"),
+    # decimal-exact squared-error sum (lattice (11,10) terms) and an
+    # integer-sum ratio — each ONE terminal IEEE division by COUNT(*)
+    ("ev4_brier_score", "brier"),
+    ("ev4_brier_score", "base_rate"),
     # contingency-cell ratios on common denominators: exact BIGINT
     # numerator/denominator, one IEEE division
     ("lab3_annotator_agreement", "po"),

@@ -98,6 +98,7 @@ _BNLJ_OK = {
     "ev2_bleu_corpus",  # 1-row totals x 1-row clip1 x 1-row clip2
     "ev3_chargram_fscore",  # 1-row totals x 1-row clip cross
     "s13_dim_ablation_recall",  # inherits s1's broadcast-query cross
+    "s14_pq_adc_recall",  # inherits s1's broadcast-query cross (exact side)
 }
 
 #: streaming queries — their builders execute a full streaming job;

@@ -151,6 +151,8 @@ def test_r11_ops_mirror_oracle_on_empty_tables(spark, tmp_path):
         "s13_dim_ablation_recall",
         "sp16_pack_efficiency",
         "ev3_chargram_fscore",
+        "s14_pq_adc_recall",
+        "ev4_brier_score",
     ]
     try:
         for name in names:

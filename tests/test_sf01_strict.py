@@ -108,6 +108,8 @@ SF01_QUERIES = [
     "ev2_bleu_corpus",  # log-lattice LN of corpus-ratio doubles
     "s13_dim_ablation_recall",  # double-heavy cosine rankings, two widths
     "ev3_chargram_fscore",  # F2 combination of derived IEEE ratios
+    "s14_pq_adc_recall",  # double-heavy ADC distance rankings
+    "ev4_brier_score",  # ROUND of derived IEEE scores into the lattice
 ]
 
 
