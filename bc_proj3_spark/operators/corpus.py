@@ -341,16 +341,12 @@ led AS (
   LEFT JOIN dropped dr USING (doc_id)
   LEFT JOIN f1_pass f USING (doc_id)
 ),
-mixq AS (
-  SELECT doc_id FROM (
-    SELECT doc_id,
-           ROW_NUMBER() OVER (PARTITION BY source ORDER BY hm, doc_id) AS rk
-    FROM led WHERE s3
-  ) r WHERE rk <= {MIX_QUOTA}
-),
 led2 AS (
-  SELECT led.*, (m.doc_id IS NOT NULL) AS s4
-  FROM led LEFT JOIN mixq m USING (doc_id)
+  SELECT led.*,
+         (s3 AND ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY s3 DESC, hm, doc_id
+          ) <= {MIX_QUOTA}) AS s4
+  FROM led
 ),
 packed AS (
   SELECT hp % {PACK_BUCKETS} AS bucket,
@@ -421,7 +417,9 @@ def pipe3_recipe_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the stage flags are doc-id-keyed left joins onto one
     corpus projection (each stage op keeps its own banded/gated plan);
     the ledger aggregate is ONE pass with conditional sums; mix is one
-    rank window per source partition over stage-3 survivors only;
+    rank window per source partition directly on the ledger (s3 rows
+    ordered first, so an s3 row's row_number IS its rank among
+    survivors — no self-join, no second pass over the stage funnels);
     packing is sharded into {PACK_BUCKETS} independent hash-bucket
     streams (never a global running sum); the output is five rows."""
     from pyspark.sql.window import Window
@@ -470,25 +468,26 @@ def pipe3_recipe_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s3"),
         )
     )
+    # The mix rank needs no self-join: ordering s3 rows FIRST makes an
+    # s3 row's row_number equal its rank among s3 rows, so one window
+    # over the ledger replaces the filter->rank->left-join round trip
+    # (which re-executed the three stage funnels a second time while
+    # the persist below was still materializing).
     w_mix = Window.partitionBy("source").orderBy(
-        F.col("hm").asc(), F.col("doc_id").asc()
-    )
-    mixq = (
-        led.filter(F.col("s3"))
-        .withColumn("rk", F.row_number().over(w_mix))
-        .filter(F.col("rk") <= MIX_QUOTA)
-        .select("doc_id", F.lit(1).alias("m"))
+        F.col("s3").desc(), F.col("hm").asc(), F.col("doc_id").asc()
     )
     # the ledger feeds the 1-row aggregate AND the packing window; one
     # persist keeps the three stage operators' funnels from re-running
-    led2 = led.join(mixq, "doc_id", "left").persist()
+    led2 = led.withColumn(
+        "s4", F.col("s3") & (F.row_number().over(w_mix) <= MIX_QUOTA)
+    ).persist()
     w_pack = (
         Window.partitionBy("bucket")
         .orderBy(F.col("hp").asc(), F.col("doc_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = (
-        led2.filter(F.col("m").isNotNull())
+        led2.filter(F.col("s4"))
         .select(
             "doc_id",
             "hp",
@@ -522,11 +521,11 @@ def pipe3_recipe_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         _n(F.col("s1")).alias("n1"),
         _n(F.col("s2")).alias("n2"),
         _n(F.col("s3")).alias("n3"),
-        _n(F.col("m").isNotNull()).alias("n4"),
+        _n(F.col("s4")).alias("n4"),
         _tok(F.col("s1")).alias("tok1"),
         _tok(F.col("s2")).alias("tok2"),
         _tok(F.col("s3")).alias("tok3"),
-        _tok(F.col("m").isNotNull()).alias("tok4"),
+        _tok(F.col("s4")).alias("tok4"),
     )
 
     def _stage(order, name, n_in, n_out, tok, n_packs, dropped=None):
