@@ -226,6 +226,184 @@ def test_eval_metrics_live_in_their_ranges(spark):
     )
 
 
+def test_ev1_falling_factorial_matches_comb_exactly(spark):
+    """ev1's explicit 10-factor product must equal the textbook
+    1 - C(n-c,k)/C(n,k) for EVERY possible success count, including
+    the n-c < k region where the estimator must hit exactly 1. Built
+    as a synthetic events table with one task per c in 0..20."""
+    import math
+
+    from bc_proj3_spark.operators.llmeval import N_SAMP, PASS_K
+
+    rows = []
+    eid = 0
+    for c in range(N_SAMP + 1):
+        for i in range(N_SAMP):
+            rows.append(
+                (eid, c, "purchase" if i < c else "view")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # events.parquet needs the full schema table() expects
+        df.selectExpr(
+            "event_id",
+            "timestamp_micros(event_id) AS ts",
+            "user_id",
+            "event_type",
+            "CAST(1.0 AS DOUBLE) AS value",
+            "'{}' AS props",
+        ).write.parquet(f"{tmp}/events.parquet")
+        got = {
+            r["task_id"]: (r["n_correct"], r[f"pass_at_{PASS_K}"])
+            for r in SPECS["ev1_pass_at_k"].builder(spark, tmp).collect()
+        }
+    assert len(got) == N_SAMP + 1
+    for c in range(N_SAMP + 1):
+        n_correct, pk = got[c]
+        assert n_correct == c
+        want = 1.0 - (
+            math.comb(N_SAMP - c, PASS_K) / math.comb(N_SAMP, PASS_K)
+            if N_SAMP - c >= PASS_K
+            else 0.0
+        )
+        assert pk == want, (c, pk, want)
+
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_ev2_ev3_match_pure_python_counters(spark):
+    """Third-implementation pin: the Spark builder and the DuckDB
+    oracle could share a conceptual bug (both were written against the
+    same design); an independent collections.Counter recompute over
+    the raw parquet breaks that correlation for the clipped-count
+    cores of ev2 (token n-grams) and ev3 (character n-grams)."""
+    import re as _re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF001}/documents.parquet").to_pydict()
+    docs = dict(zip(tbl["doc_id"], tbl["text"]))
+    pairs = [
+        (docs[i], docs[i + 1])
+        for i in docs
+        if i % 2 == 0 and (i + 1) in docs
+    ]
+
+    def toks(s):
+        return _re.split(r"\s+", s.strip())
+
+    def bigrams(ws):
+        return [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def chargrams(s, n=4):
+        s = s.lower()
+        return [s[i : i + n] for i in range(max(len(s) - n + 1, 0))]
+
+    def clipped(h_items, r_items):
+        hc, rc = Counter(h_items), Counter(r_items)
+        return sum(min(c, rc[g]) for g, c in hc.items())
+
+    want_c1 = sum(clipped(toks(h), toks(r)) for h, r in pairs)
+    want_c2 = sum(
+        clipped(bigrams(toks(h)), bigrams(toks(r))) for h, r in pairs
+    )
+    want_hyp = sum(len(toks(h)) for h, _ in pairs)
+    want_chr = sum(clipped(chargrams(h), chargrams(r)) for h, r in pairs)
+
+    ev2 = SPECS["ev2_bleu_corpus"].builder(spark, SF001).collect()[0]
+    assert ev2["clip1"] == want_c1
+    assert ev2["clip2"] == want_c2
+    assert ev2["hyp_len"] == want_hyp
+    ev3 = SPECS["ev3_chargram_fscore"].builder(spark, SF001).collect()[0]
+    assert ev3["clip"] == want_chr
+
+
+def test_s13_s14_match_numpy_ground_truth(spark):
+    """Third-implementation pin for the retrieval evals: recompute both
+    rankings with numpy (float64, same tiebreaks) and require the same
+    overlap counts the engine reports."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bc_proj3_spark.operators.similarity import (
+        ABLATE_DIM,
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        TOP_K,
+    )
+
+    tbl = pq.read_table(f"{SF001}/embeddings.parquet").to_pydict()
+    ids = np.array(tbl["vec_id"])
+    order = np.argsort(ids)
+    ids = ids[order]
+    V = np.array(
+        [np.array(v, dtype=np.float64) for v in tbl["embedding"]]
+    )[order]
+
+    def topk_cosine(M, qi):
+        q = M[qi]
+        sims = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+        cand = [(-s, i) for i, s in zip(ids, sims) if i != ids[qi]]
+        cand.sort()
+        return {i for _, i in cand[:TOP_K]}
+
+    # s13: full-width vs truncated cosine top-k overlap
+    want13 = {}
+    for qi in range(N_QUERIES):
+        full = topk_cosine(V, qi)
+        trunc = topk_cosine(V[:, :ABLATE_DIM], qi)
+        want13[ids[qi]] = len(full & trunc)
+    got13 = {
+        r["query_id"]: r["n_overlap"]
+        for r in SPECS["s13_dim_ablation_recall"]
+        .builder(spark, SF001)
+        .collect()
+    }
+    assert got13 == want13
+
+    # s14: exact-L2 vs PQ-ADC top-k overlap
+    def topk_l2(dist, qi):
+        cand = [(d, i) for d, i in zip(dist, ids) if i != ids[qi]]
+        cand.sort()
+        return {i for _, i in cand[:TOP_K]}
+
+    codebook = {
+        (m, cid): V[cid, m * PQ_SUB : (m + 1) * PQ_SUB]
+        for m in range(PQ_M)
+        for cid in range(PQ_K)
+    }
+    assign = np.empty((len(ids), PQ_M), dtype=int)
+    for m in range(PQ_M):
+        sub = V[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+        d2 = np.array(
+            [((sub - codebook[(m, c)]) ** 2).sum(axis=1) for c in range(PQ_K)]
+        )  # (K, N)
+        assign[:, m] = np.argmin(d2, axis=0)  # ties: lowest cid, argmin does
+    want14 = {}
+    for qi in range(N_QUERIES):
+        exact = topk_l2(((V - V[qi]) ** 2).sum(axis=1), qi)
+        adc = np.zeros(len(ids))
+        for m in range(PQ_M):
+            qsub = V[qi, m * PQ_SUB : (m + 1) * PQ_SUB]
+            for x in range(len(ids)):
+                adc[x] += ((qsub - codebook[(m, assign[x, m])]) ** 2).sum()
+        want14[ids[qi]] = len(exact & topk_l2(adc, qi))
+    got14 = {
+        r["query_id"]: r["n_overlap"]
+        for r in SPECS["s14_pq_adc_recall"].builder(spark, SF001).collect()
+    }
+    assert got14 == want14
+
+
 def test_o3_take_n_display_samples(spark):
     """SURVEY §2 O3: the reference's notebook display verb is a plain
     bounded ``df.take(n)`` (silver_arxiv.py:105,
