@@ -1716,3 +1716,150 @@ def d15_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("contamination"),
         (F.coalesce(F.col("n_hit"), F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d16 — cross-split content-leakage report (train/val/test hygiene)
+# ---------------------------------------------------------------------------
+
+
+def _d16_oracle() -> str:
+    from bc_proj3_spark.functions.hashing import sql_hash60
+    from bc_proj3_spark.operators.sampling import (
+        TRAIN_PCT,
+        VAL_PCT,
+        _sql_seeded,
+    )
+
+    bucket = (
+        f"{sql_hash60(_sql_seeded('split', 'CAST(doc_id AS VARCHAR)'))} % 100"
+    )
+    return f"""
+WITH fps AS (
+  SELECT {T.sql_fingerprint('text')} AS fp,
+         CASE WHEN {bucket} < {TRAIN_PCT} THEN 'train'
+              WHEN {bucket} < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+per_fp AS (
+  SELECT fp,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_val,
+         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_test
+  FROM fps GROUP BY fp
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN n_train > 0 AND n_val > 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS sh_tv,
+    CAST(SUM(CASE WHEN n_train > 0 THEN n_val ELSE 0 END) AS BIGINT)
+      AS docs_tv,
+    CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS sh_tt,
+    CAST(SUM(CASE WHEN n_train > 0 THEN n_test ELSE 0 END) AS BIGINT)
+      AS docs_tt,
+    CAST(SUM(CASE WHEN n_val > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS sh_vt,
+    CAST(SUM(CASE WHEN n_val > 0 THEN n_test ELSE 0 END) AS BIGINT)
+      AS docs_vt
+  FROM per_fp
+)
+SELECT 'train' AS split_a, 'val' AS split_b,
+       sh_tv AS n_shared_fps, docs_tv AS n_docs_contaminated FROM agg
+UNION ALL
+SELECT 'train', 'test', sh_tt, docs_tt FROM agg
+UNION ALL
+SELECT 'val', 'test', sh_vt, docs_vt FROM agg
+"""
+
+
+@register("d16_cross_split_leakage", _d16_oracle())
+def d16_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test content-leakage report: for each ordered split
+    pair, how many exact content fingerprints (d1's identity) appear
+    in BOTH splits, and how many target-split documents carry such a
+    fingerprint. sp9's leakage-safe split PREVENTS this by
+    construction; d16 is the audit for the splits you did NOT build
+    that way (sp1's independent per-doc hash, the industry default) —
+    a val set sharing content with train inflates every eval number,
+    and this is the first table an eval-integrity review asks for.
+
+    Exactness: fingerprints and split buckets reuse the registered
+    d1/sp1 expressions verbatim; all counts are exact integers from
+    one conditional aggregate over the per-fingerprint split
+    histogram.
+
+    Scale shape: ONE documents scan → groupBy fingerprint (map-side
+    combine absorbs duplicates) → ONE 1-row conditional aggregate
+    fanned out to the 3 report rows. No joins, no self-products; at
+    100 TB the fingerprint aggregate is the d1 dedup pass itself."""
+    from bc_proj3_spark.functions.hashing import hash60
+    from bc_proj3_spark.operators.sampling import (
+        TRAIN_PCT,
+        VAL_PCT,
+        _seeded,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = hash60(_seeded("split", F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VAL_PCT, "val")
+        .otherwise("test")
+    )
+    per_fp = (
+        docs.select(T.fingerprint(F.col("text")).alias("fp"), split.alias("split"))
+        .groupBy("fp")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_val"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_test"),
+        )
+    )
+
+    def _sh(a, b):
+        return F.sum(
+            F.when((F.col(a) > 0) & (F.col(b) > 0), 1).otherwise(0)
+        ).cast("bigint")
+
+    def _docs(a, b):
+        return F.sum(
+            F.when(F.col(a) > 0, F.col(b)).otherwise(0)
+        ).cast("bigint")
+
+    agg = per_fp.agg(
+        _sh("n_train", "n_val").alias("sh_tv"),
+        _docs("n_train", "n_val").alias("docs_tv"),
+        _sh("n_train", "n_test").alias("sh_tt"),
+        _docs("n_train", "n_test").alias("docs_tt"),
+        _sh("n_val", "n_test").alias("sh_vt"),
+        _docs("n_val", "n_test").alias("docs_vt"),
+    )
+
+    def _row(a, b, sh, dc):
+        return F.struct(
+            F.lit(a).alias("split_a"),
+            F.lit(b).alias("split_b"),
+            F.col(sh).alias("n_shared_fps"),
+            F.col(dc).alias("n_docs_contaminated"),
+        )
+
+    return agg.select(
+        F.explode(
+            F.array(
+                _row("train", "val", "sh_tv", "docs_tv"),
+                _row("train", "test", "sh_tt", "docs_tt"),
+                _row("val", "test", "sh_vt", "docs_vt"),
+            )
+        ).alias("r")
+    ).select("r.*")

@@ -443,3 +443,138 @@ def ev3_chargram_fscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("chrf2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rag1 — retrieval context assembly under a token budget
+# ---------------------------------------------------------------------------
+
+RAG_BUDGET = 512  # context-window token budget per query
+
+
+def _rag1_oracle() -> str:
+    from bc_proj3_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _SQL_BASE,
+        _sql_dot,
+    )
+    from bc_proj3_spark.operators.textstats import BPE_RE
+
+    return f"""
+WITH {_SQL_BASE},
+toks AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '{BPE_RE}'))
+           AS n_tokens
+  FROM documents
+),
+scored AS (
+  SELECT query_id, e.vec_id,
+         {_sql_dot('qv', 'v')} / (qn * nrm) AS cosine
+  FROM q, e
+  WHERE e.vec_id <> query_id
+),
+topk AS (
+  SELECT query_id, vec_id, rn FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored
+  ) t WHERE rn <= {TOP_K}
+),
+ctx AS (
+  SELECT k.query_id, k.rn, t.n_tokens,
+         SUM(t.n_tokens) OVER (
+           PARTITION BY k.query_id ORDER BY k.rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM topk k JOIN toks t ON t.doc_id = k.vec_id
+)
+SELECT query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+       CAST(SUM(CASE WHEN cum <= {RAG_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_admitted,
+       CAST(SUM(CASE WHEN cum <= {RAG_BUDGET} THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_used,
+       CAST(SUM(CASE WHEN cum <= {RAG_BUDGET} THEN n_tokens ELSE 0 END)
+            AS DOUBLE) / {RAG_BUDGET} AS budget_fill
+FROM ctx GROUP BY query_id
+"""
+
+
+@register("rag1_context_budget", _rag1_oracle())
+def rag1_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly under a token budget: take each query's
+    exact cosine top-k (s1's ranking), join every candidate's BPE
+    token cost (t5's measure, embeddings vec_id = documents doc_id),
+    and admit documents in RANK ORDER while the running total stays
+    within the {RAG_BUDGET}-token context budget — the greedy
+    rank-priority fill every RAG serving stack runs per request. The
+    report (retrieved vs admitted vs tokens used vs budget fill) is
+    the capacity-planning table: a fill rate near 1.0 with few
+    admitted docs means long documents are crowding out diversity and
+    the chunking policy (ch1) needs to move.
+
+    Exactness: the ranking is the module's bit-identical cosine with
+    vec_id tiebreaks; token costs and the rank-ordered running sum are
+    exact integers (the cumulative window orders by the already-ranked
+    rn — no double enters until the single terminal fill-rate
+    division).
+
+    Scale shape: s1's bounded brute-force ranking ({N_QUERIES}
+    broadcast queries against one corpus scan), one doc-id-keyed join
+    to the token costs, and a k-row-per-query window + aggregate —
+    constant work per query regardless of corpus size."""
+    from bc_proj3_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _corpus,
+        _dot,
+        _queries,
+        _ranked,
+    )
+    from bc_proj3_spark.operators.textstats import BPE_RE
+
+    corpus = _corpus(spark, sf_dir)
+    q = _queries(corpus)
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    topk = _ranked(scored, "rn")
+    toks = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(BPE_RE), F.lit(0)
+            )
+        ).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ctx = topk.join(toks, "vec_id").select(
+        "query_id",
+        "rn",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum"),
+    )
+    admitted = F.when(F.col("cum") <= RAG_BUDGET, 1).otherwise(0)
+    adm_tokens = F.when(
+        F.col("cum") <= RAG_BUDGET, F.col("n_tokens")
+    ).otherwise(0)
+    return ctx.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_retrieved"),
+        F.sum(admitted).cast("bigint").alias("n_admitted"),
+        F.sum(adm_tokens).cast("bigint").alias("tokens_used"),
+        (F.sum(adm_tokens).cast("double") / F.lit(RAG_BUDGET)).alias(
+            "budget_fill"
+        ),
+    )

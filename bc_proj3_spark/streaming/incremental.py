@@ -1043,3 +1043,95 @@ def st12_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# st13 — streaming admission ledger (pipe2's reason-mix, at ingest)
+# ---------------------------------------------------------------------------
+
+def _st13_oracle() -> str:
+    from bc_proj3_spark.operators.corpus import _PIPE2_ORACLE
+
+    return f"""
+WITH led AS (
+{_PIPE2_ORACLE}
+)
+SELECT outcome,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS chars_total
+FROM led JOIN documents d USING (doc_id)
+GROUP BY outcome
+"""
+
+
+@register("st13_stream_admission_ledger", _st13_oracle())
+def st13_stream_admission_ledger(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """pipe2's admission ledger, maintained AT INGEST: the arriving
+    batch streams through two stream-static joins — the f1 quality
+    decision and d8's duplicate verdict against the existing corpus —
+    and the reason-mix counters (quality-rejected / duplicate /
+    admitted, with character volume) update per micro-batch. pipe2 is
+    the ledger a backfill publishes once; this drain is the live
+    dashboard an ingest service actually watches — quality rejects
+    spiking vs duplicate rejects spiking distinguishes a crawler
+    regression from a recrawl loop WHILE it happens, not at the next
+    batch audit. Held to exact value equality with the batch oracle
+    (pipe2's own spliced CTE text, rolled up).
+
+    Scale shape: both static sides are doc-id sets behind measured
+    gated broadcasts (f1-pass ids and d8's admitted ids — bytes per
+    row, corpus-bounded but skinny); the stream side is stateless
+    (every admission decision is local to the arriving row — no
+    watermark, no join state), so ingest throughput is scan-speed;
+    the roll-up is a 3-row complete-mode matrix."""
+    from bc_proj3_spark.operators.dedup import (
+        D8_BATCH_MOD,
+        D8_BATCH_REM,
+        d8_incremental_dedup,
+    )
+    from bc_proj3_spark.operators.ranking import f1_quality_filter
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    batch = src.filter(F.col("doc_id") % D8_BATCH_MOD == D8_BATCH_REM)
+    passed = f1_quality_filter(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("ok")
+    )
+    admitted = d8_incremental_dedup(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("adm")
+    )
+    led = (
+        batch.join(gated_broadcast(passed), "doc_id", "left")
+        .join(gated_broadcast(admitted), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.when(F.col("ok").isNull(), "quality")
+            .when(F.col("adm").isNull(), "duplicate")
+            .otherwise("admitted")
+            .alias("outcome"),
+        )
+    )
+    agg = led.groupBy("outcome").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+    )
+    sink = f"st13_sink_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="st13-ckpt-") as ckpt, \
+            _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(sink)

@@ -228,6 +228,9 @@ STRICT_VALUE_QUERIES = [
     "ev3_chargram_fscore",
     "s14_pq_adc_recall",
     "ev4_brier_score",
+    "d16_cross_split_leakage",
+    "rag1_context_budget",
+    "st13_stream_admission_ledger",
 ]
 
 

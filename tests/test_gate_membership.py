@@ -125,7 +125,7 @@ SF01_EXEMPT: frozenset[str] = frozenset(
         "d7_decontaminate", "d8_incremental_dedup", "d9_dedup_report",
         "d10_containment_pairs", "d12_semdedup",
         "d13_hamming_neardup_pairs", "d14_span_coverage",
-        "d15_ngram_decontaminate",
+        "d15_ngram_decontaminate", "d16_cross_split_leakage",
         "s1_knn_bruteforce", "s2_ann_lsh", "s3_cosine_neardup_pairs",
         "s4_ivf_probe", "s6_kmeans_update",
         "er2_canonical_assignment", "er3_canonical_roots",
@@ -149,6 +149,7 @@ SF01_EXEMPT: frozenset[str] = frozenset(
         "st7_stream_static_join", "st8_stream_apply_changes",
         "st9_stream_hll_registers", "st10_stream_sliding_windows",
         "st11_stream_countsketch", "st12_stream_decontaminate",
+        "st13_stream_admission_ledger",
         # text stats: exact token counts; log-lattice members (t10,
         # t16, t21, t25, t27, t28...) are IN the sweep
         "t1_language_id", "t2_quality_score", "t3_token_histogram",

@@ -75,6 +75,9 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     # integer-sum ratio — each ONE terminal IEEE division by COUNT(*)
     ("ev4_brier_score", "brier"),
     ("ev4_brier_score", "base_rate"),
+    # integer-sum ratio: exact admitted-token total over the
+    # compile-time budget constant, one IEEE division
+    ("rag1_context_budget", "budget_fill"),
     # contingency-cell ratios on common denominators: exact BIGINT
     # numerator/denominator, one IEEE division
     ("lab3_annotator_agreement", "po"),

@@ -99,6 +99,7 @@ _BNLJ_OK = {
     "ev3_chargram_fscore",  # 1-row totals x 1-row clip cross
     "s13_dim_ablation_recall",  # inherits s1's broadcast-query cross
     "s14_pq_adc_recall",  # inherits s1's broadcast-query cross (exact side)
+    "rag1_context_budget",  # inherits s1's broadcast-query cross
 }
 
 #: streaming queries — their builders execute a full streaming job;

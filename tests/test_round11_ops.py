@@ -153,6 +153,8 @@ def test_r11_ops_mirror_oracle_on_empty_tables(spark, tmp_path):
         "ev3_chargram_fscore",
         "s14_pq_adc_recall",
         "ev4_brier_score",
+        "d16_cross_split_leakage",
+        "rag1_context_budget",
     ]
     try:
         for name in names:

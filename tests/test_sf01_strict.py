@@ -110,6 +110,7 @@ SF01_QUERIES = [
     "ev3_chargram_fscore",  # F2 combination of derived IEEE ratios
     "s14_pq_adc_recall",  # double-heavy ADC distance rankings
     "ev4_brier_score",  # ROUND of derived IEEE scores into the lattice
+    "rag1_context_budget",  # double-heavy cosine ranking feeds the fill
 ]
 
 
