@@ -406,6 +406,136 @@ def test_s13_s14_match_numpy_ground_truth(spark):
     assert got14 == want14
 
 
+def test_ml1_trajectory_matches_python_replay(spark):
+    """Third-implementation pin for the r8 driver prefix's slot 1: the
+    perceptron's integer trajectory replayed in pure Python over the
+    raw parquet must match round for round."""
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from bc_proj3_spark.operators.mltrain import (
+        PERCEPTRON_CENTER,
+        PERCEPTRON_LABEL_CHARS,
+        PERCEPTRON_ROUNDS,
+    )
+
+    tbl = pq.read_table(f"{SF001}/documents.parquet").to_pydict()
+    c1, c2, c3 = PERCEPTRON_CENTER
+    rows = []
+    for text, n_chars in zip(tbl["text"], tbl["n_chars"]):
+        toks = _re.split(r"\s+", text.strip())
+        rows.append(
+            (
+                1,
+                len(toks) - c1,
+                sum(1 for t in toks if t in ("the", "a")) - c2,
+                len(set(toks)) - c3,
+                1 if n_chars >= PERCEPTRON_LABEL_CHARS else -1,
+            )
+        )
+    w = [0, 0, 0, 0]
+    want = []
+    for _ in range(PERCEPTRON_ROUNDS):
+        upd = [0, 0, 0, 0]
+        mistakes = 0
+        for x0, x1, x2, x3, y in rows:
+            if y * (w[0] * x0 + w[1] * x1 + w[2] * x2 + w[3] * x3) <= 0:
+                mistakes += 1
+                for i, x in enumerate((x0, x1, x2, x3)):
+                    upd[i] += y * x
+        w = [a + b for a, b in zip(w, upd)]
+        want.append((mistakes, tuple(w), mistakes / len(rows)))
+
+    got = sorted(
+        SPECS["ml1_perceptron_train"].builder(spark, SF001).collect(),
+        key=lambda r: r["round"],
+    )
+    assert len(got) == PERCEPTRON_ROUNDS
+    for r, (mk, wk, er) in zip(got, want):
+        assert r["n_mistakes"] == mk
+        assert (r["w0"], r["w1"], r["w2"], r["w3"]) == wk
+        assert r["error_rate"] == er
+
+
+def test_bt1_strengths_match_python_replay(spark):
+    """Third-implementation pin for slot 4: Bradley-Terry's half-up
+    scaled-integer MM walk replayed in pure Python (Decimal半up cents,
+    exact integer divisions) must match the engine bit for bit."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    from bc_proj3_spark.operators.mltrain import BT_ROUNDS, BT_SCALE
+
+    o = pq.read_table(f"{SF001}/orders.parquet").to_pydict()
+    c = pq.read_table(f"{SF001}/customer.parquet").to_pydict()
+    seg_of = dict(zip(c["c_custkey"], c["c_mktsegment"]))
+    cells = defaultdict(int)
+    for ck, day, price in zip(
+        o["o_custkey"], o["o_orderdate"], o["o_totalprice"]
+    ):
+        # Spark/DuckDB ROUND(double*100, 0) rounds HALF_UP on the
+        # shortest decimal repr — Decimal(repr(x)) replicates it
+        cents = int(
+            Decimal(repr(price * 100)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        cells[(day, seg_of[ck])] += cents
+    by_day = defaultdict(list)
+    for (day, seg), cents in cells.items():
+        by_day[day].append((seg, cents))
+    n = defaultdict(int)
+    wins = defaultdict(int)
+    matches = defaultdict(int)
+    for day, entries in by_day.items():
+        entries.sort()
+        for ai in range(len(entries)):
+            for bi in range(ai + 1, len(entries)):
+                (sa, ca), (sb, cb) = entries[ai], entries[bi]
+                n[(sa, sb)] += 1
+                winner = sb if cb > ca else sa
+                wins[winner] += 1
+                matches[sa] += 1
+                matches[sb] += 1
+    players = sorted(matches)
+    assert players, "fixture must produce at least one duel"
+    s = BT_SCALE
+
+    def halfup(a, b):
+        return (2 * a + b) // (2 * b)
+
+    p = {i: s // len(players) for i in players}
+    for _ in range(BT_ROUNDS):
+        d = {
+            i: sum(
+                halfup(
+                    n[(min(i, j), max(i, j))] * s * s, p[i] + p[j]
+                )
+                for j in players
+                if j != i and n[(min(i, j), max(i, j))]
+            )
+            for i in players
+        }
+        u = {i: halfup(wins[i] * s * s, d[i]) for i in players}
+        tot = sum(u.values())
+        p = {i: halfup(u[i] * s, tot) for i in players}
+
+    got = {
+        r["seg"]: (r["n_wins"], r["n_matches"], r["p_scaled"], r["strength"])
+        for r in SPECS["bt1_bradley_terry"].builder(spark, SF001).collect()
+    }
+    assert set(got) == set(players)
+    for i in players:
+        assert got[i] == (wins[i], matches[i], p[i], p[i] / s), (
+            i,
+            got[i],
+            (wins[i], matches[i], p[i], p[i] / s),
+        )
+
+
 def test_o3_take_n_display_samples(spark):
     """SURVEY §2 O3: the reference's notebook display verb is a plain
     bounded ``df.take(n)`` (silver_arxiv.py:105,
