@@ -460,8 +460,9 @@ def test_ml1_trajectory_matches_python_replay(spark):
 
 def test_bt1_strengths_match_python_replay(spark):
     """Third-implementation pin for slot 4: Bradley-Terry's half-up
-    scaled-integer MM walk replayed in pure Python (Decimal半up cents,
-    exact integer divisions) must match the engine bit for bit."""
+    scaled-integer MM walk replayed in pure Python (Decimal half-up
+    cents, exact integer divisions) must match the engine bit for
+    bit."""
     from collections import defaultdict
     from decimal import ROUND_HALF_UP, Decimal
 
