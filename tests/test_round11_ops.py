@@ -537,6 +537,105 @@ def test_bt1_strengths_match_python_replay(spark):
         )
 
 
+def test_g13_hits_matches_python_replay(spark):
+    """Third-implementation pin for prefix slot 7: the HITS half-up
+    scaled-integer walk (L1-normalized hub/authority rounds over the
+    customer->part bipartite edges) replayed in pure Python must match
+    the engine's top-k bit for bit."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from bc_proj3_spark.operators.graph import (
+        HITS_ROUNDS,
+        HITS_SCALE,
+        HITS_TOP_K,
+    )
+
+    o = pq.read_table(f"{SF001}/orders.parquet").to_pydict()
+    li = pq.read_table(f"{SF001}/lineitem.parquet").to_pydict()
+    cust_of = dict(zip(o["o_orderkey"], o["o_custkey"]))
+    edges = {
+        (cust_of[ok], pk)
+        for ok, pk in zip(li["l_orderkey"], li["l_partkey"])
+        if ok in cust_of
+    }
+    out_of = defaultdict(list)
+    in_of = defaultdict(list)
+    for u, v in edges:
+        out_of[u].append(v)
+        in_of[v].append(u)
+    s = HITS_SCALE
+
+    def halfup(num, den):
+        return (2 * num + den) // (2 * den)
+
+    h = {u: s // len(out_of) for u in out_of}
+    a = {}
+    for _ in range(HITS_ROUNDS):
+        ar = {v: sum(h[u] for u in in_of[v]) for v in in_of}
+        tot = sum(ar.values())
+        a = {v: halfup(r * s, tot) for v, r in ar.items()}
+        hr = {u: sum(a[v] for v in out_of[u]) for u in out_of}
+        tot = sum(hr.values())
+        h = {u: halfup(r * s, tot) for u, r in hr.items()}
+    want = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOP_K]
+
+    got = [
+        (r["part_key"], r["auth_scaled"], r["authority"])
+        for r in SPECS["g13_hits_authorities"].builder(spark, SF001).collect()
+    ]
+    assert got == [(v, av, av / s) for v, av in want]
+
+
+def test_e24_markov_matches_python_replay(spark):
+    """Third-implementation pin for prefix slot 8: the Markov-chain
+    power iteration's half-up 1e-9 fixed-point walk replayed in pure
+    Python over the raw events (DuckDB's microsecond truncation
+    mirrors the engine's ts normalization) must match bit for bit."""
+    from collections import defaultdict
+
+    from bc_proj3_spark.plans.events import MARKOV_ROUNDS, MARKOV_SCALE
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, ts, event_id, event_type FROM "
+        f"read_parquet('{SF001}/events.parquet') "
+        f"ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    con.close()
+    by_user = defaultdict(list)
+    for uid, _, _, et in rows:
+        by_user[uid].append(et)
+    cells = defaultdict(int)
+    types = set()
+    for seq in by_user.values():
+        types.update(seq)
+        for a, b in zip(seq, seq[1:]):
+            cells[(a, b)] += 1
+    s = MARKOV_SCALE
+
+    def halfup(num, den):
+        return (2 * num + den) // (2 * den)
+
+    tot = defaultdict(int)
+    for (a, _), n in cells.items():
+        tot[a] += n
+    q = {k: halfup(n * s, tot[k[0]]) for k, n in cells.items()}
+    p = {t: s // len(types) for t in sorted(types)}
+    for _ in range(MARKOV_ROUNDS):
+        m = defaultdict(int)
+        for (a, b), qv in q.items():
+            m[b] += halfup(p[a] * qv, s)
+        p = {t: m.get(t, 0) for t in types}
+
+    got = {
+        r["event_type"]: (r["pi_scaled"], r["pi"])
+        for r in SPECS["e24_markov_stationary"].builder(spark, SF001).collect()
+    }
+    assert got == {t: (p[t], p[t] / s) for t in types}
+
+
 def test_o3_take_n_display_samples(spark):
     """SURVEY §2 O3: the reference's notebook display verb is a plain
     bounded ``df.take(n)`` (silver_arxiv.py:105,
