@@ -636,6 +636,79 @@ def test_e24_markov_matches_python_replay(spark):
     assert got == {t: (p[t], p[t] / s) for t in types}
 
 
+def test_t28_textrank_matches_python_replay(spark):
+    """Third-implementation pin for prefix slot 10: TextRank's damped
+    half-up fixed-point walk over the symmetrized co-occurrence graph,
+    replayed in pure Python from the raw text through the same
+    tokenizer rules, must reproduce the engine's top-k exactly."""
+    import re as _re
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from bc_proj3_spark.functions.text import (
+        MIN_TOKEN_LEN,
+        NON_ALNUM_RE,
+        STOPWORDS,
+        URL_RE,
+        WS_RE,
+    )
+    from bc_proj3_spark.operators.textstats import (
+        TEXTRANK_ROUNDS,
+        TEXTRANK_SCALE,
+        TEXTRANK_TOP_K,
+    )
+
+    stop = set(STOPWORDS)
+
+    def tokenize(text):
+        t = text.lower()
+        t = _re.sub(URL_RE, " ", t)
+        t = _re.sub(NON_ALNUM_RE, " ", t)
+        return [
+            x
+            for x in _re.split(WS_RE, t)
+            if len(x) > MIN_TOKEN_LEN and x not in stop
+        ]
+
+    tbl = pq.read_table(f"{SF001}/documents.parquet").to_pydict()
+    sym = defaultdict(int)
+    for text in tbl["text"]:
+        w = tokenize(text)
+        for a, b in zip(w, w[1:]):
+            if a != b:
+                sym[(a, b)] += 1
+                sym[(b, a)] += 1
+    s = TEXTRANK_SCALE
+
+    def halfup(num, den):
+        return (2 * num + den) // (2 * den)
+
+    deg = defaultdict(int)
+    for (u, _), n in sym.items():
+        deg[u] += n
+    q = {(u, v): halfup(n * s, deg[u]) for (u, v), n in sym.items()}
+    nn = len(deg)
+    base = (2 * 15 * s + 100 * nn) // (2 * 100 * nn)
+    r = {u: s // nn for u in deg}
+    for _ in range(TEXTRANK_ROUNDS):
+        contrib = defaultdict(int)
+        for (u, v), qv in q.items():
+            contrib[v] += halfup(qv * r[u], s)
+        r = {v: base + halfup(85 * c, 100) for v, c in contrib.items()}
+    want = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :TEXTRANK_TOP_K
+    ]
+
+    got = [
+        (row["word"], row["rank_scaled"], row["rank"])
+        for row in SPECS["t28_textrank_keywords"]
+        .builder(spark, SF001)
+        .collect()
+    ]
+    assert got == [(w, rv, rv / s) for w, rv in want]
+
+
 def test_o3_take_n_display_samples(spark):
     """SURVEY §2 O3: the reference's notebook display verb is a plain
     bounded ``df.take(n)`` (silver_arxiv.py:105,
