@@ -709,6 +709,53 @@ def test_t28_textrank_matches_python_replay(spark):
     assert got == [(w, rv, rv / s) for w, rv in want]
 
 
+def test_cal2_isotonic_matches_python_pav(spark):
+    """Third-implementation pin for prefix slot 5: the max-min PAV
+    characterization replayed in pure Python (exact integer pooled
+    sums, one IEEE division per pooled rate) must match the engine's
+    fitted monotone rates exactly."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from bc_proj3_spark.operators.quality import CAL2_BIN_CHARS
+
+    tbl = pq.read_table(f"{SF001}/documents.parquet").to_pydict()
+    w = defaultdict(int)
+    s = defaultdict(int)
+    for text, n_chars in zip(tbl["text"], tbl["n_chars"]):
+        b = min(9, n_chars // CAL2_BIN_CHARS)
+        w[b] += 1
+        s[b] += 1 if "spark" in text else 0
+    bins = sorted(w)
+
+    def pooled(j, k):
+        return sum(s[b] for b in bins if j <= b <= k) / sum(
+            w[b] for b in bins if j <= b <= k
+        )
+
+    want = {}
+    for i in bins:
+        want[i] = max(
+            min(pooled(j, k) for k in bins if k >= max(i, j))
+            for j in bins
+            if j <= i
+        )
+    # the fit must be monotone non-decreasing — PAV's defining property
+    fitted = [want[b] for b in bins]
+    assert fitted == sorted(fitted)
+
+    got = {
+        r["bin"]: (r["n_docs"], r["raw_rate"], r["iso_rate"])
+        for r in SPECS["cal2_isotonic_calibration"]
+        .builder(spark, SF001)
+        .collect()
+    }
+    assert got == {
+        b: (w[b], s[b] / w[b], want[b]) for b in bins
+    }
+
+
 def test_o3_take_n_display_samples(spark):
     """SURVEY §2 O3: the reference's notebook display verb is a plain
     bounded ``df.take(n)`` (silver_arxiv.py:105,
