@@ -756,6 +756,54 @@ def test_cal2_isotonic_matches_python_pav(spark):
     }
 
 
+def test_g11_label_propagation_matches_python_replay(spark):
+    """Third-implementation pin for prefix slot 6: the synchronous
+    label-propagation trajectory (count DESC, label ASC argmax over
+    neighbor labels on the support-filtered co-purchase graph)
+    replayed in pure Python must match the census round for round."""
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from bc_proj3_spark.operators.graph import LP_MIN_SUPPORT, LP_ROUNDS
+
+    li = pq.read_table(f"{SF001}/lineitem.parquet").to_pydict()
+    items = defaultdict(set)
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        items[ok].add(pk)
+    support = Counter()
+    for parts in items.values():
+        ps = sorted(parts)
+        for ai in range(len(ps)):
+            for bi in range(ai + 1, len(ps)):
+                support[(ps[ai], ps[bi])] += 1
+    nbrs = defaultdict(list)
+    for (u, v), c in support.items():
+        if c >= LP_MIN_SUPPORT:
+            nbrs[u].append(v)
+            nbrs[v].append(u)
+    lab = {n: n for n in nbrs}
+    want = [(0, len(lab), 0)]
+    for rnd in range(1, LP_ROUNDS + 1):
+        new = {}
+        for n in nbrs:
+            counts = Counter(lab[m] for m in nbrs[n])
+            new[n] = min(
+                counts, key=lambda L: (-counts[L], L)
+            )
+        moved = sum(1 for n in nbrs if new[n] != lab[n])
+        lab = new
+        want.append((rnd, len(set(lab.values())), moved))
+
+    got = sorted(
+        (r["round"], r["n_communities"], r["n_moved"])
+        for r in SPECS["g11_label_propagation"]
+        .builder(spark, SF001)
+        .collect()
+    )
+    assert got == want
+
+
 def test_o3_take_n_display_samples(spark):
     """SURVEY §2 O3: the reference's notebook display verb is a plain
     bounded ``df.take(n)`` (silver_arxiv.py:105,
