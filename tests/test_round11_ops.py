@@ -804,6 +804,86 @@ def test_g11_label_propagation_matches_python_replay(spark):
     assert got == want
 
 
+def test_t27_bpe_matches_python_replay(spark):
+    """Third-implementation pin for prefix slot 9: the BPE training
+    trajectory (frequency-weighted pair counts, (count DESC, pair ASC)
+    winner, greedy leftmost-non-overlapping merge) replayed in pure
+    Python over the tokenizer's vocabulary must match every round's
+    merge, count, changed-spelling count and symbol total."""
+    import re as _re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from bc_proj3_spark.functions.text import (
+        MIN_TOKEN_LEN,
+        NON_ALNUM_RE,
+        STOPWORDS,
+        URL_RE,
+        WS_RE,
+    )
+    from bc_proj3_spark.operators.textstats import BPE_ROUNDS
+
+    stop = set(STOPWORDS)
+
+    def tokenize(text):
+        t = text.lower()
+        t = _re.sub(URL_RE, " ", t)
+        t = _re.sub(NON_ALNUM_RE, " ", t)
+        return [
+            x
+            for x in _re.split(WS_RE, t)
+            if len(x) > MIN_TOKEN_LEN and x not in stop
+        ]
+
+    tbl = pq.read_table(f"{SF001}/documents.parquet").to_pydict()
+    vocab = Counter()
+    for text in tbl["text"]:
+        vocab.update(tokenize(text))
+    spell = {w: list(w) for w in vocab}
+    want = []
+    for _ in range(BPE_ROUNDS):
+        pairs = Counter()
+        for w, freq in vocab.items():
+            a = spell[w]
+            for i in range(len(a) - 1):
+                pairs[(a[i], a[i + 1])] += freq
+        (x, y), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        changed = 0
+        total = 0
+        for w in vocab:
+            a = spell[w]
+            out = []
+            i = 0
+            while i < len(a):
+                if i + 1 < len(a) and a[i] == x and a[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(a[i])
+                    i += 1
+            if out != a:
+                changed += 1
+                spell[w] = out
+            total += vocab[w] * len(spell[w])
+        want.append((f"{x} {y}", cnt, changed, total))
+
+    got = sorted(
+        SPECS["t27_bpe_learn"].builder(spark, SF001).collect(),
+        key=lambda r: r["round"],
+    )
+    assert len(got) == BPE_ROUNDS
+    for r, (pair, cnt, changed, total) in zip(got, want):
+        assert (
+            r["merged_pair"],
+            r["weighted_count"],
+            r["n_spellings_changed"],
+            r["total_symbols"],
+        ) == (pair, cnt, changed, total)
+
+
 def test_o3_take_n_display_samples(spark):
     """SURVEY §2 O3: the reference's notebook display verb is a plain
     bounded ``df.take(n)`` (silver_arxiv.py:105,
