@@ -206,78 +206,41 @@ _VERIFIED_ROUND: dict[str, int] = {
     "o6_pareto_frontier": 7, "prof1_table_stats": 7,
     "sk5_bloom_bits": 7, "sk6_bloom_membership": 7,
     "t13_langid_confusion": 7, "t15_skipgram_pairs": 7,
+    # round 8 (CORRECTNESS_r08.json) — 50/50 green: the full staged
+    # r8 prefix (riskiest never-verified queries, see STATUS round 11).
+    "a14_mad_outliers": 8, "a16_gini_concentration": 8, "a17_winsorized_mean": 8,
+    "a18_theil_decomposition": 8, "bt1_bradley_terry": 8, "cal2_isotonic_calibration": 8,
+    "d13_hamming_neardup_pairs": 8, "dp1_dp_counts": 8, "dp2_dp_mean": 8,
+    "dq9_t_closeness": 8, "e23_kaplan_meier": 8, "e24_markov_stationary": 8,
+    "e25_did_uplift": 8, "e26_ipw_uplift": 8, "fe5_woe_encoding": 8,
+    "g10_clustering_coefficient": 8, "g11_label_propagation": 8,
+    "g12_modularity": 8, "g13_hits_authorities": 8, "g5_effective_rank": 8,
+    "g6_kcore": 8, "g7_jl_distortion": 8, "hs2_mmr_rerank": 8, "hs3_ndcg_eval": 8,
+    "hs4_map_eval": 8, "lab3_annotator_agreement": 8, "ml1_perceptron_train": 8,
+    "ml2_naive_bayes_confusion": 8, "ml3_decision_stump": 8, "o8_mahalanobis_outliers": 8,
+    "s10_pq_codes": 8, "s11_kcenter_coreset": 8, "s12_centroid_dendrogram": 8,
+    "s8_hard_negatives": 8, "s9_ann_recall": 8, "st11_stream_countsketch": 8,
+    "st12_stream_decontaminate": 8, "stat3_ks_test": 8, "stat4_bootstrap_ci": 8,
+    "stat5_mann_whitney": 8, "stat6_permutation_test": 8, "stat7_bh_fdr": 8,
+    "t27_bpe_learn": 8, "t28_textrank_keywords": 8, "ts10_theil_sen": 8,
+    "ts5_seasonal_decompose": 8, "ts6_autocorrelation": 8, "ts7_trend_slope": 8,
+    "ts8_dispersion": 8, "ts9_cross_correlation": 8,
 }
 
 
-#: Tie-break within the never-verified (round-0) block. After the r7
-#: rotation this block is exactly the 73 queries registered in builder
-#: rounds 7-10 that have never held a driver-green row (the driver
-#: skipped three rounds). The ~50-slot prefix takes the FIRST 50 names
-#: below in r8; the remaining 23 (the mechanical tail after the
-#: "=== r9 leftover ===" marker) clear in r9. Riskiest first: iterative
-#: fixpoints and double-heavy numerics — the classes where r6's cc3
-#: lattice-tie bug hid. Names absent from the registry are ignored;
-#: names absent from THIS list rank after every listed one, so new r8
-#: registrations sort at positions 74+ and cannot displace a staged
-#: slot.
+#: Tie-break within the never-verified (round-0) block. After the r8
+#: rotation (CORRECTNESS_r08: 50/50 green, pasted above) this block is
+#: the 23-name mechanical tail staged in round 11; together with the 13
+#: round-11 registrations (which carry no showcase rank and so sort
+#: after these, in registry order) they are EXACTLY the 36 queries that
+#: have never held a driver row — the full r9 prefix, positions 0-35.
+#: CORRECTNESS_r09 green on all 36 means zero rotation debt: every
+#: registered query driver-verified. Names absent from the registry are
+#: ignored; names absent from THIS list rank after every listed one, so
+#: new r9 registrations sort at positions 86+ and cannot displace a
+#: staged slot.
 _SHOWCASE_FIRST: tuple[str, ...] = (
-    # iterative ML / fixpoint protocols (r8 slots 1-15)
-    "ml1_perceptron_train",
-    "ml2_naive_bayes_confusion",
-    "ml3_decision_stump",
-    "bt1_bradley_terry",
-    "cal2_isotonic_calibration",
-    "g11_label_propagation",
-    "g13_hits_authorities",
-    "e24_markov_stationary",
-    "t27_bpe_learn",
-    "t28_textrank_keywords",
-    "s11_kcenter_coreset",
-    "s12_centroid_dendrogram",
-    "g5_effective_rank",
-    "g7_jl_distortion",
-    "o8_mahalanobis_outliers",
-    # double-heavy statistics (r8 slots 16-32)
-    "stat5_mann_whitney",
-    "stat6_permutation_test",
-    "stat7_bh_fdr",
-    "stat3_ks_test",
-    "stat4_bootstrap_ci",
-    "e23_kaplan_meier",
-    "e25_did_uplift",
-    "e26_ipw_uplift",
-    "dp1_dp_counts",
-    "dp2_dp_mean",
-    "a14_mad_outliers",
-    "a16_gini_concentration",
-    "a17_winsorized_mean",
-    "a18_theil_decomposition",
-    "lab3_annotator_agreement",
-    "fe5_woe_encoding",
-    "dq9_t_closeness",
-    # time-series numerics (r8 slots 33-38)
-    "ts5_seasonal_decompose",
-    "ts6_autocorrelation",
-    "ts7_trend_slope",
-    "ts8_dispersion",
-    "ts9_cross_correlation",
-    "ts10_theil_sen",
-    # retrieval eval + ANN funnel (r8 slots 39-44)
-    "hs3_ndcg_eval",
-    "hs4_map_eval",
-    "hs2_mmr_rerank",
-    "s9_ann_recall",
-    "s10_pq_codes",
-    "s8_hard_negatives",
-    # streaming drains (r8 slots 45-46)
-    "st11_stream_countsketch",
-    "st12_stream_decontaminate",
-    # graph measures (r8 slots 47-50)
-    "g12_modularity",
-    "g10_clustering_coefficient",
-    "g6_kcore",
-    "d13_hamming_neardup_pairs",
-    # === r9 leftover (positions 51-73): mechanical tail ===
+    # === r9 prefix head: mechanical tail staged in round 11 ===
     "g3_degree_assortativity",
     "g4_rich_club",
     "g9_adamic_adar",

@@ -90,7 +90,9 @@ def main() -> None:
     # Preview the driver-facing prefix with the REAL registry ordering
     # (showcase rank within the stalest round), using the paste-ready
     # map above as if it had been applied: freshest-green round, except
-    # red-in-newest names which stay at their pre-update staleness.
+    # red-in-newest names, which are excluded from the paste and so
+    # fall back to round 0 — they re-enter the prefix first, matching
+    # the paste outcome.
     ordered = list(all_queries())
     effective = {
         n: freshest[n] for n in freshest if n not in red_names
