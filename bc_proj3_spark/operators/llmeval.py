@@ -184,14 +184,20 @@ tot AS (
 c1 AS (SELECT CAST(SUM(LEAST(hc, rc)) AS BIGINT) AS clip1 FROM uni),
 c2 AS (SELECT CAST(SUM(LEAST(hc, rc)) AS BIGINT) AS clip2 FROM bi)
 SELECT hyp_len, ref_len, clip1, clip2,
-       CAST(clip1 AS DOUBLE) / hyp_len AS p1,
-       CAST(clip2 AS DOUBLE) / hyp_bi AS p2,
-       LEAST(CAST(0 AS DOUBLE),
-             1 - CAST(ref_len AS DOUBLE) / hyp_len) AS brevity_log,
-       ROUND(LN(CAST(clip1 AS DOUBLE) / hyp_len), 9) / 2
-         + ROUND(LN(CAST(clip2 AS DOUBLE) / hyp_bi), 9) / 2
-         + LEAST(CAST(0 AS DOUBLE),
-                 1 - CAST(ref_len AS DOUBLE) / hyp_len) AS log_bleu2
+       CASE WHEN hyp_len > 0
+            THEN CAST(clip1 AS DOUBLE) / hyp_len END AS p1,
+       CASE WHEN hyp_bi > 0
+            THEN CAST(clip2 AS DOUBLE) / hyp_bi END AS p2,
+       CASE WHEN hyp_len > 0
+            THEN LEAST(CAST(0 AS DOUBLE),
+                       1 - CAST(ref_len AS DOUBLE) / hyp_len)
+       END AS brevity_log,
+       CASE WHEN clip1 > 0 AND clip2 > 0
+            THEN ROUND(LN(CAST(clip1 AS DOUBLE) / hyp_len), 9) / 2
+               + ROUND(LN(CAST(clip2 AS DOUBLE) / hyp_bi), 9) / 2
+               + LEAST(CAST(0 AS DOUBLE),
+                       1 - CAST(ref_len AS DOUBLE) / hyp_len)
+       END AS log_bleu2
 FROM tot, c1, c2
 """
 
@@ -273,10 +279,24 @@ def ev2_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hyp_bi"),
     )
-    p1 = F.col("clip1").cast("double") / F.col("hyp_len")
-    p2 = F.col("clip2").cast("double") / F.col("hyp_bi")
-    brevity = F.least(
-        F.lit(0.0), F.lit(1) - F.col("ref_len").cast("double") / F.col("hyp_len")
+    # Degenerate corpora are pinned with the SAME CASE logic as the
+    # oracle: a zero denominator yields NULL (Spark's 0.0/0 is NaN,
+    # DuckDB's is NULL), and zero n-gram overlap yields NULL log-BLEU
+    # (log BLEU is -inf there; Spark LOG(0) is NULL but DuckDB LN(0)
+    # raises) — neither engine's native behavior agrees, so both sides
+    # guard explicitly (ev3's chrf2 discipline).
+    p1 = F.when(
+        F.col("hyp_len") > 0, F.col("clip1").cast("double") / F.col("hyp_len")
+    )
+    p2 = F.when(
+        F.col("hyp_bi") > 0, F.col("clip2").cast("double") / F.col("hyp_bi")
+    )
+    brevity = F.when(
+        F.col("hyp_len") > 0,
+        F.least(
+            F.lit(0.0),
+            F.lit(1) - F.col("ref_len").cast("double") / F.col("hyp_len"),
+        ),
     )
     return (
         tot.crossJoin(F.broadcast(c1))
@@ -289,10 +309,11 @@ def ev2_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             p1.alias("p1"),
             p2.alias("p2"),
             brevity.alias("brevity_log"),
-            (
+            F.when(
+                (F.col("clip1") > 0) & (F.col("clip2") > 0),
                 F.round(F.log(p1), 9) / 2
                 + F.round(F.log(p2), 9) / 2
-                + brevity
+                + brevity,
             ).alias("log_bleu2"),
         )
     )
@@ -394,9 +415,15 @@ def ev3_chargram_fscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = h.join(r, "h_id").select("pair_id", "hyp", "ref")
 
     def grams(col):
+        # sequence(1, 0) counts DOWN to [1, 0] on Spark (step defaults
+        # to -1 when start > stop) while the oracle's generate_series
+        # is empty — texts shorter than CHR_N must short-circuit to an
+        # empty array (same mask as shingles()/textstats trigrams).
         return F.expr(
-            f"transform(sequence(1, greatest(length({col}) - {CHR_N - 1},"
-            f" 0)), i -> substring({col}, i, {CHR_N}))"
+            f"CASE WHEN length({col}) >= {CHR_N} THEN"
+            f" transform(sequence(1, length({col}) - {CHR_N - 1}),"
+            f" i -> substring({col}, i, {CHR_N}))"
+            f" ELSE CAST(array() AS array<string>) END"
         )
 
     sides = pairs.select(
