@@ -122,3 +122,39 @@ def test_ev2_single_token_corpus_parity(spark, tmp_path):
     assert row["p1"] == 1.0  # unigrams match perfectly
     assert row["p2"] is None
     assert row["log_bleu2"] is None
+
+
+def test_shingle_index_spill_seam_preserves_values(spark, tmp_path, monkeypatch):
+    """The SPARK_GRAFT_INDEX_SPILL_DIR seam (bench-only) must restore a
+    cache-evicted shingle index from its write-once parquet with values
+    identical to a fresh build — d4's pair list is the sharpest probe
+    (any index drift changes candidate pairs and Jaccard values)."""
+    import os as _os
+
+    from bc_proj3_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    spec = all_queries()["d4_minhash_lsh_pairs"]
+
+    def run():
+        return sorted(tuple(r) for r in spec.builder(spark, sf).collect())
+
+    def reset():
+        spark.catalog.clearCache()
+        dedup._DOC_INDEX_CACHE.clear()
+
+    reset()
+    monkeypatch.delenv("SPARK_GRAFT_INDEX_SPILL_DIR", raising=False)
+    baseline = run()
+
+    reset()
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_SPILL_DIR", str(tmp_path))
+    first = run()  # builds the index and writes the parquet artifact
+    spill_dirs = [p for p in _os.listdir(tmp_path) if p.startswith("shingle_index_")]
+    assert spill_dirs, "seam did not materialize the index"
+
+    reset()  # evict: the next call must restore from the artifact
+    second = run()
+
+    assert first == baseline
+    assert second == baseline
