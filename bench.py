@@ -62,17 +62,19 @@ def _prev_round_timings(sf) -> tuple[str, dict[str, float]]:
     paths = sorted(
         glob.glob(os.path.join(here, "bench_history", "bench_*.json"))
     ) or sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not paths:
-        return "", {}
-    try:
-        with open(paths[-1]) as f:
-            data = json.load(f)
-        if data.get("sf") != sf:
-            # cross-scale-factor ratios are meaningless for the guard
-            return "", {}
-        return os.path.basename(paths[-1]), extract_timings(data)
-    except Exception:  # pragma: no cover - archive formats may drift
-        return "", {}
+    # newest record with a MATCHING scale factor (cross-SF ratios are
+    # meaningless for the guard, and history now mixes SFs — an sf0.001
+    # smoke must not disable the guard for the next sf0.1 run)
+    for path in reversed(paths):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            if data.get("sf") != sf:
+                continue
+            return os.path.basename(path), extract_timings(data)
+        except Exception:  # pragma: no cover - archive formats may drift
+            continue
+    return "", {}
 
 
 def _run_once(spark, builder, sf_dir: str) -> float:
