@@ -583,3 +583,118 @@ def hs1_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("rrf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t29 — CCNet-style perplexity quality buckets (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+_T29_ORACLE = f"""
+WITH ds AS (SELECT * FROM ({_T16_ORACLE}) t),
+base AS (
+  SELECT doc_id, lang, len({T.sql_tokenize('text')}) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT b.lang, b.n_tokens, ds.mean_logprob AS score,
+         ROW_NUMBER() OVER (PARTITION BY b.lang
+                            ORDER BY ds.mean_logprob DESC, b.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY b.lang) AS n_lang
+  FROM base b JOIN ds ON ds.doc_id = b.doc_id
+),
+bucketed AS (
+  SELECT lang, n_tokens, score,
+         CASE WHEN rn * 3 <= n_lang THEN 'head'
+              WHEN rn * 3 <= 2 * n_lang THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM ranked
+  UNION ALL
+  SELECT b.lang, b.n_tokens, CAST(NULL AS DOUBLE), 'unscored'
+  FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM ds WHERE ds.doc_id = b.doc_id)
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(score) AS min_logprob,
+       MAX(score) AS max_logprob
+FROM bucketed GROUP BY lang, bucket
+"""
+
+
+@register("t29_perplexity_buckets", _T29_ORACLE)
+def t29_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus's own bigram LM (t16's registered
+    mean log-probability — composed, not re-derived; the oracle embeds
+    t16's oracle as a subquery, hs1's discipline) and split each
+    language into head / middle / tail TERCILES by fluency — the
+    standard LM-based quality gate for web-corpus curation: train on
+    head, sample middle, drop tail. The output is the decision table:
+    per (lang, bucket) document and token counts plus the bucket's
+    score range, whose min/max ARE the per-language perplexity cutoffs
+    a streaming ingest would then apply scan-side. Docs too short to
+    score (< 2 tokens) surface in an explicit 'unscored' bucket rather
+    than vanishing.
+
+    Exactness: scores live on t16's rounded lattice, so the per-lang
+    (score DESC, doc_id) rank order is bit-identical cross-engine, and
+    tercile assignment is exact integer arithmetic (rn*3 <= n, never a
+    float quantile); bucket extremes are exact order statistics of
+    lattice values.
+
+    Scale shape: t16's plan (vocabulary-bounded LM broadcasts, one
+    corpus shuffle for the per-doc mean) plus ONE per-language window.
+    The per-lang rank is the plan's scale ceiling — at 100 TB the
+    tercile CUTS would come from the two-level bucketed prefix sum
+    (a16/t25's mechanism) and bucket assignment would stay scan-side
+    against the broadcast cuts; the emitted cut table is exactly what
+    that plan consumes."""
+    from pyspark.sql.window import Window
+
+    ds = t16_bigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("mean_logprob").alias("score")
+    )
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", F.size(T.tokenize(F.col("text"))).alias("n_tokens")
+    )
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    w_lang = Window.partitionBy("lang")
+    ranked = (
+        base.join(ds, "doc_id")
+        .select(
+            "lang",
+            "n_tokens",
+            "score",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_lang).alias("n_lang"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "score",
+            F.when(F.col("rn") * 3 <= F.col("n_lang"), "head")
+            .when(F.col("rn") * 3 <= 2 * F.col("n_lang"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+    unscored = base.join(ds, "doc_id", "left_anti").select(
+        "lang",
+        "n_tokens",
+        F.lit(None).cast("double").alias("score"),
+        F.lit("unscored").alias("bucket"),
+    )
+    return (
+        ranked.unionAll(unscored)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("score").alias("min_logprob"),
+            F.max("score").alias("max_logprob"),
+        )
+    )

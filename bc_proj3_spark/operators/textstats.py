@@ -1764,7 +1764,11 @@ def t26_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ROUNDS = 4  # learned merges (unrolled in the oracle, pi2's lesson)
 
 
-def _t27_oracle() -> str:
+def _bpe_cte_chain() -> str:
+    """The shared WITH-chain (v0..v{BPE_ROUNDS} spelling evolution)
+    used by t27's trajectory oracle and t30's encoder oracle — one
+    source of truth for the learned merges on the SQL side, mirroring
+    :func:`_bpe_spellings` on the Spark side."""
     head = f"""WITH toks AS (
   SELECT unnest({T.sql_tokenize('text')}) AS w FROM documents
 ),
@@ -1775,7 +1779,7 @@ v0 AS MATERIALIZED (
                                          i -> w[i]), ' ') AS s
   FROM vocab
 )"""
-    steps, rows = [head], []
+    steps = [head]
     for r in range(1, BPE_ROUNDS + 1):
         p = r - 1
         steps.append(f"""pc{r} AS (
@@ -1816,6 +1820,13 @@ v{r} AS MATERIALIZED (
   SELECT w, freq, string_agg(esym, ' ' ORDER BY i) AS s
   FROM em{r} WHERE esym IS NOT NULL GROUP BY w, freq
 )""")
+    return ",\n".join(steps)
+
+
+def _t27_oracle() -> str:
+    rows = []
+    for r in range(1, BPE_ROUNDS + 1):
+        p = r - 1
         rows.append(
             f"SELECT {r} AS round,"
             f" (SELECT pair FROM best{r}) AS merged_pair,"
@@ -1827,7 +1838,7 @@ v{r} AS MATERIALIZED (
             f"   FROM v{r}) AS total_symbols"
         )
     return (
-        ",\n".join(steps)
+        _bpe_cte_chain()
         + "\nSELECT CAST(round AS INTEGER) AS round, merged_pair,"
         " weighted_count, n_spellings_changed, total_symbols FROM ("
         + " UNION ALL ".join(rows)
@@ -2196,4 +2207,330 @@ def t28_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").cast("bigint").alias("rank_scaled"),
             (F.col("r").cast("double") / F.lit(float(s))).alias("rank"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# lab4 — Dawid–Skene-style ability-weighted consensus over the LF votes
+# ---------------------------------------------------------------------------
+
+_LAB4_ORACLE = """
+WITH votes AS (
+  SELECT doc_id,
+         CASE WHEN text LIKE '%spark%' THEN 1
+              WHEN text LIKE '%slow%' THEN 0 ELSE -1 END AS lf_keyword,
+         CASE WHEN n_chars >= 400 THEN 1
+              WHEN n_chars < 150 THEN 0 ELSE -1 END AS lf_length,
+         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS lf_lang
+  FROM documents
+),
+maj AS (
+  SELECT doc_id, lf_keyword, lf_length, lf_lang,
+         CASE WHEN pos > neg THEN 1 WHEN neg > pos THEN 0 ELSE -1 END AS m
+  FROM (
+    SELECT *,
+           (CASE WHEN lf_keyword = 1 THEN 1 ELSE 0 END
+            + CASE WHEN lf_length = 1 THEN 1 ELSE 0 END
+            + CASE WHEN lf_lang = 1 THEN 1 ELSE 0 END) AS pos,
+           (CASE WHEN lf_keyword = 0 THEN 1 ELSE 0 END
+            + CASE WHEN lf_length = 0 THEN 1 ELSE 0 END
+            + CASE WHEN lf_lang = 0 THEN 1 ELSE 0 END) AS neg
+    FROM votes
+  ) t
+),
+lf AS (
+  SELECT doc_id, m, 'lf_keyword' AS lf, lf_keyword AS vote FROM maj
+  UNION ALL SELECT doc_id, m, 'lf_length', lf_length FROM maj
+  UNION ALL SELECT doc_id, m, 'lf_lang', lf_lang FROM maj
+),
+wt AS (
+  SELECT lf,
+         CAST(COUNT(*) AS BIGINT) AS n_covered,
+         CAST(SUM(CASE WHEN m <> -1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_scored,
+         CAST(SUM(CASE WHEN m <> -1 AND vote = m THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_agree,
+         CAST(ROUND(LN(
+             CAST(2 * SUM(CASE WHEN m <> -1 AND vote = m THEN 1 ELSE 0 END)
+                  + 1 AS DOUBLE)
+             / (2 * SUM(CASE WHEN m <> -1 AND vote <> m THEN 1 ELSE 0 END)
+                + 1)), 9) AS DECIMAL(12,9)) AS w
+  FROM lf WHERE vote <> -1 GROUP BY lf
+),
+wrow AS (
+  SELECT MAX(CASE WHEN lf = 'lf_keyword' THEN w END) AS wk,
+         MAX(CASE WHEN lf = 'lf_length' THEN w END) AS wl,
+         MAX(CASE WHEN lf = 'lf_lang' THEN w END) AS wg
+  FROM wt
+),
+revote AS (
+  SELECT m,
+         (CASE WHEN lf_keyword = 1 THEN wk
+               ELSE CAST(0 AS DECIMAL(12,9)) END
+          + CASE WHEN lf_length = 1 THEN wl
+                 ELSE CAST(0 AS DECIMAL(12,9)) END
+          + CASE WHEN lf_lang = 1 THEN wg
+                 ELSE CAST(0 AS DECIMAL(12,9)) END) AS s1,
+         (CASE WHEN lf_keyword = 0 THEN wk
+               ELSE CAST(0 AS DECIMAL(12,9)) END
+          + CASE WHEN lf_length = 0 THEN wl
+                 ELSE CAST(0 AS DECIMAL(12,9)) END
+          + CASE WHEN lf_lang = 0 THEN wg
+                 ELSE CAST(0 AS DECIMAL(12,9)) END) AS s0
+  FROM maj, wrow
+),
+delta AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CASE WHEN
+             (CASE WHEN s1 > s0 THEN 1 WHEN s0 > s1 THEN 0 ELSE -1 END) <> m
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+  FROM revote
+)
+SELECT lf, n_covered, n_scored, n_agree,
+       CASE WHEN n_scored > 0
+            THEN CAST(n_agree AS DOUBLE) / n_scored END AS accuracy,
+       CAST(w AS DOUBLE) AS weight,
+       (SELECT n_items FROM delta) AS n_items,
+       (SELECT n_changed FROM delta) AS n_changed
+FROM wt
+"""
+
+
+@register("lab4_dawid_skene", _LAB4_ORACLE)
+def lab4_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dawid–Skene-style (one EM round) ability-weighted consensus over
+    lab1's labeling-function votes: estimate each LF's accuracy against
+    the majority label, convert it to a log-odds weight, and re-resolve
+    every document by weighted vote — the label model that turns a raw
+    vote matrix into training labels when annotators differ in quality
+    (Dawid & Skene 1979; the one-round variant is the standard weak-
+    supervision warm start). lab3 says whether two LFs agree; lab4 says
+    how much each LF's vote should COUNT, and how many documents the
+    ability weighting actually relabels vs naive majority (n_changed is
+    the number of training labels majority vote gets wrong if the
+    weights are right).
+
+    Exactness: accuracies are exact integer tallies; each weight is
+    ROUND(LN(x), 9) of ONE IEEE division of exact BIGINTs — the
+    (2a+1)/(2d+1) Laplace odds cleared of fractions (fe5's discipline)
+    — and the weighted scores are fixed three-term DECIMAL(12,9) sums,
+    so every argmax comparison is exact and the relabeled consensus is
+    bit-identical cross-engine. An LF with no scored docs keeps a NULL
+    weight that poisons its terms to NULL on BOTH engines (the CASE
+    falls through to abstain identically).
+
+    Scale shape: two scan-side passes over documents (votes are CASE
+    expressions): pass 1 feeds a 3-row LF aggregate (map-side
+    combinable explode of 3 structs), pass 2 re-votes against the
+    broadcast 1-row weight vector and reduces to a 2-number delta.
+    Nothing item-count-sized ever shuffles or materializes — at 100 TB
+    this is two scans and two combiner-absorbed aggregates."""
+    docs = table(spark, sf_dir, "documents")
+    lf_keyword = (
+        F.when(F.col("text").contains("spark"), 1)
+        .when(F.col("text").contains("slow"), 0)
+        .otherwise(-1)
+    )
+    lf_length = (
+        F.when(F.col("n_chars") >= 400, 1)
+        .when(F.col("n_chars") < 150, 0)
+        .otherwise(-1)
+    )
+    lf_lang = F.when(F.col("lang") == "en", 1).otherwise(-1)
+
+    def tally(target: int) -> F.Column:
+        return sum(
+            F.when(F.col(c) == target, 1).otherwise(0)
+            for c in ("lf_keyword", "lf_length", "lf_lang")
+        )
+
+    maj = (
+        docs.select(
+            "doc_id",
+            lf_keyword.alias("lf_keyword"),
+            lf_length.alias("lf_length"),
+            lf_lang.alias("lf_lang"),
+        )
+        .withColumn("pos", tally(1))
+        .withColumn("neg", tally(0))
+        .select(
+            "doc_id",
+            "lf_keyword",
+            "lf_length",
+            "lf_lang",
+            F.when(F.col("pos") > F.col("neg"), 1)
+            .when(F.col("neg") > F.col("pos"), 0)
+            .otherwise(-1)
+            .alias("m"),
+        )
+    )
+    lf_long = maj.select(
+        "m",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("lf"), F.col(c).alias("vote")
+                    )
+                    for c in ("lf_keyword", "lf_length", "lf_lang")
+                ]
+            )
+        ).alias("x"),
+    ).select("m", F.col("x.lf").alias("lf"), F.col("x.vote").alias("vote"))
+    scored = F.when(F.col("m") != -1, 1).otherwise(0)
+    agree = F.when(
+        (F.col("m") != -1) & (F.col("vote") == F.col("m")), 1
+    ).otherwise(0)
+    disagree = F.when(
+        (F.col("m") != -1) & (F.col("vote") != F.col("m")), 1
+    ).otherwise(0)
+    wt = (
+        lf_long.filter(F.col("vote") != -1)
+        .groupBy("lf")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_covered"),
+            F.sum(scored).cast("bigint").alias("n_scored"),
+            F.sum(agree).cast("bigint").alias("n_agree"),
+            F.sum(disagree).cast("bigint").alias("n_disagree"),
+        )
+        .withColumn(
+            "w",
+            F.round(
+                F.log(
+                    (2 * F.col("n_agree") + 1).cast("double")
+                    / (2 * F.col("n_disagree") + 1)
+                ),
+                9,
+            ).cast("decimal(12,9)"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wrow = wt.agg(
+        *[
+            F.max(F.when(F.col("lf") == c, F.col("w"))).alias(a)
+            for c, a in (
+                ("lf_keyword", "wk"),
+                ("lf_length", "wl"),
+                ("lf_lang", "wg"),
+            )
+        ]
+    )
+    zero = F.expr("CAST(0 AS DECIMAL(12,9))")
+
+    def side(target: int) -> F.Column:
+        return (
+            F.when(F.col("lf_keyword") == target, F.col("wk")).otherwise(zero)
+            + F.when(F.col("lf_length") == target, F.col("wl")).otherwise(zero)
+            + F.when(F.col("lf_lang") == target, F.col("wg")).otherwise(zero)
+        )
+
+    revote = maj.crossJoin(F.broadcast(wrow)).select(
+        "m", side(1).alias("s1"), side(0).alias("s0")
+    )
+    new_label = (
+        F.when(F.col("s1") > F.col("s0"), 1)
+        .when(F.col("s0") > F.col("s1"), 0)
+        .otherwise(-1)
+    )
+    delta = revote.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.when(new_label != F.col("m"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_changed"),
+    )
+    return wt.crossJoin(F.broadcast(delta)).select(
+        "lf",
+        "n_covered",
+        "n_scored",
+        "n_agree",
+        F.when(
+            F.col("n_scored") > 0,
+            F.col("n_agree").cast("double") / F.col("n_scored"),
+        ).alias("accuracy"),
+        F.col("w").cast("double").alias("weight"),
+        "n_items",
+        "n_changed",
+    )
+
+
+# ---------------------------------------------------------------------------
+# t30 — BPE tokenizer INFERENCE: encode the corpus with t27's merges
+# ---------------------------------------------------------------------------
+
+
+def _t30_oracle() -> str:
+    return f"""{_bpe_cte_chain()},
+lv AS (
+  SELECT lang, w, COUNT(*) AS n
+  FROM (SELECT lang, unnest({T.sql_tokenize('text')}) AS w
+        FROM documents) t
+  GROUP BY lang, w
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_word_types,
+       CAST(SUM(n) AS BIGINT) AS n_words,
+       CAST(SUM(n * length(w)) AS BIGINT) AS total_chars,
+       CAST(SUM(n * len(string_split(s, ' '))) AS BIGINT) AS total_symbols,
+       CAST(SUM(n * length(w)) AS DOUBLE)
+         / CAST(SUM(n * len(string_split(s, ' '))) AS BIGINT)
+         AS chars_per_symbol,
+       CAST(SUM(n * len(string_split(s, ' '))) AS DOUBLE)
+         / CAST(SUM(n) AS BIGINT) AS symbols_per_word
+FROM lv JOIN v{BPE_ROUNDS} USING (w)
+GROUP BY lang
+"""
+
+
+@register("t30_bpe_encode", _t30_oracle())
+def t30_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer INFERENCE: encode the whole corpus with the
+    BPE_ROUNDS merges t27 learns, and report the per-language encoding
+    bill — word types, word occurrences, chars in, symbols out, and
+    the two ratios (chars/symbol = achieved compression,
+    symbols/word = fertility of the LEARNED tokenizer). t27 emits the
+    training trajectory; t30 is the other half of the tokenizer
+    lifecycle — applying the merge table — and the per-language split
+    is the number multilingual teams watch (a language the merges
+    ignore keeps fertility ~ word length). t23 measures a FIXED
+    regex tokenizer; t30 measures the one this corpus just trained.
+
+    Exactness: encoding reuses :func:`_bpe_spellings` — the identical
+    window-parity merge application pinned bit-exact by t27 — so every
+    spelling is identical cross-engine (the oracle splices the same
+    shared CTE chain, asserted byte-identical to t27's by test);
+    per-language sums are exact integers; the two ratios are single
+    IEEE divisions.
+
+    Scale shape: t27's — the corpus is touched once more for the
+    (lang, word) frequency table (map-side-combinable); encoding
+    itself runs over the frequency-weighted VOCABULARY, never the raw
+    token stream, so the merge application is vocabulary-bounded at
+    any corpus size; the final join is vocabulary-sized on both
+    sides."""
+    frames, _stats = _bpe_spellings(spark, sf_dir)
+    final = frames[-1].select(
+        "w", F.size(F.split("s", " ")).alias("n_sym")
+    )
+    docs = fanout(table(spark, sf_dir, "documents"))
+    lv = (
+        docs.select("lang", F.explode(T.tokenize(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = lv.join(final, "w")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+        F.sum("n").cast("bigint").alias("n_words"),
+        F.sum(F.col("n") * F.length("w")).cast("bigint").alias("total_chars"),
+        F.sum(F.col("n") * F.col("n_sym")).cast("bigint").alias(
+            "total_symbols"
+        ),
+        (
+            F.sum(F.col("n") * F.length("w")).cast("double")
+            / F.sum(F.col("n") * F.col("n_sym")).cast("bigint")
+        ).alias("chars_per_symbol"),
+        (
+            F.sum(F.col("n") * F.col("n_sym")).cast("double")
+            / F.sum("n").cast("bigint")
+        ).alias("symbols_per_word"),
     )

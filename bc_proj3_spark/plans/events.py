@@ -3097,3 +3097,160 @@ def e26_ipw_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ate_ipw")
     )
     return terms.crossJoin(F.broadcast(ate)).drop("ate_term")
+
+
+# ---------------------------------------------------------------------------
+# e27 — anytime-valid experiment monitoring: daily SPRT over the treated arm
+# ---------------------------------------------------------------------------
+
+#: SPRT design constants: H0 p=0.18 vs H1 p=0.20 (brackets the corpus's
+#: ~0.198 purchase share so the walk genuinely drifts), alpha = beta =
+#: 0.05. The per-event log-likelihood increments and the Wald
+#: boundaries are COMPILE-TIME 9-dp literals baked identically into
+#: both plans (hs3's discipline — neither engine evaluates LN at run
+#: time), so the cumulative LLR is exact decimal arithmetic end to end.
+SPRT_P0, SPRT_P1 = 0.18, 0.20
+SPRT_L1 = "0.105360516"   # round(ln(p1/p0), 9)
+SPRT_L2 = "-0.024692613"  # round(ln((1-p1)/(1-p0)), 9)
+SPRT_A = "2.944438979"    # round(ln((1-beta)/alpha), 9)
+SPRT_B = "-2.944438979"   # round(ln(beta/(1-alpha)), 9)
+
+_e27_treated = f"{_sql_h60_e25(_sql_sd_e25('sprt', 'CAST(user_id AS VARCHAR)'))} % 2"
+
+_E27_ORACLE = f"""
+WITH base AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+  WHERE {_e27_treated} = 1
+),
+daily AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
+  FROM base GROUP BY day
+),
+cum AS (
+  SELECT day,
+         CAST(SUM(n) OVER w AS BIGINT) AS n_cum,
+         CAST(SUM(c) OVER w AS BIGINT) AS c_cum
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+scored AS (
+  SELECT day, n_cum, c_cum,
+         CAST(c_cum AS DECIMAL(18,0)) * CAST({SPRT_L1} AS DECIMAL(12,9))
+         + CAST(n_cum - c_cum AS DECIMAL(18,0))
+           * CAST({SPRT_L2} AS DECIMAL(12,9)) AS llr_dec
+  FROM cum
+),
+flagged AS (
+  SELECT *,
+         MIN(CASE WHEN llr_dec >= CAST({SPRT_A} AS DECIMAL(12,9))
+                  THEN day END) OVER w2 AS dh1,
+         MIN(CASE WHEN llr_dec <= CAST({SPRT_B} AS DECIMAL(12,9))
+                  THEN day END) OVER w2 AS dh0
+  FROM scored
+  WINDOW w2 AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW)
+)
+SELECT CAST(day AS BIGINT) AS day, n_cum AS n_events,
+       c_cum AS n_conversions,
+       CAST(llr_dec AS DOUBLE) AS llr,
+       CASE WHEN dh1 IS NOT NULL AND (dh0 IS NULL OR dh1 <= dh0)
+              THEN 'accept_h1'
+            WHEN dh0 IS NOT NULL THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM flagged
+"""
+
+
+@register("e27_sequential_sprt", _E27_ORACLE)
+def e27_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anytime-valid experiment monitoring: Wald's sequential
+    probability ratio test over the treated arm's daily purchase
+    conversions — the ledger an experimentation platform keeps so a
+    launch can stop THE DAY the evidence crosses the boundary instead
+    of waiting out a fixed horizon (peeking at a fixed-horizon t-test
+    inflates false positives; the SPRT's ln((1-b)/a) boundaries make
+    daily peeking valid by construction). Completes the
+    experimentation family: e14 assigns, stat2/5/6/7 test at a fixed
+    horizon, e25/e26 read out causally, e27 monitors sequentially.
+
+    Exactness: arm assignment is the shared seeded hash-coin; daily
+    trial/conversion counts are exact BIGINTs prefix-summed on the day
+    lattice; the LLR is c*L1 + (n-c)*L2 with L1/L2 compile-time 9-dp
+    DECIMAL literals, so every cumulative value and every boundary
+    comparison is exact decimal arithmetic — the decision column is
+    bit-identical cross-engine. First-crossing semantics (a walk that
+    later re-enters the continue band stays decided) come from two
+    conditional running MINs of the crossing day.
+
+    Scale shape: ONE events scan → map-side-combinable per-day
+    aggregate (bounded by the calendar, not the corpus); the prefix
+    sums and crossing windows run over that day-bounded table — at
+    100 TB the only corpus-sized work is the scan."""
+    from bc_proj3_spark.functions.hashing import hash60 as _h60
+    from bc_proj3_spark.operators.sampling import _seeded as _sd
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    base = ev.filter(
+        (_h60(_sd("sprt", F.col("user_id").cast("string"))) % 2) == 1
+    ).select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    daily = base.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("c"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("n").over(w).cast("bigint").alias("n_cum"),
+        F.sum("c").over(w).cast("bigint").alias("c_cum"),
+    )
+    llr_dec = F.col("c_cum").cast("decimal(18,0)") * F.expr(
+        f"CAST({SPRT_L1} AS DECIMAL(12,9))"
+    ) + (F.col("n_cum") - F.col("c_cum")).cast("decimal(18,0)") * F.expr(
+        f"CAST({SPRT_L2} AS DECIMAL(12,9))"
+    )
+    scored = cum.withColumn("llr_dec", llr_dec)
+    flagged = scored.select(
+        "day",
+        "n_cum",
+        "c_cum",
+        "llr_dec",
+        F.min(
+            F.when(
+                F.col("llr_dec") >= F.expr(f"CAST({SPRT_A} AS DECIMAL(12,9))"),
+                F.col("day"),
+            )
+        )
+        .over(w)
+        .alias("dh1"),
+        F.min(
+            F.when(
+                F.col("llr_dec") <= F.expr(f"CAST({SPRT_B} AS DECIMAL(12,9))"),
+                F.col("day"),
+            )
+        )
+        .over(w)
+        .alias("dh0"),
+    )
+    return flagged.select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("n_cum").alias("n_events"),
+        F.col("c_cum").alias("n_conversions"),
+        F.col("llr_dec").cast("double").alias("llr"),
+        F.when(
+            F.col("dh1").isNotNull()
+            & (F.col("dh0").isNull() | (F.col("dh1") <= F.col("dh0"))),
+            F.lit("accept_h1"),
+        )
+        .when(F.col("dh0").isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

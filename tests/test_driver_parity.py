@@ -231,6 +231,11 @@ STRICT_VALUE_QUERIES = [
     "d16_cross_split_leakage",
     "rag1_context_budget",
     "st13_stream_admission_ledger",
+    # r12's new operators, same pre-flight discipline
+    "lab4_dawid_skene",
+    "e27_sequential_sprt",
+    "t29_perplexity_buckets",
+    "t30_bpe_encode",
 ]
 
 

@@ -100,6 +100,11 @@ _BNLJ_OK = {
     "s13_dim_ablation_recall",  # inherits s1's broadcast-query cross
     "s14_pq_adc_recall",  # inherits s1's broadcast-query cross (exact side)
     "rag1_context_budget",  # inherits s1's broadcast-query cross
+    # round-12 additions, same 1-row-aggregate broadcast shape:
+    # (t30 inherits t27's winner crosses but they materialize inside
+    # _bpe_spellings' localCheckpoints, so its RETURNED plan is
+    # join-clean and stays under the strict gate)
+    "lab4_dawid_skene",  # 1-row weight vector + 1-row delta crosses
 }
 
 #: streaming queries — their builders execute a full streaming job;

@@ -158,3 +158,183 @@ def test_shingle_index_spill_seam_preserves_values(spark, tmp_path, monkeypatch)
 
     assert first == baseline
     assert second == baseline
+
+
+# ---------------------------------------------------------------------------
+# Round-12 registrations: invariants + independent replays
+# ---------------------------------------------------------------------------
+
+SF_001 = "/root/testdata/sf0.001"
+
+
+def test_e27_sprt_matches_pure_python_replay(spark):
+    """Third-implementation pin (round-11 head-slot discipline): replay
+    the SPRT walk in pure Python over the raw parquet — arm hash,
+    day lattice, exact Decimal LLR, first-crossing decision — and match
+    the engine bit-for-bit."""
+    import hashlib
+    from decimal import Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{SF_001}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    uids = tbl["user_id"].to_pylist()
+    # arrow reads the file's timestamps at micros resolution, the same
+    # lattice unix_micros(ts) puts the engines on
+    ts_us = tbl["ts"].cast(pa.int64()).to_pylist()
+    ets = tbl["event_type"].to_pylist()
+    daily = {}
+    for uid, ts, et in zip(uids, ts_us, ets):
+        h = int(
+            hashlib.md5(f"sprt:{uid}".encode()).hexdigest()[:15], 16
+        )
+        if h % 2 != 1:
+            continue
+        day = int(ts) // 86_400_000_000
+        n, c = daily.get(day, (0, 0))
+        daily[day] = (n + 1, c + (1 if et == "purchase" else 0))
+    L1, L2 = Decimal("0.105360516"), Decimal("-0.024692613")
+    A, B = Decimal("2.944438979"), Decimal("-2.944438979")
+    expect = {}
+    n_cum = c_cum = 0
+    dh1 = dh0 = None
+    for day in sorted(daily):
+        n, c = daily[day]
+        n_cum, c_cum = n_cum + n, c_cum + c
+        llr = Decimal(c_cum) * L1 + Decimal(n_cum - c_cum) * L2
+        if dh1 is None and llr >= A:
+            dh1 = day
+        if dh0 is None and llr <= B:
+            dh0 = day
+        if dh1 is not None and (dh0 is None or dh1 <= dh0):
+            decision = "accept_h1"
+        elif dh0 is not None:
+            decision = "accept_h0"
+        else:
+            decision = "continue"
+        expect[day] = (n_cum, c_cum, float(llr), decision)
+
+    rows = SPECS["e27_sequential_sprt"].builder(spark, SF_001).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        n, c, llr, dec = expect[r["day"]]
+        assert (r["n_events"], r["n_conversions"]) == (n, c), r
+        assert r["llr"] == llr, r
+        assert r["decision"] == dec, r
+
+
+def test_t29_buckets_partition_each_language(spark):
+    """Terciles must be exact integer splits: |head| = n//3,
+    |head|+|middle| = 2n//3, and the (score DESC) ordering means
+    head.min >= middle.max >= ... monotonically down the buckets."""
+    rows = SPECS["t29_perplexity_buckets"].builder(spark, SF_001).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    assert by_lang, "no languages scored"
+    for lang, buckets in by_lang.items():
+        n = sum(
+            b["n_docs"] for k, b in buckets.items() if k != "unscored"
+        )
+        if n == 0:
+            continue
+        assert buckets["head"]["n_docs"] == n // 3 or n < 3, (lang, buckets)
+        if n >= 3:
+            assert (
+                buckets["head"]["n_docs"] + buckets["middle"]["n_docs"]
+                == 2 * n // 3
+            )
+        order = [
+            buckets[k] for k in ("head", "middle", "tail") if k in buckets
+        ]
+        for hi, lo in zip(order, order[1:]):
+            assert hi["min_logprob"] >= lo["max_logprob"], (lang, hi, lo)
+
+
+def test_t30_symbol_total_reconciles_with_t27(spark):
+    """t30 prices the corpus with t27's learned merges, so the
+    language-summed symbol bill must equal t27's final-round
+    total_symbols exactly (same vocabulary, same spellings, freq =
+    sum of per-language counts)."""
+    t27 = SPECS["t27_bpe_learn"].builder(spark, SF_001).collect()
+    final_total = next(
+        r["total_symbols"] for r in t27 if r["round"] == max(x["round"] for x in t27)
+    )
+    t30 = SPECS["t30_bpe_encode"].builder(spark, SF_001).collect()
+    assert sum(r["total_symbols"] for r in t30) == final_total
+    for r in t30:
+        # merges only ever shrink spellings, never below 1 symbol/word
+        assert r["total_symbols"] <= r["total_chars"]
+        assert r["total_symbols"] >= r["n_words"]
+
+
+def test_lab4_weights_track_accuracy_and_relabeling_is_consistent(spark):
+    """The log-odds weight must be strictly monotone in LF accuracy at
+    equal n_scored ordering (more-accurate LFs count more), accuracy
+    must sit in [0,1], and n_changed <= n_items with every LF sharing
+    the same corpus-level counters."""
+    rows = SPECS["lab4_dawid_skene"].builder(spark, SF_001).collect()
+    assert len(rows) == 3
+    items = {(r["n_items"], r["n_changed"]) for r in rows}
+    assert len(items) == 1, "corpus counters must be identical on all rows"
+    n_items, n_changed = items.pop()
+    assert 0 <= n_changed <= n_items
+    for r in rows:
+        assert 0.0 <= r["accuracy"] <= 1.0
+    ordered = sorted(rows, key=lambda r: r["accuracy"])
+    for lo, hi in zip(ordered, ordered[1:]):
+        # Laplace smoothing can only invert the order when the scored
+        # counts differ wildly; on this corpus all three LFs score
+        # thousands of docs, so the weight order must follow accuracy
+        assert lo["weight"] <= hi["weight"], (lo, hi)
+
+
+def test_r12_ops_mirror_oracle_on_empty_tables(spark, tmp_path):
+    """Zero-row inputs must produce the oracle's exact output (the
+    standing empty-corpus parity gate, extended to the round-12
+    registrations)."""
+    import os
+
+    import duckdb as _duckdb
+
+    from bc_proj3_spark.plans.tables import TABLE_NAMES
+    from tests.test_driver_parity import strict_digest
+
+    sf001 = "/root/testdata/sf0.001"
+    tmp = str(tmp_path)
+    con = _duckdb.connect()
+    for t in TABLE_NAMES:
+        src = f"{sf001}/{t}.parquet"
+        if not os.path.exists(src):
+            continue
+        spark.read.parquet(src).limit(0).write.parquet(f"{tmp}/{t}.parquet")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp}/{t}.parquet/*.parquet')"
+        )
+    names = [
+        "lab4_dawid_skene",
+        "e27_sequential_sprt",
+        "t29_perplexity_buckets",
+        "t30_bpe_encode",
+    ]
+    try:
+        for name in names:
+            spec = SPECS[name]
+            df = spec.builder(spark, tmp)
+            rows = [tuple(r) for r in df.collect()]
+            res = con.execute(spec.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = [tuple(r) for r in res.fetchall()]
+            assert len(rows) == len(orows), (
+                f"{name}: {len(rows)} spark rows vs {len(orows)} oracle"
+            )
+            assert strict_digest(list(df.columns), rows) == strict_digest(
+                ocols, orows
+            ), f"{name} diverged on the empty corpus"
+            spark.catalog.clearCache()
+    finally:
+        con.close()

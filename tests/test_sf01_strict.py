@@ -111,6 +111,11 @@ SF01_QUERIES = [
     "s14_pq_adc_recall",  # double-heavy ADC distance rankings
     "ev4_brier_score",  # ROUND of derived IEEE scores into the lattice
     "rag1_context_budget",  # double-heavy cosine ranking feeds the fill
+    # round-12 additions
+    "lab4_dawid_skene",  # log-lattice LF weights gate the decimal argmax
+    "t29_perplexity_buckets",  # rides t16's log-lattice per-doc scores
+    "t30_bpe_encode",  # rides t27's iterative merge trajectory
+    "e27_sequential_sprt",  # literal-lattice LLR walk crosses boundaries
 ]
 
 
