@@ -605,3 +605,135 @@ def rag1_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "budget_fill"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev5 — per-pair token-level F1 (the SQuAD-style QA/extraction metric)
+# ---------------------------------------------------------------------------
+
+_EV5_ORACLE = """
+WITH pairs AS (
+  SELECT h.doc_id // 2 AS pair_id,
+         string_split_regex(trim(h.text), '\\s+') AS hyp,
+         string_split_regex(trim(r.text), '\\s+') AS ref
+  FROM documents h
+  JOIN documents r ON r.doc_id = h.doc_id + 1
+  WHERE h.doc_id % 2 = 0
+),
+cnt AS (
+  SELECT pair_id, g,
+         CAST(COUNT(*) FILTER (WHERE side = 'h') AS BIGINT) AS hc,
+         CAST(COUNT(*) FILTER (WHERE side = 'r') AS BIGINT) AS rc
+  FROM (
+    SELECT pair_id, 'h' AS side, unnest(hyp) AS g FROM pairs
+    UNION ALL
+    SELECT pair_id, 'r', unnest(ref) FROM pairs
+  ) t GROUP BY pair_id, g
+),
+clips AS (
+  SELECT pair_id, CAST(SUM(LEAST(hc, rc)) AS BIGINT) AS clip
+  FROM cnt GROUP BY pair_id
+),
+lens AS (
+  SELECT pair_id, CAST(len(hyp) AS BIGINT) AS hyp_len,
+         CAST(len(ref) AS BIGINT) AS ref_len
+  FROM pairs
+),
+m AS (
+  SELECT l.pair_id, l.hyp_len, l.ref_len, COALESCE(c.clip, 0) AS clip,
+         CASE WHEN l.hyp_len > 0
+              THEN CAST(COALESCE(c.clip, 0) AS DOUBLE) / l.hyp_len
+         END AS p,
+         CASE WHEN l.ref_len > 0
+              THEN CAST(COALESCE(c.clip, 0) AS DOUBLE) / l.ref_len
+         END AS r
+  FROM lens l LEFT JOIN clips c ON c.pair_id = l.pair_id
+)
+SELECT pair_id, hyp_len, ref_len, clip,
+       p AS precision_tok, r AS recall_tok,
+       CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+            ELSE CAST(0 AS DOUBLE) END AS f1
+FROM m
+"""
+
+
+@register("ev5_token_f1", _EV5_ORACLE)
+def ev5_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair token-level F1 over ev2's deterministic pairing — the
+    SQuAD/extraction-eval standard: bag-of-token clipped overlap,
+    precision against the hypothesis length, recall against the
+    reference length, harmonic mean. ev2/ev3 are corpus aggregates;
+    ev5 is the GRANULAR table — the per-example scores an eval harness
+    ranks, thresholds, and slices by segment, and the distillation-QA
+    filter ("keep teacher outputs with F1 >= x against the gold").
+
+    Exactness: clip counts are exact integers (per-gram LEAST summed);
+    precision/recall are single IEEE divisions of exact BIGINTs; F1
+    combines the two identical doubles with the same literal
+    expression on both engines, with empty-side and zero-overlap pairs
+    pinned by the same CASE on both (ev3's chrf2 discipline —
+    zero-token sides yield NULL p/r, zero overlap yields F1 = 0).
+
+    Scale shape: ev2's — doc-id-keyed pairing join, (pair_id, token)
+    shuffle with map-side combine, then a pair-count-sized join of two
+    pair-keyed aggregates. Nothing is collected or broadcast; at
+    100 TB this is the same two-shuffle plan."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    h = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("bigint").alias("pair_id"),
+        F.col("doc_id").alias("h_id"),
+        toks.alias("hyp"),
+    )
+    r = docs.select(
+        (F.col("doc_id") - 1).alias("h_id"), toks.alias("ref")
+    )
+    pairs = h.join(r, "h_id").select("pair_id", "hyp", "ref")
+    sides = pairs.select(
+        "pair_id", F.lit("h").alias("side"), F.explode("hyp").alias("g")
+    ).unionAll(
+        pairs.select(
+            "pair_id", F.lit("r").alias("side"), F.explode("ref").alias("g")
+        )
+    )
+    clips = (
+        sides.groupBy("pair_id", "g")
+        .agg(
+            F.sum(F.when(F.col("side") == "h", 1).otherwise(0))
+            .cast("bigint")
+            .alias("hc"),
+            F.sum(F.when(F.col("side") == "r", 1).otherwise(0))
+            .cast("bigint")
+            .alias("rc"),
+        )
+        .groupBy("pair_id")
+        .agg(F.sum(F.least("hc", "rc")).cast("bigint").alias("clip"))
+    )
+    lens = pairs.select(
+        "pair_id",
+        F.size("hyp").cast("bigint").alias("hyp_len"),
+        F.size("ref").cast("bigint").alias("ref_len"),
+    )
+    m = lens.join(clips, "pair_id", "left").select(
+        "pair_id",
+        "hyp_len",
+        "ref_len",
+        F.coalesce(F.col("clip"), F.lit(0)).cast("bigint").alias("clip"),
+    )
+    p = F.when(
+        F.col("hyp_len") > 0, F.col("clip").cast("double") / F.col("hyp_len")
+    )
+    rr = F.when(
+        F.col("ref_len") > 0, F.col("clip").cast("double") / F.col("ref_len")
+    )
+    return m.select(
+        "pair_id",
+        "hyp_len",
+        "ref_len",
+        "clip",
+        p.alias("precision_tok"),
+        rr.alias("recall_tok"),
+        F.when(p + rr > 0, 2 * p * rr / (p + rr))
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
+    )

@@ -2419,3 +2419,202 @@ def s14_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / F.lit(TOP_K)).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s15 — IVF probe-count tuning curve: recall@k per nprobe
+# ---------------------------------------------------------------------------
+
+#: probe counts swept by s15; max must not exceed the label cardinality
+IVF_PROBE_SWEEP = (1, 2, 4, 8)
+
+_S15_ORACLE = f"""
+WITH {_SQL_BASE},
+ex_scored AS (
+  SELECT query_id, e.vec_id,
+         {_sql_dot('qv', 'v')} / (qn * nrm) AS cosine
+  FROM q, e
+  WHERE e.vec_id <> query_id
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM ex_scored
+  ) t WHERE rn <= {TOP_K}
+),
+cent AS (
+  SELECT label, list(cx ORDER BY i) AS c FROM (
+    SELECT label, i, AVG(v[i]) AS cx
+    FROM e, (SELECT unnest(generate_series(1, {DIM})) AS i) dims
+    GROUP BY label, i
+  ) percoord
+  GROUP BY label
+),
+centn AS (SELECT label, c, {_sql_norm('c')} AS cn FROM cent),
+probe AS (
+  SELECT query_id, label, rn AS rn_label FROM (
+    SELECT q.query_id, centn.label,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_sql_dot('q.qv', 'centn.c')} / (q.qn * centn.cn) DESC,
+                      centn.label) AS rn
+    FROM q, centn
+  ) r WHERE rn <= {max(IVF_PROBE_SWEEP)}
+),
+scored AS (
+  SELECT p.query_id, p.rn_label, e.vec_id,
+         {_sql_dot('q.qv', 'e.v')} / (q.qn * e.nrm) AS cosine
+  FROM probe p
+  JOIN q ON q.query_id = p.query_id
+  JOIN e ON e.label = p.label
+  WHERE e.vec_id <> p.query_id
+),
+fan AS (
+  SELECT pr.n_probe, s.query_id, s.vec_id, s.cosine
+  FROM scored s
+  JOIN (SELECT unnest({list(IVF_PROBE_SWEEP)}) AS n_probe) pr
+    ON pr.n_probe >= s.rn_label
+),
+ann AS (
+  SELECT n_probe, query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY n_probe, query_id
+      ORDER BY cosine DESC, vec_id) AS rn
+    FROM fan
+  ) t WHERE rn <= {TOP_K}
+),
+j AS (
+  SELECT pr.n_probe, x.query_id, x.vec_id,
+         CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM exact x
+  JOIN (SELECT unnest({list(IVF_PROBE_SWEEP)}) AS n_probe) pr ON TRUE
+  LEFT JOIN ann a ON a.n_probe = pr.n_probe
+    AND a.query_id = x.query_id AND a.vec_id = x.vec_id
+)
+SELECT CAST(n_probe AS INTEGER) AS n_probe,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall_at_k
+FROM j GROUP BY n_probe
+"""
+
+
+@register("s15_ivf_recall_curve", _S15_ORACLE)
+def s15_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@k of s4's partition-probe retrieval
+    against s1's exact top-k, swept over nprobe ∈ {IVF_PROBE_SWEEP} —
+    the capacity-planning table every IVF deployment reads before
+    picking its probe count (recall rises with nprobe while cost is
+    ∝ nprobe/nlist of the corpus; the knee of this curve IS the
+    configuration decision). s9 monitors ONE configured funnel; s15
+    maps the whole trade-off.
+
+    Exactness: centroid ranks and candidate cosines use the module's
+    sequential-fold arithmetic with label/vec_id tiebreaks (bit-
+    identical cross-engine); recall is a single IEEE division of exact
+    integers (EXACT_DOUBLE_OK — no ROUND-tie seam).
+
+    Scale shape: the probed-label candidates are scored ONCE at the
+    largest swept nprobe (smaller probe sets are prefixes of the
+    centroid ranking), then the sweep fans out MAP-SIDE — each
+    candidate row joins the probe counts that admit it (≤ |sweep|
+    copies of a (query × probed-partition) intermediate, never the
+    corpus). The ground-truth side is s9's sampled brute-force pass;
+    both ranked lists are (queries × k)-bounded. At 100 TB: one
+    brute-force pass over the sampled queries + one nprobe_max-probe
+    pass — the sweep itself costs one small fan-out, not |sweep|
+    searches."""
+    corpus = _corpus(spark, sf_dir).persist()
+    q = _queries(corpus)
+    ex_scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    exact = _ranked(ex_scored, "rn").localCheckpoint(eager=True)
+
+    cent = (
+        corpus.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cx"))),
+                lambda s: s.cx,
+            ).alias("c")
+        )
+    )
+    centn = cent.select("label", "c", _norm(F.col("c")).alias("cn"))
+    wp = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("label"))
+    probe = (
+        q.crossJoin(F.broadcast(centn))
+        .select(
+            "query_id",
+            "label",
+            (
+                _dot(F.col("qv"), F.col("c")) / (F.col("qn") * F.col("cn"))
+            ).alias("csim"),
+        )
+        .withColumn("rn_label", F.row_number().over(wp))
+        .filter(F.col("rn_label") <= max(IVF_PROBE_SWEEP))
+        .select("query_id", "label", "rn_label")
+    )
+    scored = (
+        probe.join(q, "query_id")
+        .join(corpus, "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "rn_label",
+            "vec_id",
+            (
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    probes_arr = F.array(*[F.lit(p) for p in IVF_PROBE_SWEEP])
+    fan = scored.select(
+        F.explode(probes_arr).alias("n_probe"),
+        "query_id",
+        "rn_label",
+        "vec_id",
+        "cosine",
+    ).filter(F.col("n_probe") >= F.col("rn_label"))
+    wk = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    ann = (
+        fan.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= TOP_K)
+        .select("n_probe", "query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    probes_df = spark.range(1).select(
+        F.explode(probes_arr).alias("n_probe")
+    )
+    allpairs = exact.select("query_id", "vec_id").crossJoin(
+        F.broadcast(probes_df)
+    )
+    joined = allpairs.join(
+        ann.withColumn("hit", F.lit(1)),
+        ["n_probe", "query_id", "vec_id"],
+        "left",
+    )
+    return joined.groupBy(F.col("n_probe").cast("int").alias("n_probe")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias(
+            "n_hits"
+        ),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("recall_at_k"),
+    )

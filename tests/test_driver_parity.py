@@ -236,6 +236,8 @@ STRICT_VALUE_QUERIES = [
     "e27_sequential_sprt",
     "t29_perplexity_buckets",
     "t30_bpe_encode",
+    "s15_ivf_recall_curve",
+    "ev5_token_f1",
 ]
 
 

@@ -105,6 +105,8 @@ _BNLJ_OK = {
     # _bpe_spellings' localCheckpoints, so its RETURNED plan is
     # join-clean and stays under the strict gate)
     "lab4_dawid_skene",  # 1-row weight vector + 1-row delta crosses
+    "s15_ivf_recall_curve",  # inherits s1's broadcast-query cross + K-row
+    # centroid/probe-count broadcasts (sweep fan-out)
 }
 
 #: streaming queries — their builders execute a full streaming job;

@@ -320,6 +320,8 @@ def test_r12_ops_mirror_oracle_on_empty_tables(spark, tmp_path):
         "e27_sequential_sprt",
         "t29_perplexity_buckets",
         "t30_bpe_encode",
+        "s15_ivf_recall_curve",
+        "ev5_token_f1",
     ]
     try:
         for name in names:
@@ -338,3 +340,69 @@ def test_r12_ops_mirror_oracle_on_empty_tables(spark, tmp_path):
             spark.catalog.clearCache()
     finally:
         con.close()
+
+
+def test_s15_recall_curve_is_monotone_in_probe_count(spark):
+    """More probed partitions can only add candidates, so recall@k must
+    be non-decreasing in n_probe and the counters must cover exactly
+    N_QUERIES x TOP_K ground-truth slots at every sweep point."""
+    from bc_proj3_spark.operators.similarity import (
+        IVF_PROBE_SWEEP,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    rows = sorted(
+        SPECS["s15_ivf_recall_curve"].builder(spark, SF_001).collect(),
+        key=lambda r: r["n_probe"],
+    )
+    assert [r["n_probe"] for r in rows] == list(IVF_PROBE_SWEEP)
+    for r in rows:
+        assert r["n_exact"] == N_QUERIES * TOP_K
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi["n_hits"] >= lo["n_hits"], (lo, hi)
+
+
+def test_ev5_f1_matches_counter_replay(spark):
+    """Third-implementation pin: recompute every pair's clipped overlap
+    with collections.Counter over the raw parquet and match the engine's
+    clip/precision/recall/f1 exactly."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_001}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    expect = {}
+    for did, text in texts.items():
+        if did % 2 != 0 or did + 1 not in texts:
+            continue
+        hyp = re.split(r"\s+", texts[did].strip())
+        ref = re.split(r"\s+", texts[did + 1].strip())
+        clip = sum((Counter(hyp) & Counter(ref)).values())
+        p = clip / len(hyp) if hyp else None
+        r = clip / len(ref) if ref else None
+        f1 = 2 * p * r / (p + r) if (p or 0) + (r or 0) > 0 else 0.0
+        expect[did // 2] = (len(hyp), len(ref), clip, p, r, f1)
+
+    rows = SPECS["ev5_token_f1"].builder(spark, SF_001).collect()
+    assert len(rows) == len(expect)
+    for row in rows:
+        hl, rl, clip, p, r, f1 = expect[row["pair_id"]]
+        assert (row["hyp_len"], row["ref_len"], row["clip"]) == (hl, rl, clip)
+        assert row["precision_tok"] == p and row["recall_tok"] == r
+        assert row["f1"] == f1, (row, f1)
+
+
+def test_ev5_zero_overlap_and_empty_pairs(spark, tmp_path):
+    """Zero-overlap pairs pin F1 to 0 (not NaN) with the same CASE on
+    both engines; the parity harness also covers the seam corpus."""
+    sf = _write_documents(
+        tmp_path, "(0, 'aa bb'), (1, 'cc dd'), (2, 'x y'), (3, 'x y')"
+    )
+    rows, cols = _run_vs_oracle(spark, SPECS["ev5_token_f1"], sf)
+    by_pair = {dict(zip(cols, r))["pair_id"]: dict(zip(cols, r)) for r in rows}
+    assert by_pair[0]["clip"] == 0 and by_pair[0]["f1"] == 0.0
+    assert by_pair[1]["clip"] == 2 and by_pair[1]["f1"] == 1.0

@@ -116,6 +116,8 @@ SF01_QUERIES = [
     "t29_perplexity_buckets",  # rides t16's log-lattice per-doc scores
     "t30_bpe_encode",  # rides t27's iterative merge trajectory
     "e27_sequential_sprt",  # literal-lattice LLR walk crosses boundaries
+    "s15_ivf_recall_curve",  # double-heavy cosine rankings per probe count
+    "ev5_token_f1",  # F1 combination of derived IEEE ratios (ev3 class)
 ]
 
 
