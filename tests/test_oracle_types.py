@@ -68,6 +68,11 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     # divisions of exact small integers, identical on both engines
     ("s9_ann_recall", "recall_at_k"),
     ("s9_ann_recall", "rr_top1"),
+    # round-12: single IEEE divisions of exact integer sums (t23/s9
+    # class — deliberately unrounded, no ROUND-tie seam)
+    ("t30_bpe_encode", "chars_per_symbol"),
+    ("t30_bpe_encode", "symbols_per_word"),
+    ("s15_ivf_recall_curve", "recall_at_k"),
     # integer-sum ratio: exact BIGINT token total over exact window
     # capacity (count x compile-time constant), one IEEE division
     ("sp16_pack_efficiency", "fill_rate"),
