@@ -406,3 +406,34 @@ def test_ev5_zero_overlap_and_empty_pairs(spark, tmp_path):
     by_pair = {dict(zip(cols, r))["pair_id"]: dict(zip(cols, r)) for r in rows}
     assert by_pair[0]["clip"] == 0 and by_pair[0]["f1"] == 0.0
     assert by_pair[1]["clip"] == 2 and by_pair[1]["f1"] == 1.0
+
+
+def test_d6_spill_seam_preserves_values(spark, tmp_path, monkeypatch):
+    """The d6 result-level seam must restore the survivor set from its
+    write-once parquet identical to a fresh funnel run — and pipe3,
+    which consumes it, must produce an identical attrition ledger."""
+    sf = "/root/testdata/sf0.001"
+    d6 = all_queries()["d6_dedup_corpus"]
+    pipe3 = all_queries()["pipe3_recipe_attrition"]
+
+    def reset():
+        spark.catalog.clearCache()
+        from bc_proj3_spark.operators import dedup
+
+        dedup._DOC_INDEX_CACHE.clear()
+
+    reset()
+    monkeypatch.delenv("SPARK_GRAFT_INDEX_SPILL_DIR", raising=False)
+    base_d6 = sorted(r["doc_id"] for r in d6.builder(spark, sf).collect())
+    base_p3 = sorted(tuple(r) for r in pipe3.builder(spark, sf).collect())
+
+    reset()
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_SPILL_DIR", str(tmp_path))
+    first = sorted(r["doc_id"] for r in d6.builder(spark, sf).collect())
+    reset()  # evict: restore path
+    second = sorted(r["doc_id"] for r in d6.builder(spark, sf).collect())
+    p3 = sorted(tuple(r) for r in pipe3.builder(spark, sf).collect())
+
+    assert first == base_d6
+    assert second == base_d6
+    assert p3 == base_p3
