@@ -126,18 +126,23 @@ def test_ev2_single_token_corpus_parity(spark, tmp_path):
 
 def test_shingle_index_spill_seam_preserves_values(spark, tmp_path, monkeypatch):
     """The SPARK_GRAFT_INDEX_SPILL_DIR seam (bench-only) must restore a
-    cache-evicted shingle index from its write-once parquet with values
-    identical to a fresh build — d4's pair list is the sharpest probe
-    (any index drift changes candidate pairs and Jaccard values)."""
+    cache-evicted shingle index AND d4's seamed pair-list result from
+    their write-once parquets with values identical to a fresh build —
+    running d3 (index consumer, never result-seamed) and d4 (result-
+    seamed) together probes both restore paths (any index drift changes
+    candidate pairs and Jaccard values)."""
     import os as _os
 
     from bc_proj3_spark.operators import dedup
 
     sf = "/root/testdata/sf0.001"
+    d3 = all_queries()["d3_jaccard_pairs"]
     spec = all_queries()["d4_minhash_lsh_pairs"]
 
     def run():
-        return sorted(tuple(r) for r in spec.builder(spark, sf).collect())
+        rows = sorted(tuple(r) for r in spec.builder(spark, sf).collect())
+        rows3 = sorted(tuple(r) for r in d3.builder(spark, sf).collect())
+        return rows, rows3
 
     def reset():
         spark.catalog.clearCache()
