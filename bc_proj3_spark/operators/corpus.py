@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bc_proj3_spark.functions.hashing import hash60, sql_hash60
-from bc_proj3_spark.operators.dedup import _DEDUP_FUNNEL_CTES, d6_dedup_corpus
+from bc_proj3_spark.operators.dedup import _DEDUP_FUNNEL_CTES, d6_survivors_artifact
 from bc_proj3_spark.operators.ranking import _F1_ORACLE, f1_quality_filter
 from bc_proj3_spark.operators.sampling import (
     TRAIN_PCT,
@@ -69,7 +69,7 @@ def pipe1_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     called, not re-implemented), joined on doc_id, so this flagship is
     exactly as correct as its independently-oracled stages; its own
     oracle splices the same CTE text the stage oracles use."""
-    kept = d6_dedup_corpus(spark, sf_dir).select("doc_id")
+    kept = d6_survivors_artifact(spark, sf_dir).select("doc_id")
     passed = f1_quality_filter(spark, sf_dir).select("doc_id")
     bucket = hash60(_seeded("split", F.col("doc_id").cast("string"))) % 100
     return (
@@ -443,7 +443,7 @@ def pipe3_recipe_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("doc_id", F.lit(1).alias("c"))
     )
-    kept = d6_dedup_corpus(spark, sf_dir).select(
+    kept = d6_survivors_artifact(spark, sf_dir).select(
         "doc_id", F.lit(1).alias("k")
     )
     passed = f1_quality_filter(spark, sf_dir).select(

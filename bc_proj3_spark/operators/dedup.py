@@ -295,10 +295,70 @@ def _documents_shingle_index(
     if path is not None:
         try:
             sh.write.mode("overwrite").parquet(path)
-        except OSError:  # pragma: no cover - read-only spill dir
+        # DataFrameWriter failures surface as Py4JJavaError /
+        # AnalysisException, not OSError — degrade to the no-seam path
+        # on ANY write failure (r9 ADVICE).
+        except Exception:  # pragma: no cover - unwritable spill dir
             pass
     _DOC_INDEX_CACHE[key] = (sh, sizes)
     return sh, sizes
+
+
+#: Memoized restores of result-level artifacts (d4 pair list, d6
+#: survivor set), keyed by (applicationId, sf_dir, artifact name) so a
+#: consumer that calls the artifact reader repeatedly reuses ONE
+#: persisted frame instead of leaking a new MEMORY_AND_DISK persist per
+#: call (r9 ADVICE). Entries whose cache was evicted re-read the file.
+_ARTIFACT_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _artifact_path(sf_dir: str, name: str) -> str | None:
+    """Parquet path for a result-level bench artifact, or None when the
+    ``SPARK_GRAFT_INDEX_SPILL_DIR`` seam is off (driver correctness
+    runs, all tests that don't opt in)."""
+    spill = os.environ.get("SPARK_GRAFT_INDEX_SPILL_DIR")
+    if not spill:
+        return None
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(spill, f"{name}_{tag}")
+
+
+def _artifact_restore(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame | None:
+    """Restore a published artifact as a persisted frame, or None when
+    the seam is off / the owner hasn't published yet."""
+    path = _artifact_path(sf_dir, name)
+    if path is None or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return None
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _ARTIFACT_CACHE.get(key)
+    if hit is not None and hit.is_cached:
+        return hit
+    from pyspark import StorageLevel
+
+    out = spark.read.parquet(path).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    _ARTIFACT_CACHE[key] = out
+    return out
+
+
+def _artifact_publish(df: DataFrame, sf_dir: str, name: str) -> None:
+    """Write a computed result as the artifact consumers restore from.
+
+    Write-once: an existing artifact is left in place (a bench min-of-N
+    re-run of the owner must not rewrite files a consumer's persisted
+    restore may still be backed by). Any write failure degrades to the
+    no-artifact path (consumers then recompute via the owner)."""
+    path = _artifact_path(sf_dir, name)
+    if path is None or os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    try:
+        df.write.mode("overwrite").parquet(path)
+    except Exception:  # pragma: no cover - unwritable spill dir
+        pass
 
 
 def _verified_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
@@ -570,35 +630,26 @@ def d4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     list is materialized.
 
     Result-level disk seam (same SPARK_GRAFT_INDEX_SPILL_DIR contract
-    as _documents_shingle_index): the verified pair list is
-    deterministic per sf_dir and is the edge list four graph operators
-    (cc-family) rebuild after bench's per-query clearCache — in
-    production the near-dup pair table IS a persisted artifact the
-    graph jobs read. Correctness runs never set the variable; parity
-    pinned by test_round12_ops."""
-    from pyspark import StorageLevel
-
-    spill = os.environ.get("SPARK_GRAFT_INDEX_SPILL_DIR")
-    path = None
-    if spill:
-        import hashlib
-
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        path = os.path.join(spill, f"d4_pairs_{tag}")
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            out = spark.read.parquet(path).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-            out.count()
-            return out
+    as _documents_shingle_index, full contract in docs/benching.md):
+    this OWNER query always COMPUTES — its bench row measures the LSH
+    funnel, never a file restore (r9 verdict) — and publishes the pair
+    list write-once as the artifact the cc-family consumers restore via
+    :func:`d4_pairs_artifact` (in production the near-dup pair table IS
+    a persisted table the graph jobs read). Correctness runs never set
+    the variable; parity pinned by test_round12_ops."""
     sh, _sizes = _documents_shingle_index(spark, sf_dir)
     out = _verified_jaccard(_lsh_candidate_pairs(sh), sh)
-    if path is not None:
-        try:
-            out.write.mode("overwrite").parquet(path)
-        except OSError:  # pragma: no cover - read-only spill dir
-            pass
+    _artifact_publish(out, sf_dir, "d4_pairs")
     return out
+
+
+def d4_pairs_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d4's verified pair list for CONSUMERS (cc-family graph ops):
+    restore the published artifact when the bench seam is on, else run
+    the owner query. Not registered — the registered d4 always computes
+    (see d4_minhash_lsh_pairs docstring and docs/benching.md)."""
+    out = _artifact_restore(spark, sf_dir, "d4_pairs")
+    return out if out is not None else d4_minhash_lsh_pairs(spark, sf_dir)
 
 
 def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
@@ -792,27 +843,13 @@ def d6_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
-    # Result-level disk seam (same SPARK_GRAFT_INDEX_SPILL_DIR contract
-    # as _documents_shingle_index): the survivor set is deterministic
-    # per sf_dir and pipe1/pipe3 each re-run the whole funnel after
-    # bench's clearCache evicts it (~5-6 s at sf0.1). In production the
-    # dedup stage's output IS a persisted table downstream stages read;
-    # correctness runs never set the variable, so driver plans are
-    # untouched. Value parity is pinned by test_round12_ops.
-    spill = os.environ.get("SPARK_GRAFT_INDEX_SPILL_DIR")
-    path = None
-    if spill:
-        import hashlib
-
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        path = os.path.join(spill, f"d6_survivors_{tag}")
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            out = spark.read.parquet(path).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-            out.count()
-            return out
-
+    # Result-level disk seam (contract in docs/benching.md): this OWNER
+    # query always COMPUTES — its bench row measures the funnel, never
+    # a file restore (r9 verdict) — and publishes the survivor set
+    # write-once as the artifact pipe1/pipe3 restore via
+    # d6_survivors_artifact (in production the dedup stage's output IS
+    # a persisted table downstream stages read). Correctness runs never
+    # set the variable; value parity pinned by test_round12_ops.
     docs = table(spark, sf_dir, "documents")
     w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
     surv = (
@@ -835,12 +872,17 @@ def d6_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out.count()
     surv.unpersist()
-    if path is not None:
-        try:
-            out.write.mode("overwrite").parquet(path)
-        except OSError:  # pragma: no cover - read-only spill dir
-            pass
+    _artifact_publish(out, sf_dir, "d6_survivors")
     return out
+
+
+def d6_survivors_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d6's survivor set for CONSUMERS (pipe1/pipe3): restore the
+    published artifact when the bench seam is on, else run the owner
+    query. Not registered — the registered d6 always computes (see
+    d6_dedup_corpus docstring and docs/benching.md)."""
+    out = _artifact_restore(spark, sf_dir, "d6_survivors")
+    return out if out is not None else d6_dedup_corpus(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -42,7 +42,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bc_proj3_spark.operators.dedup import d4_minhash_lsh_pairs
+from bc_proj3_spark.operators.dedup import d4_pairs_artifact
 from bc_proj3_spark.plans.tables import table
 from bc_proj3_spark.registry import register
 
@@ -181,7 +181,7 @@ def cc1_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d4_minhash_lsh_pairs), its own id when isolated. The iterative
     propagation runs on the pair subgraph only; the corpus-wide left
     join at the end is a broadcast of the (small) label table."""
-    pairs = d4_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = d4_pairs_artifact(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
@@ -314,7 +314,7 @@ def cc2_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and identical WITH RECURSIVE oracle), logarithmic instead of
     linear round count on high-diameter graphs. Same corpus-wide
     broadcast left join stamps isolated docs with their own id."""
-    pairs = d4_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = d4_pairs_artifact(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
@@ -419,7 +419,7 @@ def cc3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable sum — cost ∝ subgraph edges, never corpus size; the
     damped product runs in DECIMAL(38,0) so a hot node's summed
     contributions cannot overflow 64 bits at any scale."""
-    pairs = d4_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = d4_pairs_artifact(spark, sf_dir).select("doc_a", "doc_b")
     with _iter_shuffle(spark):
         return _pagerank_iterate(spark, pairs, sf_dir)
 
@@ -743,7 +743,7 @@ def cc4_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     just add NULLs). The driver-checked twin of a WITH RECURSIVE
     shortest-reach query — evidence the iterative frontier loop, not
     just one round, matches exact SQL semantics."""
-    pairs = d4_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = d4_pairs_artifact(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
