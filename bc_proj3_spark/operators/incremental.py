@@ -44,6 +44,13 @@ class PreconditionError(Exception):
     (silver_arxiv.py:43-49)."""
 
 
+class ValidationError(Exception):
+    """A pipeline data-integrity check failed (row-count conservation,
+    watermark write-back). Raised, not ``assert``-ed: these are the
+    pipeline's core validations and must survive ``python -O``
+    (r9 verdict)."""
+
+
 @dataclass
 class MergeResult:
     df: DataFrame
@@ -102,7 +109,8 @@ def write_watermark(catalog: Catalog, table: str, value: str) -> None:
     stored = catalog.read("silver", watermark_name(table)).collect()[0][
         "watermark_date"
     ]
-    assert stored == str(value), f"watermark write-back failed for {table}"
+    if stored != str(value):
+        raise ValidationError(f"watermark write-back failed for {table}")
 
 
 # ---------------------------------------------------------------------------

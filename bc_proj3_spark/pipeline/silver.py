@@ -116,7 +116,10 @@ def silver_arxiv(
         )
 
     post = proj.count()
-    assert pre == post, f"silver.{table}: rows lost in transformation ({pre}->{post})"
+    if pre != post:
+        raise inc.ValidationError(
+            f"silver.{table}: rows lost in transformation ({pre}->{post})"
+        )
 
     max_date = proj.agg(F.max("updated_dt").alias("m")).collect()[0]["m"]
     if max_date is not None:
@@ -163,7 +166,10 @@ def silver_nyt(spark: SparkSession, catalog: Catalog, fresh: bool = False) -> di
         catalog.log_operation("silver", table, "INSERT", numTargetRowsInserted=inserted)
 
     post = proj.count()
-    assert pre == post, f"silver.{table}: rows lost in transformation ({pre}->{post})"
+    if pre != post:
+        raise inc.ValidationError(
+            f"silver.{table}: rows lost in transformation ({pre}->{post})"
+        )
     return {"inserted": inserted, "updated": 0, "rows": pre}
 
 
@@ -215,7 +221,10 @@ def silver_scholar(
         catalog.log_operation("silver", table, "INSERT", numTargetRowsInserted=inserted)
 
     post = proj.count()
-    assert pre == post, f"silver.{table}: rows lost in transformation ({pre}->{post})"
+    if pre != post:
+        raise inc.ValidationError(
+            f"silver.{table}: rows lost in transformation ({pre}->{post})"
+        )
 
     # watermark = max(publish_dt) over the WHOLE target (not the batch) —
     # silver_google_scholar.py:215
