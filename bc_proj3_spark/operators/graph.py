@@ -526,17 +526,25 @@ def tc1_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle replays the naive canonical-order join (identical
     count by the orientation-invariance argument above) — the oracle
     verifies the NUMBER; the Spark plan carries the scale posture."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # Edge build: ONE lineitem scan into a per-order sorted distinct
+    # part set (collect_set dedups duplicate part lines BEFORE the
+    # quadratic fan-out), then map-side pair expansion from the array —
+    # no self-join, so lineitem is neither scanned twice nor shuffled
+    # into a join. Measured 2× faster than the join+distinct build at
+    # sf0.1 with an identical pair list (r9 verdict item 4). Per-order
+    # fan-out is k(k-1)/2 on basket size k — bounded by the order
+    # schema (TPC-H ≤ 7 lines), the same bound the join build had.
+    pair_expr = (
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        "y -> struct(x AS pa, y AS pb))))"
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(F.explode(F.expr(pair_expr)).alias("e"))
+        .select("e.pa", "e.pb")
         .distinct()
     )
     return triangle_census(edges)

@@ -305,7 +305,10 @@ _VERIFIED_ROUND: dict[str, int] = {
     "t15_skipgram_pairs": 7,
     "t16_bigram_logprob": 7,
     "t22_readability": 7,
-    "tc1_triangle_census": 7,
+    # tc1's edge build was rewritten in round 13 (groupBy+explode pair
+    # expansion, r9 verdict item 4) — the r7 evidence covers the OLD
+    # plan, so it re-enters the prefix first (sp11/cur1 protocol).
+    "tc1_triangle_census": -1,
     # round 8 (CORRECTNESS_r08.json)
     "a14_mad_outliers": 8,
     "a16_gini_concentration": 8,
