@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from bc_proj3_spark.functions.hashing import hash60, sql_hash60
 from bc_proj3_spark.operators.dedup import _DEDUP_FUNNEL_CTES, d6_survivors_artifact
-from bc_proj3_spark.operators.ranking import _F1_ORACLE, f1_quality_filter
+from bc_proj3_spark.operators.ranking import _F1_ORACLE, f1_passed_artifact
 from bc_proj3_spark.operators.sampling import (
     TRAIN_PCT,
     VAL_PCT,
@@ -70,7 +70,7 @@ def pipe1_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly as correct as its independently-oracled stages; its own
     oracle splices the same CTE text the stage oracles use."""
     kept = d6_survivors_artifact(spark, sf_dir).select("doc_id")
-    passed = f1_quality_filter(spark, sf_dir).select("doc_id")
+    passed = f1_passed_artifact(spark, sf_dir).select("doc_id")
     bucket = hash60(_seeded("split", F.col("doc_id").cast("string"))) % 100
     return (
         kept.join(passed, "doc_id")
@@ -222,7 +222,7 @@ from bc_proj3_spark.operators.dedup import (  # noqa: E402
     _D8_CTES,
     D8_BATCH_MOD,
     D8_BATCH_REM,
-    d8_incremental_dedup,
+    d8_admitted_artifact,
 )
 from bc_proj3_spark.plans.tables import table  # noqa: E402
 
@@ -273,10 +273,10 @@ def pipe2_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(
         F.col("doc_id") % D8_BATCH_MOD == D8_BATCH_REM
     ).select("doc_id")
-    admitted = d8_incremental_dedup(spark, sf_dir).select(
+    admitted = d8_admitted_artifact(spark, sf_dir).select(
         "doc_id", F.lit(1).alias("adm")
     )
-    passed = f1_quality_filter(spark, sf_dir).select(
+    passed = f1_passed_artifact(spark, sf_dir).select(
         "doc_id", F.lit(1).alias("ok")
     )
     bucket = hash60(_seeded("split", F.col("doc_id").cast("string"))) % 100
@@ -446,7 +446,7 @@ def pipe3_recipe_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = d6_survivors_artifact(spark, sf_dir).select(
         "doc_id", F.lit(1).alias("k")
     )
-    passed = f1_quality_filter(spark, sf_dir).select(
+    passed = f1_passed_artifact(spark, sf_dir).select(
         "doc_id", F.lit(1).alias("p")
     )
     led = (

@@ -344,7 +344,7 @@ def f1_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = docs.select("doc_id", quality.alias("quality"))
     lm = t10_unigram_logprob(spark, sf_dir)
-    return (
+    out = (
         scored.join(lm, "doc_id")
         .filter(
             (F.col("quality") >= F1_MIN_QUALITY)
@@ -353,6 +353,32 @@ def f1_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "quality", "mean_logprob", "n_tokens")
     )
+    # Owner publish (docs/benching.md): the filter decision is the
+    # persisted table pipe1/pipe2/pipe3/st13 join against in
+    # production. Seam-on only; driver-posture plans untouched.
+    from bc_proj3_spark.operators.artifacts import (
+        _artifact_path,
+        _artifact_publish,
+    )
+
+    if _artifact_path(sf_dir, "f1_passed") is not None:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        _artifact_publish(out, sf_dir, "f1_passed")
+    return out
+
+
+def f1_passed_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f1's passing-document decision table for CONSUMERS (pipe1,
+    pipe2, pipe3, st13): restore the published artifact when the bench
+    seam is on, else run the owner query. Not registered — the
+    registered f1 always computes (docs/benching.md)."""
+    from bc_proj3_spark.operators.artifacts import _artifact_restore
+
+    out = _artifact_restore(spark, sf_dir, "f1_passed")
+    return out if out is not None else f1_quality_filter(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -1089,9 +1089,9 @@ def st13_stream_admission_ledger(
     from bc_proj3_spark.operators.dedup import (
         D8_BATCH_MOD,
         D8_BATCH_REM,
-        d8_incremental_dedup,
+        d8_admitted_artifact,
     )
-    from bc_proj3_spark.operators.ranking import f1_quality_filter
+    from bc_proj3_spark.operators.ranking import f1_passed_artifact
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     src = (
@@ -1100,10 +1100,10 @@ def st13_stream_admission_ledger(
         .parquet(sf_dir)
     )
     batch = src.filter(F.col("doc_id") % D8_BATCH_MOD == D8_BATCH_REM)
-    passed = f1_quality_filter(spark, sf_dir).select(
+    passed = f1_passed_artifact(spark, sf_dir).select(
         "doc_id", F.lit(1).alias("ok")
     )
-    admitted = d8_incremental_dedup(spark, sf_dir).select(
+    admitted = d8_admitted_artifact(spark, sf_dir).select(
         "doc_id", F.lit(1).alias("adm")
     )
     led = (
