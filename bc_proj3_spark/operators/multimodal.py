@@ -475,3 +475,129 @@ def m6_multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("media_tokens").cast("bigint").alias("media_token_sum"),
         F.sum(tot).cast("bigint").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m7 — per-source modality token balance (the mixed-corpus audit table)
+# ---------------------------------------------------------------------------
+
+
+def _m7_oracle() -> str:
+    from bc_proj3_spark.operators.textstats import BPE_RE
+
+    return f"""
+WITH priced AS (
+  SELECT doc_id, source,
+         {_MEDIA_TYPE} AS media_type,
+         CASE {_MEDIA_TYPE}
+           WHEN 'image' THEN ((CAST(64 + (doc_id % 5) * 32 AS BIGINT)
+                               + {PATCH - 1}) // {PATCH})
+                             * ((CAST(48 + (doc_id % 3) * 16 AS BIGINT)
+                                 + {PATCH - 1}) // {PATCH})
+           WHEN 'video' THEN ((CAST(64 + (doc_id % 5) * 32 AS BIGINT)
+                               + {PATCH - 1}) // {PATCH})
+                             * ((CAST(48 + (doc_id % 3) * 16 AS BIGINT)
+                                 + {PATCH - 1}) // {PATCH})
+                             * {VIDEO_FRAMES}
+           ELSE CAST(n_chars AS BIGINT) // {AUDIO_BYTES_PER_TOKEN}
+         END AS media_tokens,
+         CAST(len(regexp_extract_all(lower(text), '{BPE_RE}')) AS BIGINT)
+           AS text_tokens
+  FROM documents
+),
+rows_ AS (
+  SELECT source, 'text' AS modality, text_tokens AS tokens FROM priced
+  UNION ALL
+  SELECT source, media_type AS modality, media_tokens AS tokens FROM priced
+),
+agg AS (
+  SELECT source, modality,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tokens) AS BIGINT) AS token_sum
+  FROM rows_ GROUP BY source, modality
+),
+tot AS (
+  SELECT source, CAST(SUM(token_sum) AS BIGINT) AS t
+  FROM agg GROUP BY source
+)
+SELECT a.source, a.modality, a.n_docs, a.token_sum,
+       CAST(a.token_sum AS DOUBLE) / CAST(t.t AS DOUBLE) AS token_share
+FROM agg a JOIN tot t ON a.source = t.source
+"""
+
+
+@register("m7_modality_balance", _m7_oracle())
+def m7_modality_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source modality token balance: every document is priced as
+    text BPE tokens PLUS its media tokens (m5's metadata-only formula),
+    and the ledger reports each modality's token share within each
+    source — the audit a mixed-modality recipe runs before setting mix
+    weights, since a source that is nominally "text with images" may be
+    90 % patch tokens by bill (m5 prices the corpus globally; this
+    splits the bill by source × modality, the granularity mix decisions
+    are made at).
+
+    Exactness: all token prices are exact integer metadata arithmetic
+    (m5/m6's formulas, shared constants); sums are exact BIGINTs;
+    token_share is ONE IEEE division of exact integers.
+
+    Scale shape: one documents scan (payload column never read — the
+    price is metadata-only) fans each doc's two modality rows out
+    MAP-SIDE via explode; both aggregates are combiner-absorbed and
+    source×modality-bounded; the share join broadcasts the
+    source-bounded totals."""
+    from bc_proj3_spark.operators.textstats import BPE_RE
+
+    m = media_table(spark, sf_dir)
+    docs = fanout(table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    w = F.col("meta.width").cast("bigint")
+    h = F.col("meta.height").cast("bigint")
+    src_b = F.col("meta.src_bytes").cast("bigint")
+    patches = (
+        F.floor((w + (PATCH - 1)) / PATCH)
+        * F.floor((h + (PATCH - 1)) / PATCH)
+    ).cast("bigint")
+    media_tokens = (
+        F.when(F.col("media_type") == "image", patches)
+        .when(F.col("media_type") == "video", patches * VIDEO_FRAMES)
+        .otherwise(F.floor(src_b / AUDIO_BYTES_PER_TOKEN).cast("bigint"))
+    )
+    text_tokens = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), F.lit(0))
+    ).cast("bigint")
+    priced = m.select("doc_id", "media_type", media_tokens.alias("mt")).join(
+        docs, "doc_id"
+    )
+    rows = priced.select(
+        "source",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("text").alias("modality"),
+                    text_tokens.alias("tokens"),
+                ),
+                F.struct(
+                    F.col("media_type").alias("modality"),
+                    F.col("mt").alias("tokens"),
+                ),
+            )
+        ).alias("r"),
+    ).select("source", "r.modality", "r.tokens")
+    agg = rows.groupBy("source", "modality").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("token_sum"),
+    )
+    tot = agg.groupBy("source").agg(
+        F.sum("token_sum").cast("bigint").alias("t")
+    )
+    return agg.join(F.broadcast(tot), "source").select(
+        "source",
+        "modality",
+        "n_docs",
+        "token_sum",
+        (
+            F.col("token_sum").cast("double") / F.col("t").cast("double")
+        ).alias("token_share"),
+    )

@@ -324,3 +324,110 @@ def prof3_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# prof4 — per-column cardinality + entropy profile (the datasheet row
+# a profiler prints for every categorical column)
+# ---------------------------------------------------------------------------
+
+#: categorical lineitem columns profiled — fixed set, so the output is
+#: 4 rows at any corpus size.
+PROF4_COLUMNS = ("l_linenumber", "l_linestatus", "l_quantity", "l_returnflag")
+
+
+def _prof4_oracle() -> str:
+    per_col = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val FROM lineitem"
+        for c in PROF4_COLUMNS
+    )
+    return f"""
+WITH vals AS (
+{per_col}
+),
+counts AS (
+  SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY col_name, val
+),
+lat AS (
+  SELECT col_name, val, cnt,
+         CAST(ROUND(LN(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(13,9)) AS lncnt
+  FROM counts
+),
+agg AS (
+  SELECT col_name,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         SUM(CAST(cnt AS DECIMAL(20,0)) * lncnt) AS s,
+         CAST(MAX(cnt) AS BIGINT) AS cmax
+  FROM lat GROUP BY col_name
+)
+SELECT col_name, n_rows, n_distinct,
+       CAST(CAST(ROUND(LN(CAST(n_rows AS DOUBLE)), 9) AS DECIMAL(13,9))
+            AS DOUBLE)
+         - CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE) AS entropy_nats,
+       CAST(cmax AS DOUBLE) / CAST(n_rows AS DOUBLE) AS max_share
+FROM agg
+ORDER BY col_name
+"""
+
+
+@register("prof4_column_entropy", _prof4_oracle())
+def prof4_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column value-distribution profile over lineitem's
+    categorical columns: row count, distinct cardinality, Shannon
+    entropy (nats) and the dominant value's share — the datasheet row
+    every data profiler prints per column (prof1 profiles table-level
+    counts, prof2 finds dependencies; this is the column-level
+    distribution summary that flags near-constant columns, skewed
+    enums, and identifier-like cardinality explosions before a join or
+    encoding decision).
+
+    Exactness: entropy uses the identity H = ln(N) - (Σ cnt·ln cnt)/N
+    with every LN on the shared 9-dp decimal lattice (ROUND(LN(x),9),
+    the t21/g9 discipline) and the Σ cnt·ln cnt carried as an
+    order-free DECIMAL sum, so both engines compute bit-identical
+    doubles from the same fixed chain; max_share is ONE IEEE division
+    of exact integers.
+
+    Scale shape: one lineitem scan fans all profiled columns out
+    MAP-SIDE (stack → (col, val) pairs absorbed by a combiner-friendly
+    groupBy); the second aggregate runs over the value histogram —
+    vocabulary-bounded, never row-bounded. The output is
+    len(PROF4_COLUMNS) rows at any corpus size."""
+    li = table(spark, sf_dir, "lineitem").select(*PROF4_COLUMNS)
+    stack_expr = "stack({n}, {args}) AS (col_name, val)".format(
+        n=len(PROF4_COLUMNS),
+        args=", ".join(
+            f"'{c}', CAST({c} AS STRING)" for c in PROF4_COLUMNS
+        ),
+    )
+    counts = (
+        li.select(F.expr(stack_expr))
+        .groupBy("col_name", "val")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    lncnt = F.round(F.log(F.col("cnt").cast("double")), 9).cast(
+        "decimal(13,9)"
+    )
+    agg = counts.groupBy("col_name").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("cnt").cast("decimal(20,0)") * lncnt).alias("s"),
+        F.max("cnt").cast("bigint").alias("cmax"),
+    )
+    ln_n = F.round(F.log(F.col("n_rows").cast("double")), 9).cast(
+        "decimal(13,9)"
+    )
+    return agg.select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        (
+            ln_n.cast("double")
+            - F.col("s").cast("double") / F.col("n_rows").cast("double")
+        ).alias("entropy_nats"),
+        (F.col("cmax").cast("double") / F.col("n_rows").cast("double")).alias(
+            "max_share"
+        ),
+    ).orderBy("col_name")

@@ -1327,3 +1327,110 @@ def sp16_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.countDistinct("pack_id") * PACK_WINDOW)
         ).alias("fill_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sp17 — token-budget corpus mix (the token-denominated twin of sp3)
+# ---------------------------------------------------------------------------
+
+#: BPE-token allowance per source. Training recipes are specified in
+#: TOKENS, not documents ("100B tokens of web, 20B of code"): a
+#: doc-count quota (sp3) over-represents long-document sources, so the
+#: production mix step fills each source's TOKEN budget instead.
+SP17_TOKEN_BUDGET = 500
+
+
+def _sp17_oracle() -> str:
+    from bc_proj3_spark.operators.textstats import BPE_RE
+
+    h = sql_hash60(_sql_seeded("tokmix", "CAST(doc_id AS VARCHAR)"))
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '{BPE_RE}')) AS BIGINT)
+           AS n_tokens,
+         {h} AS h
+  FROM documents
+),
+cum AS (
+  SELECT source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS c
+  FROM base
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c <= {SP17_TOKEN_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_admitted,
+       CAST(SUM(CASE WHEN c <= {SP17_TOKEN_BUDGET} THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_admitted,
+       CAST({SP17_TOKEN_BUDGET} AS BIGINT) AS budget,
+       CAST(SUM(CASE WHEN c <= {SP17_TOKEN_BUDGET} THEN n_tokens ELSE 0 END)
+            AS DOUBLE) / {SP17_TOKEN_BUDGET} AS fill_rate
+FROM cum
+GROUP BY source
+"""
+
+
+@register("sp17_token_budget_mix", _sp17_oracle())
+def sp17_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill each source's TOKEN budget greedily in content-addressed
+    hash order — the token-denominated corpus mix (sp3 caps documents;
+    real recipes cap tokens, because a long-document source would blow
+    its share under a doc quota). A doc is admitted iff the running
+    token total THROUGH it stays inside the budget (rank-order prefix
+    rule — deterministic and re-runnable, same hash-order discipline
+    as sp3/sp4); the per-source ledger reports docs seen/admitted,
+    tokens admitted, and the fill rate a mix designer tunes against.
+
+    Exactness: token counts are exact integers from the shared BPE_RE
+    segmentation (t5/sp4's convention); the prefix sum and admission
+    comparison are pure integer arithmetic; fill_rate is ONE IEEE
+    division of an exact integer by a literal.
+
+    Scale shape: one documents scan; the prefix sum is one rank window
+    per source partition (single shuffle on source, the sp3/sp4 plan);
+    the ledger is a combiner-absorbed per-source aggregate. At 100 TB
+    the window streams per source partition — no global sort, no
+    driver-side state."""
+    from pyspark.sql.window import Window
+
+    from bc_proj3_spark.operators.textstats import BPE_RE
+
+    docs = table(spark, sf_dir, "documents")
+    h = hash60(_seeded("tokmix", F.col("doc_id").cast("string")))
+    n_tokens = (
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(BPE_RE), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(h.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = docs.select("doc_id", "source", n_tokens).withColumn(
+        "c", F.sum("n_tokens").over(w)
+    )
+    admitted = F.col("c") <= SP17_TOKEN_BUDGET
+    return cum.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(admitted, 1).otherwise(0)).cast("bigint").alias(
+            "n_admitted"
+        ),
+        F.sum(F.when(admitted, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_admitted"),
+        F.lit(SP17_TOKEN_BUDGET).cast("bigint").alias("budget"),
+        (
+            F.sum(F.when(admitted, F.col("n_tokens")).otherwise(0)).cast(
+                "double"
+            )
+            / SP17_TOKEN_BUDGET
+        ).alias("fill_rate"),
+    )

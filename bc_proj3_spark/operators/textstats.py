@@ -2534,3 +2534,98 @@ def t30_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").cast("bigint")
         ).alias("symbols_per_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t31 — term burstiness (variance-to-mean dispersion over documents)
+# ---------------------------------------------------------------------------
+
+#: document-frequency floor: a term must appear in at least this many
+#: docs before its dispersion is ranked (rare terms have meaningless
+#: variance estimates).
+T31_DF_FLOOR = 5
+T31_TOP_K = 20
+
+_T31_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY term, doc_id
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+stats AS (
+  SELECT term,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         SUM(CAST(c AS HUGEINT)) AS t,
+         SUM(CAST(c AS HUGEINT) * c) AS s2
+  FROM tf GROUP BY term
+)
+SELECT term, df, CAST(t AS BIGINT) AS total_tf,
+       CAST(n.n_docs * s2 - t * t AS DOUBLE)
+         / CAST(n.n_docs * t AS DOUBLE) AS vmr
+FROM stats CROSS JOIN n
+WHERE df >= {T31_DF_FLOOR}
+ORDER BY vmr DESC, term
+LIMIT {T31_TOP_K}
+"""
+
+
+@register("t31_term_burstiness", _T31_ORACLE)
+def t31_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness: the variance-to-mean ratio (index of
+    dispersion) of each term's per-document count, zeros included —
+    Church & Gale's observation that content words arrive in BURSTS
+    (VMR >> 1) while function words scatter ~Poisson (VMR ≈ 1). The
+    corpus-curation use is template detection: a term whose VMR spikes
+    marks boilerplate concentrated in a document subfamily that t3's
+    global histogram averages away. Top-{T31_TOP_K} by dispersion over
+    the df floor.
+
+    Exactness: with zero-count docs included, VMR = var/mean collapses
+    to (N·Σc² − (Σc)²)/(N·Σc) on EXACT integers (population variance
+    over all N docs; zero terms contribute nothing to either Σ), so
+    the only float is ONE IEEE division and the (vmr DESC, term) order
+    is bit-identical cross-engine.
+
+    Scale shape: one exploded token pass → (term, doc) counts →
+    per-term map-side-combinable moments (vocabulary-bounded output);
+    the corpus size joins in as a broadcast 1-row aggregate; top-k
+    compiles to TakeOrderedAndProject — no global sort."""
+    docs = fanout(table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("t"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("s2"),
+    )
+    return (
+        stats.filter(F.col("df") >= T31_DF_FLOOR)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "df",
+            F.col("t").cast("bigint").alias("total_tf"),
+            (
+                (
+                    F.col("n_docs").cast("decimal(19,0)") * F.col("s2")
+                    - F.col("t") * F.col("t")
+                ).cast("double")
+                / (F.col("n_docs").cast("decimal(19,0)") * F.col("t")).cast(
+                    "double"
+                )
+            ).alias("vmr"),
+        )
+        .orderBy(F.col("vmr").desc(), "term")
+        .limit(T31_TOP_K)
+    )

@@ -2489,3 +2489,87 @@ def a18_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("theil_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a19 — Herfindahl–Hirschman concentration per segment
+# ---------------------------------------------------------------------------
+
+_A19_ORACLE = """
+WITH spend AS (
+  SELECT c_mktsegment AS seg, o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY seg, o_custkey
+),
+agg AS (
+  SELECT seg,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         SUM(CAST(v AS HUGEINT)) AS t,
+         SUM(CAST(v AS HUGEINT) * v) AS s2,
+         CAST(MAX(v) AS BIGINT) AS vmax
+  FROM spend GROUP BY seg
+)
+SELECT seg AS c_mktsegment,
+       n_customers,
+       CAST(t AS DOUBLE) / 100 AS total_spend,
+       CAST(s2 AS DOUBLE)
+         / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) AS hhi,
+       (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) / CAST(s2 AS DOUBLE)
+         AS effective_n,
+       CAST(vmax AS DOUBLE) / CAST(t AS DOUBLE) AS top_share
+FROM agg
+"""
+
+
+@register("a19_hhi_concentration", _A19_ORACLE)
+def a19_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of per-customer lifetime
+    spend within each market segment, with the effective participant
+    count 1/HHI and the single largest share. Completes the
+    concentration portfolio — a16's Gini/top-decile reads dispersion,
+    a18's Theil decomposes it, HHI is the antitrust-style "how many
+    effective players" number — and the corpus-curation twin is source
+    concentration: a mixture whose effective_n collapses toward 1 is a
+    single-source corpus regardless of its nominal source list.
+
+    Exactness: per-customer spend is an exact BIGINT cents sum; Σv and
+    Σv² are exact DECIMAL(38,0) sums; hhi = Σv²/(Σv)², effective_n =
+    its reciprocal, and top_share = max(v)/Σv are fixed chains of IEEE
+    operations on engine-identical integer→double images (the g3
+    >2^53-conversion class, pinned at sf0.1).
+
+    Scale shape: orders collapses map-side-combinably to per-customer
+    totals (one key shuffle shared with the customer join), then ONE
+    combiner-absorbed aggregate per segment — no window, no sort; the
+    output is segment-bounded at any corpus size."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("v")
+        )
+    )
+    agg = spend.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("t"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).alias("s2"),
+        F.max("v").cast("bigint").alias("vmax"),
+    )
+    t_d = F.col("t").cast("double")
+    s2_d = F.col("s2").cast("double")
+    return agg.select(
+        F.col("seg").alias("c_mktsegment"),
+        "n_customers",
+        (t_d / 100).alias("total_spend"),
+        (s2_d / (t_d * t_d)).alias("hhi"),
+        ((t_d * t_d) / s2_d).alias("effective_n"),
+        (F.col("vmax").cast("double") / t_d).alias("top_share"),
+    )

@@ -3254,3 +3254,192 @@ def e27_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e28 — CUPED variance-reduced treatment effect (pre-period covariate)
+# ---------------------------------------------------------------------------
+
+_cuped_arm_sql = f"{_sql_h60_e25(_sql_sd_e25('cuped', 'CAST(user_id AS VARCHAR)'))} % 2"
+
+_E28_ORACLE = f"""
+WITH base AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         {_cuped_arm_sql} AS treated
+  FROM events
+),
+span AS (
+  SELECT (MIN(day) + MAX(day) + 1) // 2 AS cutover FROM base
+),
+per_user AS (
+  SELECT user_id, MAX(treated) AS treated,
+         CAST(SUM(CASE WHEN day < (SELECT cutover FROM span)
+                       THEN cents ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN day >= (SELECT cutover FROM span)
+                       THEN cents ELSE 0 END) AS BIGINT) AS y
+  FROM base GROUP BY user_id
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(treated) AS BIGINT) AS nt,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(treated * x AS HUGEINT)) AS sxt,
+         SUM(CAST(treated * y AS HUGEINT)) AS syt
+  FROM per_user
+),
+m AS (
+  SELECT n, nt,
+         CASE WHEN n * sxx - sx * sx > 0 THEN
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+         CASE WHEN n > 0 THEN CAST(sx AS DOUBLE) / n END AS mean_x_all,
+         CASE WHEN nt > 0 THEN CAST(sxt AS DOUBLE) / nt END AS mean_x_t,
+         CASE WHEN nt > 0 THEN CAST(syt AS DOUBLE) / nt END AS mean_y_t,
+         CASE WHEN n - nt > 0 THEN
+           CAST(sx - sxt AS DOUBLE) / (n - nt) END AS mean_x_c,
+         CASE WHEN n - nt > 0 THEN
+           CAST(sy - syt AS DOUBLE) / (n - nt) END AS mean_y_c
+  FROM s
+)
+SELECT n AS n_users, nt AS n_treated, theta,
+       mean_y_t - mean_y_c AS ate_naive_cents,
+       (mean_y_t - theta * (mean_x_t - mean_x_all))
+         - (mean_y_c - theta * (mean_x_c - mean_x_all)) AS ate_cuped_cents
+FROM m
+"""
+
+
+@register("e28_cuped_adjusted_ate", _E28_ORACLE)
+def e28_cuped_adjusted_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced treatment-effect readout (Deng et al.
+    WSDM'13) — the fourth leg of the experimentation family: e25 DiD,
+    e26 IPW, e27 sequential, e28 variance reduction. Each user's
+    PRE-period spend (before the observation-midpoint cutover, the e25
+    lattice) is the covariate; the adjusted outcome y - θ(x - x̄)
+    shrinks between-user variance without biasing the contrast because
+    arm assignment (hash coin) is independent of x. Emits the pooled
+    θ = Cov(x,y)/Var(x), the naive arm contrast, and the CUPED
+    contrast — on hash-balanced arms the two estimates agree in
+    expectation and the report makes the variance reduction auditable.
+
+    Exactness: per-user pre/post cents are exact integer sums on the
+    integer day lattice; θ's numerator n·Σxy − Σx·Σy and denominator
+    n·Σx² − (Σx)² are exact DECIMAL(38,0)/HUGEINT and the ratio is ONE
+    IEEE division (g3 >2^53-conversion class, pinned at sf0.1); every
+    mean is one division of exact integers and both headline contrasts
+    are fixed chains over those engine-identical doubles. Degenerate
+    inputs (empty, single-arm, constant x) yield NULLs via the same
+    CASE guards on both engines — never a /0 seam.
+
+    Scale shape: ONE events scan → per-user aggregate (map-side
+    combinable, one shuffle on user_id) → a 1-row moment aggregate
+    (localCheckpointed — feeds every output column); the cutover is a
+    broadcast 1-row min/max. Nothing user-sized leaves the executors
+    twice."""
+    from bc_proj3_spark.functions.hashing import hash60
+    from bc_proj3_spark.operators.sampling import _seeded
+
+    events = table(spark, sf_dir, "events")
+    day = (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast(
+        "bigint"
+    )
+    treated = (
+        hash60(_seeded("cuped", F.col("user_id").cast("string"))) % 2
+    ).cast("bigint")
+    base = events.select(
+        "user_id",
+        day.alias("day"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        treated.alias("treated"),
+    )
+    span = base.agg(
+        ((F.min("day") + F.max("day") + 1) / 2)
+        .cast("bigint")
+        .alias("cutover")
+    )
+    per_user = (
+        base.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.max("treated").alias("treated"),
+            F.sum(
+                F.when(F.col("day") < F.col("cutover"), F.col("cents"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("day") >= F.col("cutover"), F.col("cents"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("treated").cast("bigint").alias("nt"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
+        F.sum(
+            (F.col("treated") * F.col("x")).cast("decimal(38,0)")
+        ).alias("sxt"),
+        F.sum(
+            (F.col("treated") * F.col("y")).cast("decimal(38,0)")
+        ).alias("syt"),
+    ).localCheckpoint(eager=True)
+    n_dec = F.col("n").cast("decimal(19,0)")
+    var_num = n_dec * F.col("sxx") - F.col("sx") * F.col("sx")
+    cov_num = n_dec * F.col("sxy") - F.col("sx") * F.col("sy")
+    theta = F.when(var_num > 0, cov_num.cast("double") / var_num.cast("double"))
+    nc = F.col("n") - F.col("nt")
+    mean_x_all = F.when(
+        F.col("n") > 0, F.col("sx").cast("double") / F.col("n")
+    )
+    mean_x_t = F.when(
+        F.col("nt") > 0, F.col("sxt").cast("double") / F.col("nt")
+    )
+    mean_y_t = F.when(
+        F.col("nt") > 0, F.col("syt").cast("double") / F.col("nt")
+    )
+    mean_x_c = F.when(
+        nc > 0, (F.col("sx") - F.col("sxt")).cast("double") / nc
+    )
+    mean_y_c = F.when(
+        nc > 0, (F.col("sy") - F.col("syt")).cast("double") / nc
+    )
+    m = s.select(
+        "n",
+        "nt",
+        theta.alias("theta"),
+        mean_x_all.alias("mean_x_all"),
+        mean_x_t.alias("mean_x_t"),
+        mean_y_t.alias("mean_y_t"),
+        mean_x_c.alias("mean_x_c"),
+        mean_y_c.alias("mean_y_c"),
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.col("nt").alias("n_treated"),
+        "theta",
+        (F.col("mean_y_t") - F.col("mean_y_c")).alias("ate_naive_cents"),
+        (
+            (
+                F.col("mean_y_t")
+                - F.col("theta")
+                * (F.col("mean_x_t") - F.col("mean_x_all"))
+            )
+            - (
+                F.col("mean_y_c")
+                - F.col("theta")
+                * (F.col("mean_x_c") - F.col("mean_x_all"))
+            )
+        ).alias("ate_cuped_cents"),
+    )

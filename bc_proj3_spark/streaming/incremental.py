@@ -1135,3 +1135,71 @@ def st13_stream_admission_ledger(
         )
         query.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# st14 — streaming corpus token meter (the "are we at 1T tokens yet" tile)
+# ---------------------------------------------------------------------------
+
+
+def _st14_oracle() -> str:
+    from bc_proj3_spark.operators.textstats import BPE_RE
+
+    return f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(lower(text), '{BPE_RE}')))
+            AS BIGINT) AS token_sum,
+       CAST(SUM(n_chars) AS BIGINT) AS char_sum
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("st14_stream_token_budget", _st14_oracle())
+def st14_stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus token METER maintained by a stream: per-language
+    running document, BPE-token and character totals updated per
+    arriving micro-batch — the live tile a collection campaign watches
+    ("how far to the 1T-token target, and in which languages"), next
+    to st13's admission reasons. Batch jobs (t5, sp17) price a corpus
+    after the fact; this maintains the bill AT INGEST. Drained with
+    AvailableNow and held to exact equality with the batch GROUP BY
+    oracle.
+
+    Scale shape: the token price is a stateless per-row projection
+    (shared BPE_RE segmentation, the t5/sp4 convention); the state is
+    the languages×3-counters aggregate — O(languages) rows forever,
+    the cheapest possible streaming state; complete-mode emission is
+    the dashboard table itself."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    from bc_proj3_spark.operators.textstats import BPE_RE
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tokens = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), F.lit(0))
+    ).cast("bigint")
+    agg = src.select("lang", tokens.alias("tok"), "n_chars").groupBy(
+        "lang"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("token_sum"),
+        F.sum("n_chars").cast("bigint").alias("char_sum"),
+    )
+    sink = f"st14_sink_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="st14-ckpt-") as ckpt, \
+            _stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(sink)

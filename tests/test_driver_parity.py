@@ -78,6 +78,14 @@ PARITY_QUERIES = [
 #: exactly the sensitivity the driver's type-tagged hash has and
 #: conftest._norm deliberately lacks.
 STRICT_VALUE_QUERIES = [
+    # round-13 registrations (never driver-verified until r10 mints)
+    "sp17_token_budget_mix",
+    "a19_hhi_concentration",
+    "prof4_column_entropy",
+    "t31_term_burstiness",
+    "m7_modality_balance",
+    "e28_cuped_adjusted_ate",
+    "st14_stream_token_budget",
     "t18_token_entropy",
     "t19_oov_rate",
     "t20_shingle_novelty",

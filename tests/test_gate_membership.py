@@ -198,6 +198,12 @@ SF01_EXEMPT: frozenset[str] = frozenset(
         "sv1_scholar_date_derivation", "sv2_arxiv_id_parse",
         "sv3_struct_audit", "d1_surrogate_key", "d2_token_stats",
         "d3_term_scoring",
+        # round-13: exact-integer counts + one terminal division by a
+        # literal budget / exact-int total — nothing accumulates with
+        # scale (sp16/ev1 class); st14 is a streaming drain held to an
+        # exact-integer batch oracle
+        "sp17_token_budget_mix", "m7_modality_balance",
+        "st14_stream_token_budget",
     ]
 )
 

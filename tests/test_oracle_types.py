@@ -83,6 +83,7 @@ EXACT_DOUBLE_OK: set[tuple[str, str]] = {
     # integer-sum ratio: exact admitted-token total over the
     # compile-time budget constant, one IEEE division
     ("rag1_context_budget", "budget_fill"),
+    ("sp17_token_budget_mix", "fill_rate"),
     # contingency-cell ratios on common denominators: exact BIGINT
     # numerator/denominator, one IEEE division
     ("lab3_annotator_agreement", "po"),

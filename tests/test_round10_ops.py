@@ -492,6 +492,11 @@ def test_r10_ops_mirror_oracle_on_empty_tables(spark, tmp_path):
         "hs4_map_eval", "ml1_perceptron_train", "bt1_bradley_terry",
         "t28_textrank_keywords", "ml2_naive_bayes_confusion",
         "g13_hits_authorities", "ml3_decision_stump",
+        # round-13 registrations (e28's empty-input NULL chain is the
+        # guarded seam; the rest degrade through empty frames)
+        "sp17_token_budget_mix", "a19_hhi_concentration",
+        "prof4_column_entropy", "t31_term_burstiness",
+        "m7_modality_balance", "e28_cuped_adjusted_ate",
     ]
     try:
         for name in names:

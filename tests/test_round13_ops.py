@@ -66,3 +66,188 @@ def test_f1_d8_artifact_seam_preserves_values(spark, tmp_path, monkeypatch):
         sorted(r["doc_id"] for r in d8_admitted_artifact(spark, SF).collect())
         == sorted(r[0] for r in base_d8)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 registrations: invariants + independent replays
+# ---------------------------------------------------------------------------
+
+
+def _rows(spark, name, sf=SF):
+    spec = all_queries()[name]
+    cols = None
+    out = []
+    for r in spec.builder(spark, sf).collect():
+        if cols is None:
+            cols = list(r.asDict())
+        out.append(r.asDict())
+    return out
+
+
+def test_sp17_budget_is_respected(spark):
+    from bc_proj3_spark.operators.sampling import SP17_TOKEN_BUDGET
+
+    for row in _rows(spark, "sp17_token_budget_mix"):
+        assert row["n_admitted"] <= row["n_docs"]
+        assert row["tokens_admitted"] <= SP17_TOKEN_BUDGET
+        assert row["budget"] == SP17_TOKEN_BUDGET
+        assert row["fill_rate"] == row["tokens_admitted"] / SP17_TOKEN_BUDGET
+
+
+def test_a19_hhi_bounds(spark):
+    for row in _rows(spark, "a19_hhi_concentration"):
+        n = row["n_customers"]
+        assert 1.0 / n <= row["hhi"] + 1e-12 and row["hhi"] <= 1.0
+        assert row["effective_n"] <= n + 1e-9
+        assert 0.0 < row["top_share"] <= 1.0
+        # top firm share bounds HHI from below by its square
+        assert row["hhi"] >= row["top_share"] ** 2 - 1e-12
+
+
+def test_prof4_entropy_bounds(spark):
+    import math
+
+    for row in _rows(spark, "prof4_column_entropy"):
+        assert row["n_distinct"] >= 1
+        assert -1e-9 <= row["entropy_nats"] <= math.log(row["n_distinct"]) + 1e-6
+        assert row["max_share"] >= 1.0 / row["n_distinct"] - 1e-12
+
+
+def test_t31_vmr_matches_counter_replay(spark):
+    """Third-implementation pin: recompute every term's dispersion from
+    the raw parquet with collections.Counter and match the engine's
+    top-k bit-for-bit (same integer moments, same single division)."""
+    import re as _re
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from bc_proj3_spark.operators.textstats import T31_DF_FLOOR, T31_TOP_K
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = tbl.num_rows
+    per_term = defaultdict(lambda: [0, 0, 0])  # df, t, s2
+    for txt in tbl["text"].to_pylist():
+        for term, c in Counter(_re.split(r"\s+", txt.strip())).items():
+            st = per_term[term]
+            st[0] += 1
+            st[1] += c
+            st[2] += c * c
+    expect = []
+    for term, (df, t, s2) in per_term.items():
+        if df >= T31_DF_FLOOR:
+            expect.append((float(n_docs * s2 - t * t) / float(n_docs * t),
+                           term, df, t))
+    expect.sort(key=lambda r: (-r[0], r[1]))
+    expect = expect[:T31_TOP_K]
+    got = [
+        (row["vmr"], row["term"], row["df"], row["total_tf"])
+        for row in _rows(spark, "t31_term_burstiness")
+    ]
+    assert got == expect
+
+
+def test_m7_shares_reconcile_with_m5(spark):
+    """Per-source shares sum to 1 and the media-token bill reconciles
+    EXACTLY with m5's global per-modality totals."""
+    from collections import defaultdict
+
+    rows = _rows(spark, "m7_modality_balance")
+    by_source = defaultdict(float)
+    media_totals = defaultdict(int)
+    for r in rows:
+        by_source[r["source"]] += r["token_share"]
+        if r["modality"] != "text":
+            media_totals[r["modality"]] += r["token_sum"]
+    for s, tot in by_source.items():
+        assert abs(tot - 1.0) < 1e-9, (s, tot)
+    m5 = {r["media_type"]: r["token_sum"] for r in _rows(spark, "m5_token_budget")}
+    assert media_totals == m5
+
+
+def test_e28_matches_pure_python_replay(spark):
+    """Third-implementation pin: replay CUPED from the raw parquet —
+    md5 arm coin, integer day lattice, exact integer moments, the same
+    IEEE chain — and match the engine bit-for-bit."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    uids = tbl["user_id"].to_pylist()
+    ts_us = tbl["ts"].cast(pa.int64()).to_pylist()
+    vals = tbl["value"].to_pylist()
+    days = [t // 86_400_000_000 for t in ts_us]
+    cutover = (min(days) + max(days) + 1) // 2
+    per_user = {}
+    for uid, d, v in zip(uids, days, vals):
+        h = int(hashlib.md5(f"cuped:{uid}".encode()).hexdigest()[:15], 16)
+        treated = h % 2
+        cents = round(v * 100)
+        x, y = per_user.get(uid, (treated, 0, 0))[1:] if uid in per_user else (0, 0)
+        if d < cutover:
+            x += cents
+        else:
+            y += cents
+        per_user[uid] = (treated, x, y)
+    n = len(per_user)
+    nt = sum(t for t, _, _ in per_user.values())
+    sx = sum(x for _, x, _ in per_user.values())
+    sy = sum(y for _, _, y in per_user.values())
+    sxx = sum(x * x for _, x, _ in per_user.values())
+    sxy = sum(x * y for _, x, y in per_user.values())
+    sxt = sum(t * x for t, x, _ in per_user.values())
+    syt = sum(t * y for t, _, y in per_user.values())
+    theta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    mean_x_all = float(sx) / n
+    mean_x_t, mean_y_t = float(sxt) / nt, float(syt) / nt
+    mean_x_c = float(sx - sxt) / (n - nt)
+    mean_y_c = float(sy - syt) / (n - nt)
+    ate_naive = mean_y_t - mean_y_c
+    ate_cuped = (mean_y_t - theta * (mean_x_t - mean_x_all)) - (
+        mean_y_c - theta * (mean_x_c - mean_x_all)
+    )
+    (row,) = _rows(spark, "e28_cuped_adjusted_ate")
+    assert row["n_users"] == n and row["n_treated"] == nt
+    assert row["theta"] == theta
+    assert row["ate_naive_cents"] == ate_naive
+    assert row["ate_cuped_cents"] == ate_cuped
+
+
+def test_st14_matches_batch_totals(spark):
+    """The streaming meter equals the batch bill: token_sum reconciles
+    with t5's per-doc BPE counts summed by language."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    langs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    lang_by_doc = dict(
+        zip(langs["doc_id"].to_pylist(), langs["lang"].to_pylist())
+    )
+    chars = defaultdict(int)
+    for d, l, c in zip(
+        langs["doc_id"].to_pylist(),
+        langs["lang"].to_pylist(),
+        langs["n_chars"].to_pylist(),
+    ):
+        chars[l] += c
+    t5 = _rows(spark, "t5_token_count")
+    toks = defaultdict(int)
+    ndocs = defaultdict(int)
+    for r in t5:
+        lang = lang_by_doc[r["doc_id"]]
+        toks[lang] += r["n_bpe_tokens"]
+        ndocs[lang] += 1
+    got = {
+        r["lang"]: (r["n_docs"], r["token_sum"], r["char_sum"])
+        for r in _rows(spark, "st14_stream_token_budget")
+    }
+    assert got == {
+        lang: (ndocs[lang], toks[lang], chars[lang]) for lang in got
+    }

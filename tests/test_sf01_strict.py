@@ -41,6 +41,13 @@ pytestmark = [
 #: that motivated the gate; cur1 joined after its r7 exact-rank
 #: threshold rewrite (boundary comparisons on derived doubles).
 SF01_QUERIES = [
+    # round-13 double-heavy members: a19/e28 carry >2^53 int->double
+    # conversion chains (g3 class), prof4 the LN lattice, t31 a
+    # double-ordered top-k
+    "a19_hhi_concentration",
+    "prof4_column_entropy",
+    "t31_term_burstiness",
+    "e28_cuped_adjusted_ate",
     "pi1_power_iteration",
     "pi2_spectral_gap",
     "cc2_star_components",
