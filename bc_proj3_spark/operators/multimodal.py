@@ -548,27 +548,40 @@ def m7_modality_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-bounded totals."""
     from bc_proj3_spark.operators.textstats import BPE_RE
 
-    m = media_table(spark, sf_dir)
+    # Derive media type + metadata inline from documents (the same
+    # formulas media_table uses — it is itself a pure projection of
+    # documents) so the whole operator is ONE scan; joining the
+    # media_table view back to documents on doc_id measured 8 scans /
+    # 20 exchanges in the formatted plan for what is a per-row price.
     docs = fanout(table(spark, sf_dir, "documents")).select(
-        "doc_id", "source", "text"
+        "doc_id", "source", "text", "n_chars"
     )
-    w = F.col("meta.width").cast("bigint")
-    h = F.col("meta.height").cast("bigint")
-    src_b = F.col("meta.src_bytes").cast("bigint")
+    media_type = (
+        F.when((F.col("doc_id") % 3).cast("int") == 0, F.lit("image"))
+        .when((F.col("doc_id") % 3).cast("int") == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    w = (F.lit(64) + (F.col("doc_id") % 5).cast("int") * 32).cast("bigint")
+    h = (F.lit(48) + (F.col("doc_id") % 3).cast("int") * 16).cast("bigint")
+    src_b = F.col("n_chars").cast("bigint")
     patches = (
         F.floor((w + (PATCH - 1)) / PATCH)
         * F.floor((h + (PATCH - 1)) / PATCH)
     ).cast("bigint")
     media_tokens = (
-        F.when(F.col("media_type") == "image", patches)
-        .when(F.col("media_type") == "video", patches * VIDEO_FRAMES)
+        F.when(media_type == "image", patches)
+        .when(media_type == "video", patches * VIDEO_FRAMES)
         .otherwise(F.floor(src_b / AUDIO_BYTES_PER_TOKEN).cast("bigint"))
     )
     text_tokens = F.size(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), F.lit(0))
     ).cast("bigint")
-    priced = m.select("doc_id", "media_type", media_tokens.alias("mt")).join(
-        docs, "doc_id"
+    priced = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        media_type.alias("media_type"),
+        media_tokens.alias("mt"),
     )
     rows = priced.select(
         "source",
@@ -585,10 +598,13 @@ def m7_modality_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r"),
     ).select("source", "r.modality", "r.tokens")
+    # source×modality-bounded (~4 rows per source): checkpoint so the
+    # totals branch and the share join read ONE materialization instead
+    # of re-running the scan+explode subtree per branch.
     agg = rows.groupBy("source", "modality").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("tokens").cast("bigint").alias("token_sum"),
-    )
+    ).localCheckpoint(eager=True)
     tot = agg.groupBy("source").agg(
         F.sum("token_sum").cast("bigint").alias("t")
     )
