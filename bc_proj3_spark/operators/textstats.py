@@ -2629,3 +2629,114 @@ def t31_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("vmr").desc(), "term")
         .limit(T31_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# t32 — per-source unigram KL drift from the corpus distribution
+# ---------------------------------------------------------------------------
+
+_T32_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+sw AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_sw
+  FROM tok GROUP BY source, term
+),
+w AS (
+  SELECT term, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY term
+),
+s AS (
+  SELECT source, CAST(SUM(c_sw) AS BIGINT) AS t_s,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM sw GROUP BY source
+),
+tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS t FROM w),
+lat AS (
+  SELECT sw.source, sw.c_sw,
+         CAST(ROUND(LN(CAST(sw.c_sw AS DOUBLE)), 9) AS DECIMAL(13,9))
+           - CAST(ROUND(LN(CAST(w.c_w AS DOUBLE)), 9) AS DECIMAL(13,9))
+           + CAST(ROUND(LN(CAST(tot.t AS DOUBLE)), 9) AS DECIMAL(13,9))
+           - CAST(ROUND(LN(CAST(s.t_s AS DOUBLE)), 9) AS DECIMAL(13,9))
+           AS lr
+  FROM sw JOIN w USING (term) JOIN s USING (source) CROSS JOIN tot
+)
+SELECT s.source, s.t_s AS n_tokens, s.vocab,
+       CAST(kl.num AS DOUBLE) / CAST(s.t_s AS DOUBLE) AS kl_nats
+FROM s JOIN (
+  SELECT source, SUM(CAST(c_sw AS DECIMAL(20,0)) * lr) AS num
+  FROM lat GROUP BY source
+) kl USING (source)
+"""
+
+
+@register("t32_source_kl_drift", _T32_ORACLE)
+def t32_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the pooled corpus
+    distribution — the mix-design drift number: a source whose KL
+    spikes is distributionally unusual (different domain, template
+    flood, language leak) and is exactly what DSIR-style importance
+    weighting (sp12) responds to at the document level; this is the
+    SOURCE-level dashboard row. KL(p_s ‖ p) = Σ_w p_s(w)·ln(p_s(w)/p(w))
+    over the source's observed vocabulary (p_s(w) > 0 everywhere it is
+    evaluated, and p(w) ≥ p_s(w)·T_s/T > 0, so every log is finite).
+
+    Exactness: the log-ratio ln(c_sw·T/(c_w·T_s)) is carried as a SUM
+    of four 9-dp lattice LN terms (ROUND(LN(count),9), the t21/g9
+    discipline — no division ever enters a transcendental), weighted
+    by exact integer c_sw in DECIMAL and summed order-free; the final
+    KL is ONE IEEE division by the exact token total. Bit-identical
+    cross-engine.
+
+    Scale shape: one exploded token pass → (source, term) counts; the
+    global term histogram and per-source totals both derive from that
+    vocabulary-bounded table (checkpointed — the scan never re-runs);
+    the corpus total joins as a broadcast 1-row aggregate. Output is
+    source-bounded."""
+    docs = fanout(table(spark, sf_dir, "documents"))
+    sw = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_sw"))
+        .localCheckpoint(eager=True)
+    )
+    w = sw.groupBy("term").agg(F.sum("c_sw").cast("bigint").alias("c_w"))
+    s = sw.groupBy("source").agg(
+        F.sum("c_sw").cast("bigint").alias("t_s"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    tot = w.agg(F.sum("c_w").cast("bigint").alias("t"))
+
+    def lat9(col):
+        return F.round(F.log(col.cast("double")), 9).cast("decimal(13,9)")
+
+    lat = (
+        sw.join(w, "term")
+        .join(F.broadcast(s.select("source", "t_s")), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "c_sw",
+            (
+                lat9(F.col("c_sw"))
+                - lat9(F.col("c_w"))
+                + lat9(F.col("t"))
+                - lat9(F.col("t_s"))
+            ).alias("lr"),
+        )
+    )
+    kl = lat.groupBy("source").agg(
+        F.sum(F.col("c_sw").cast("decimal(20,0)") * F.col("lr")).alias("num")
+    )
+    return s.join(kl, "source").select(
+        "source",
+        F.col("t_s").alias("n_tokens"),
+        "vocab",
+        (F.col("num").cast("double") / F.col("t_s").cast("double")).alias(
+            "kl_nats"
+        ),
+    )

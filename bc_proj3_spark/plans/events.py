@@ -3443,3 +3443,130 @@ def e28_cuped_adjusted_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ate_cuped_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e29 — experiment sample-size / MDE planning table (power analysis)
+# ---------------------------------------------------------------------------
+
+#: (z_{alpha/2} + z_beta)^2 for alpha = 5% two-sided, power = 80%,
+#: baked as ONE 9-dp literal so neither engine evaluates an inverse
+#: normal CDF (the compile-time-literal discipline of hs3's discounts
+#: and e27's LLR bounds): (1.959963985 + 0.841621234)^2 rounded to 9dp.
+E29_Z_TOTAL_SQ = "7.848879739"
+#: relative MDEs the planning table is evaluated at.
+E29_MDE_PCTS = (1, 5, 10)
+
+_E29_ORACLE = f"""
+WITH per_user AS (
+  SELECT {seg_sql_e26} AS seg, user_id,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY seg, user_id
+),
+m AS (
+  SELECT seg,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         SUM(CAST(v AS HUGEINT)) AS s,
+         SUM(CAST(v AS HUGEINT) * v) AS s2
+  FROM per_user GROUP BY seg
+),
+stats AS (
+  SELECT seg, n_users,
+         CAST(s AS DOUBLE) / n_users AS mean_cents,
+         CASE WHEN n_users > 1 THEN
+           CAST(n_users * s2 - s * s AS DOUBLE)
+             / CAST(n_users * (n_users - 1) AS DOUBLE) END AS var_cents2
+  FROM m
+)
+SELECT seg, n_users, mean_cents, var_cents2,
+       CAST(mde.pct AS BIGINT) AS mde_pct,
+       mean_cents * mde.pct / 100 AS mde_cents,
+       CAST(CEIL(2 * var_cents2 * {E29_Z_TOTAL_SQ}
+                 / ((mean_cents * mde.pct / 100)
+                    * (mean_cents * mde.pct / 100))) AS BIGINT)
+         AS n_required_per_arm
+FROM stats
+CROSS JOIN (VALUES {', '.join(f'({p})' for p in E29_MDE_PCTS)}) AS mde(pct)
+"""
+
+
+@register("e29_sample_size_mde", _E29_ORACLE)
+def e29_sample_size_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment PLANNING table — per user-segment, the users per
+    arm required to detect a 1/5/10 % lift in mean per-user spend at
+    5 % two-sided alpha and 80 % power: n = 2σ²(z_{{α/2}}+z_β)²/δ².
+    Completes the experimentation family's lifecycle: e29 sizes the
+    test BEFORE launch, e14 assigns, stat2/5/6/7 test, e25-e28 read
+    out. The per-segment rows expose why stratification pays — a
+    high-variance segment alone can dominate the required runtime.
+
+    Exactness: per-user cents are exact integer sums; mean and the
+    sample variance (n·Σv² − (Σv)²)/(n(n−1)) are each ONE IEEE
+    division of exact DECIMAL(38,0)/HUGEINT moments; the z-constant is
+    a compile-time 9-dp literal (no inverse normal CDF evaluated by
+    either engine); n_required is CEIL over the identical fixed double
+    chain — bit-identical cross-engine, pinned at sf0.1. Degenerate
+    segments (n ≤ 1) yield NULL variance and NULL n on both engines.
+
+    Scale shape: ONE events scan → per-user aggregate (map-side
+    combinable) → segment-bounded moment aggregate (checkpointed);
+    the 3-row MDE grid fans out MAP-SIDE via explode. Output is
+    segments × MDE levels at any corpus size."""
+    from bc_proj3_spark.functions.hashing import hash60
+    from bc_proj3_spark.operators.sampling import _seeded
+
+    events = table(spark, sf_dir, "events")
+    seg = (
+        hash60(_seeded("ipwseg", F.col("user_id").cast("string")))
+        % IPW_STRATA
+    ).cast("bigint")
+    per_user = (
+        events.select(
+            seg.alias("seg"),
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .groupBy("seg", "user_id")
+        .agg(F.sum("cents").cast("bigint").alias("v"))
+    )
+    m = per_user.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).alias("s2"),
+    ).localCheckpoint(eager=True)
+    n_dec = F.col("n_users").cast("decimal(19,0)")
+    mean = F.col("s").cast("double") / F.col("n_users")
+    var = F.when(
+        F.col("n_users") > 1,
+        (n_dec * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("n_users") * (F.col("n_users") - 1)).cast("double"),
+    )
+    stats = m.select(
+        "seg",
+        "n_users",
+        mean.alias("mean_cents"),
+        var.alias("var_cents2"),
+    )
+    z2 = F.lit(float(E29_Z_TOTAL_SQ))
+    mde = F.col("mean_cents") * F.col("mde_pct") / 100
+    return (
+        stats.select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(p) for p in E29_MDE_PCTS])
+            ).alias("mde_pct"),
+        )
+        .select(
+            "seg",
+            "n_users",
+            "mean_cents",
+            "var_cents2",
+            F.col("mde_pct").cast("bigint").alias("mde_pct"),
+            mde.alias("mde_cents"),
+            F.ceil(
+                F.lit(2) * F.col("var_cents2") * z2 / (mde * mde)
+            )
+            .cast("bigint")
+            .alias("n_required_per_arm"),
+        )
+    )

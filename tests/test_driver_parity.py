@@ -86,6 +86,8 @@ STRICT_VALUE_QUERIES = [
     "m7_modality_balance",
     "e28_cuped_adjusted_ate",
     "st14_stream_token_budget",
+    "t32_source_kl_drift",
+    "e29_sample_size_mde",
     "t18_token_entropy",
     "t19_oov_rate",
     "t20_shingle_novelty",

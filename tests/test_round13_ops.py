@@ -251,3 +251,35 @@ def test_st14_matches_batch_totals(spark):
     assert got == {
         lang: (ndocs[lang], toks[lang], chars[lang]) for lang in got
     }
+
+
+def test_t32_kl_nonnegative_and_weighted_mean_zero_bound(spark):
+    """KL(p_s || p) over the source's support can be slightly negative
+    only through the 9-dp lattice (true KL >= 0 for full support; here
+    p is the pooled mixture so p(w) > 0 wherever p_s(w) > 0 and the
+    restriction keeps KL >= 0 up to lattice rounding)."""
+    rows = _rows(spark, "t32_source_kl_drift")
+    assert rows, "no sources"
+    for r in rows:
+        assert r["kl_nats"] >= -1e-6, r
+        assert r["vocab"] <= r["n_tokens"]
+
+
+def test_e29_mde_monotonicity(spark):
+    """A bigger detectable lift needs fewer users: n_required is
+    non-increasing in mde_pct within a segment, and the closed form
+    replays exactly from the emitted mean/variance."""
+    import math
+    from collections import defaultdict
+
+    rows = _rows(spark, "e29_sample_size_mde")
+    by_seg = defaultdict(dict)
+    for r in rows:
+        by_seg[r["seg"]][r["mde_pct"]] = r
+    for seg, d in by_seg.items():
+        ns = [d[p]["n_required_per_arm"] for p in sorted(d)]
+        assert ns == sorted(ns, reverse=True), (seg, ns)
+        for p, r in d.items():
+            mde = r["mean_cents"] * p / 100
+            expect = math.ceil(2 * r["var_cents2"] * 7.848879739 / (mde * mde))
+            assert r["n_required_per_arm"] == expect

@@ -48,6 +48,10 @@ SF01_QUERIES = [
     "prof4_column_entropy",
     "t31_term_burstiness",
     "e28_cuped_adjusted_ate",
+    # round-13 second batch: t32's KL lattice sums, e29's variance +
+    # CEIL chains over >2^53 int->double images
+    "t32_source_kl_drift",
+    "e29_sample_size_mde",
     "pi1_power_iteration",
     "pi2_spectral_gap",
     "cc2_star_components",
