@@ -78,3 +78,20 @@ def _artifact_publish(df: DataFrame, sf_dir: str, name: str) -> None:
         df.write.mode("overwrite").parquet(path)
     except Exception:  # pragma: no cover - unwritable spill dir
         pass
+
+
+def publish_owner_result(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Owner-side publish: when the seam is on, persist+materialize the
+    computed result so the publish write and the caller's action share
+    ONE computation, then publish it write-once. Seam-off this is a
+    no-op returning ``df`` unchanged (driver-posture plans untouched).
+    Shared by f1/d8 (d4/d6 return frames their builders already
+    persist)."""
+    if _artifact_path(sf_dir, name) is None:
+        return df
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    _artifact_publish(df, sf_dir, name)
+    return df

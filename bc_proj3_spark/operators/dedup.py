@@ -1061,15 +1061,9 @@ def d8_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipe2/st13 join against in production. Seam-on only — the persist
     # keeps the publish write and the caller's action on one
     # computation; driver-posture plans are untouched.
-    from bc_proj3_spark.operators.artifacts import _artifact_path
+    from bc_proj3_spark.operators.artifacts import publish_owner_result
 
-    if _artifact_path(sf_dir, "d8_admitted") is not None:
-        from pyspark import StorageLevel
-
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
-        out.count()
-        _artifact_publish(out, sf_dir, "d8_admitted")
-    return out
+    return publish_owner_result(out, sf_dir, "d8_admitted")
 
 
 def d8_admitted_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:

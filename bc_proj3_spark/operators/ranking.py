@@ -356,18 +356,9 @@ def f1_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Owner publish (docs/benching.md): the filter decision is the
     # persisted table pipe1/pipe2/pipe3/st13 join against in
     # production. Seam-on only; driver-posture plans untouched.
-    from bc_proj3_spark.operators.artifacts import (
-        _artifact_path,
-        _artifact_publish,
-    )
+    from bc_proj3_spark.operators.artifacts import publish_owner_result
 
-    if _artifact_path(sf_dir, "f1_passed") is not None:
-        from pyspark import StorageLevel
-
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
-        out.count()
-        _artifact_publish(out, sf_dir, "f1_passed")
-    return out
+    return publish_owner_result(out, sf_dir, "f1_passed")
 
 
 def f1_passed_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:

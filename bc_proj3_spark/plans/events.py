@@ -3345,9 +3345,10 @@ def e28_cuped_adjusted_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bc_proj3_spark.operators.sampling import _seeded
 
     events = table(spark, sf_dir, "events")
-    day = (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast(
-        "bigint"
-    )
+    # exact integer floor division (e25's lattice) — a double divide +
+    # cast truncates toward zero and rounds at far-out days, diverging
+    # from the oracle's `//` on pre-epoch or far-future timestamps
+    day = F.expr("unix_micros(ts) div 86400000000")
     treated = (
         hash60(_seeded("cuped", F.col("user_id").cast("string"))) % 2
     ).cast("bigint")
@@ -3358,9 +3359,7 @@ def e28_cuped_adjusted_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         treated.alias("treated"),
     )
     span = base.agg(
-        ((F.min("day") + F.max("day") + 1) / 2)
-        .cast("bigint")
-        .alias("cutover")
+        F.expr("(min(day) + max(day) + 1) div 2").alias("cutover")
     )
     per_user = (
         base.crossJoin(F.broadcast(span))

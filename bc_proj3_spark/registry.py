@@ -88,10 +88,12 @@ _REGISTERING_MODULES = (
 #: row at most ~2 rounds old. Update this map from CORRECTNESS_r{N}.json
 #: each round; queries absent from the map sort first (round 0).
 _VERIFIED_ROUND: dict[str, int] = {
-    # Minted from CORRECTNESS_r01..r09 by tools/rotation.py (round 10 /
-    # driver round 9). r9 was 50/50 green; every registered query now
-    # carries a driver-verified row (zero round-0 entries). Stalest
-    # evidence (r3-era) sorts first and heads the r10 prefix.
+    # Minted from CORRECTNESS_r01..r09 by tools/rotation.py (round 13 /
+    # driver round 9). r9 was 50/50 green, so every query registered AT
+    # THE MINT carries a driver-verified row; queries registered SINCE
+    # (the round-13 additions) are absent here, sit at round 0, and
+    # head the next prefix together with tc1's -1 plan-rewrite pin.
+    # Stalest evidence (r3-era) follows them.
     # round 3 (CORRECTNESS_r03.json)
     "a1_pivot_event_matrix": 3,
     "a2_value_percentiles": 3,

@@ -186,7 +186,11 @@ def test_e28_matches_pure_python_replay(spark):
     for uid, d, v in zip(uids, days, vals):
         h = int(hashlib.md5(f"cuped:{uid}".encode()).hexdigest()[:15], 16)
         treated = h % 2
-        cents = round(v * 100)
+        # F.round is HALF_UP on the double v*100; Python round() is
+        # banker's — mirror HALF_UP explicitly (values are positive)
+        import math as _m
+
+        cents = _m.floor(v * 100 + 0.5)
         x, y = per_user.get(uid, (treated, 0, 0))[1:] if uid in per_user else (0, 0)
         if d < cutover:
             x += cents
