@@ -58,6 +58,9 @@ _BNLJ_OK = {
     "d12_semdedup",  # inherits s5's K=8 centroid-table cross
     "cur1_curriculum_schedule",  # 1-row percentile-threshold cross
     "prof3_corpus_datasheet",  # 1-row corpus-totals cross
+    # round-13 additions, same shape:
+    "t31_term_burstiness",  # 1-row corpus doc-count crossed into moments
+    "t32_source_kl_drift",  # 1-row corpus token-total crossed into lattice
     "sp12_dsir_select",  # 1-row bigram-totals cross into the ratio table
     "s7_semantic_decontaminate",  # inherits s1's broadcast-bench cross
     "s8_hard_negatives",  # inherits s1's broadcast-anchor cross
