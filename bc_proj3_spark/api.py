@@ -22,7 +22,12 @@ from bc_proj3_spark.catalog import Catalog
 from bc_proj3_spark.session import apply_runtime_conf, get_spark, stop_spark
 
 # incremental load primitives (the reference's MERGE/dedup-insert parity)
-from bc_proj3_spark.operators.incremental import dedup_insert, merge_upsert
+from bc_proj3_spark.operators.incremental import (
+    PreconditionError,
+    ValidationError,
+    dedup_insert,
+    merge_upsert,
+)
 
 # dedup family (content identity)
 from bc_proj3_spark.operators.dedup import (
@@ -67,6 +72,8 @@ __all__ = [
     # incremental
     "merge_upsert",
     "dedup_insert",
+    "PreconditionError",
+    "ValidationError",
     # dedup
     "shingles",
     "shingle_df_cap",
