@@ -34,6 +34,8 @@ INVARIANCE_QUERIES = [
     "sk10_kmv_intersection",  # bottom-K sketch ranks over hash order
     "sp16_pack_efficiency",  # per-bucket cumulative fill over hash order
     "pipe3_recipe_attrition",  # mix ranks + pack offsets over hash order
+    "sp17_token_budget_mix",  # per-source cumulative admission over hash order
+    "t31_term_burstiness",  # double-ordered top-k from integer moments
 ]
 
 _PROG = """
