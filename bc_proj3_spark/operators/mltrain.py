@@ -833,3 +833,126 @@ def ml3_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.alias("n_correct"),
         (correct.cast("double") / (n_left + n_right)).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mf1 — one ALS half-step: exact user factors over the purchase matrix
+# ---------------------------------------------------------------------------
+
+#: rank-2 item-factor init derived arithmetically from the part key (a
+#: deterministic stand-in for a previous iteration's item factors) and
+#: the ridge term that keeps every per-user normal-equation system
+#: invertible. Small integers so every cross-product stays exact.
+MF1_RIDGE = 1
+MF1_TOP_K = 20
+
+_MF1_ORACLE = f"""
+WITH ratings AS (
+  SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+v AS (
+  SELECT custkey, c,
+         CAST(1 + partkey % 7 AS BIGINT) AS v1,
+         CAST(1 + partkey % 11 AS BIGINT) AS v2
+  FROM ratings
+),
+ne AS (
+  SELECT custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(v1 * v1) AS BIGINT) + {MF1_RIDGE} AS a11,
+         CAST(SUM(v1 * v2) AS BIGINT) AS a12,
+         CAST(SUM(v2 * v2) AS BIGINT) + {MF1_RIDGE} AS a22,
+         CAST(SUM(c * v1) AS BIGINT) AS b1,
+         CAST(SUM(c * v2) AS BIGINT) AS b2
+  FROM v GROUP BY custkey
+),
+solved AS (
+  SELECT custkey, n_items,
+         CAST(a22 * b1 - a12 * b2 AS DOUBLE)
+           / CAST(a11 * a22 - a12 * a12 AS DOUBLE) AS u1,
+         CAST(a11 * b2 - a12 * b1 AS DOUBLE)
+           / CAST(a11 * a22 - a12 * a12 AS DOUBLE) AS u2
+  FROM ne
+)
+SELECT custkey, n_items, u1, u2,
+       u1 * u1 + u2 * u2 AS factor_norm2
+FROM solved
+ORDER BY factor_norm2 DESC, custkey
+LIMIT {MF1_TOP_K}
+"""
+
+
+@register("mf1_als_user_factors", _MF1_ORACLE)
+def mf1_als_user_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact ALS half-step (Zhou et al. 2008, the canonical
+    large-scale Spark ML workload): with rank-2 item factors held fixed
+    (deterministic arithmetic init standing in for the previous
+    iteration), solve every user's ridge normal equations
+    (A + λI)u = b in closed form and emit the top-{MF1_TOP_K} users by
+    factor energy — the recommender/embedding-training shape the
+    engine's ml-family (perceptron, NB, stump) did not yet cover.
+
+    Exactness: ratings are exact integer counts; A's entries and b are
+    exact BIGINT cross-products; the 2×2 solve is the adjugate form, so
+    each factor component is ONE IEEE division of exact integers, the
+    energy is a fixed double chain over those engine-identical values,
+    and the (norm DESC, custkey) order is bit-identical cross-engine.
+    λ = {MF1_RIDGE} makes A + λI positive definite, so the determinant
+    is strictly positive — no /0 branch exists.
+
+    Scale shape: ONE fact-table join shuffles on orderkey, the rating
+    aggregate and the normal-equation aggregate collapse
+    map-side-combinably onto custkey (one key shuffle — this is
+    exactly how MLlib's ALS computes its user updates, minus the
+    block-to-block factor exchange that a FIXED item side makes
+    unnecessary); top-k compiles to TakeOrderedAndProject. Nothing is
+    ever user×item dense."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    v1 = (1 + F.col("partkey") % 7).cast("bigint")
+    v2 = (1 + F.col("partkey") % 11).cast("bigint")
+    ne = (
+        ratings.select("custkey", "c", v1.alias("v1"), v2.alias("v2"))
+        .groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            (F.sum(F.col("v1") * F.col("v1")).cast("bigint") + MF1_RIDGE).alias("a11"),
+            F.sum(F.col("v1") * F.col("v2")).cast("bigint").alias("a12"),
+            (F.sum(F.col("v2") * F.col("v2")).cast("bigint") + MF1_RIDGE).alias("a22"),
+            F.sum(F.col("c") * F.col("v1")).cast("bigint").alias("b1"),
+            F.sum(F.col("c") * F.col("v2")).cast("bigint").alias("b2"),
+        )
+    )
+    det = (
+        F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    ).cast("double")
+    u1 = (F.col("a22") * F.col("b1") - F.col("a12") * F.col("b2")).cast(
+        "double"
+    ) / det
+    u2 = (F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")).cast(
+        "double"
+    ) / det
+    solved = ne.select(
+        "custkey", "n_items", u1.alias("u1"), u2.alias("u2")
+    )
+    return (
+        solved.select(
+            "*",
+            (
+                F.col("u1") * F.col("u1") + F.col("u2") * F.col("u2")
+            ).alias("factor_norm2"),
+        )
+        .orderBy(F.col("factor_norm2").desc(), "custkey")
+        .limit(MF1_TOP_K)
+    )

@@ -88,6 +88,7 @@ STRICT_VALUE_QUERIES = [
     "st14_stream_token_budget",
     "t32_source_kl_drift",
     "e29_sample_size_mde",
+    "mf1_als_user_factors",
     "t18_token_entropy",
     "t19_oov_rate",
     "t20_shingle_novelty",

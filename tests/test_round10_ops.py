@@ -498,6 +498,7 @@ def test_r10_ops_mirror_oracle_on_empty_tables(spark, tmp_path):
         "prof4_column_entropy", "t31_term_burstiness",
         "m7_modality_balance", "e28_cuped_adjusted_ate",
         "t32_source_kl_drift", "e29_sample_size_mde",
+        "mf1_als_user_factors",
     ]
     try:
         for name in names:

@@ -287,3 +287,49 @@ def test_e29_mde_monotonicity(spark):
             mde = r["mean_cents"] * p / 100
             expect = math.ceil(2 * r["var_cents2"] * 7.848879739 / (mde * mde))
             assert r["n_required_per_arm"] == expect
+
+
+def test_mf1_matches_numpy_replay(spark):
+    """Third-implementation pin: re-solve every emitted user's ridge
+    normal equations with numpy over the raw parquet and match the
+    factors bit-for-bit (exact integer A/b, the same adjugate-form
+    divisions)."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust_by_order = dict(
+        zip(orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist())
+    )
+    counts = defaultdict(int)
+    for ok, pk in zip(li["l_orderkey"].to_pylist(), li["l_partkey"].to_pylist()):
+        counts[(cust_by_order[ok], pk)] += 1
+    ne = defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # n, a11, a12, a22, b1, b2
+    for (cust, pk), c in counts.items():
+        v1, v2 = 1 + pk % 7, 1 + pk % 11
+        st = ne[cust]
+        st[0] += 1
+        st[1] += v1 * v1
+        st[2] += v1 * v2
+        st[3] += v2 * v2
+        st[4] += c * v1
+        st[5] += c * v2
+    expect = []
+    for cust, (n, a11, a12, a22, b1, b2) in ne.items():
+        a11 += 1
+        a22 += 1
+        det = float(a11 * a22 - a12 * a12)
+        u1 = float(a22 * b1 - a12 * b2) / det
+        u2 = float(a11 * b2 - a12 * b1) / det
+        expect.append((u1 * u1 + u2 * u2, cust, n, u1, u2))
+    expect.sort(key=lambda r: (-r[0], r[1]))
+    expect = [
+        (c, n, u1, u2, norm) for norm, c, n, u1, u2 in expect[:20]
+    ]
+    got = [
+        (r["custkey"], r["n_items"], r["u1"], r["u2"], r["factor_norm2"])
+        for r in _rows(spark, "mf1_als_user_factors")
+    ]
+    assert got == expect

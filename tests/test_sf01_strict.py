@@ -52,6 +52,7 @@ SF01_QUERIES = [
     # CEIL chains over >2^53 int->double images
     "t32_source_kl_drift",
     "e29_sample_size_mde",
+    "mf1_als_user_factors",
     "pi1_power_iteration",
     "pi2_spectral_gap",
     "cc2_star_components",
