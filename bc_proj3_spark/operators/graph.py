@@ -57,15 +57,31 @@ from bc_proj3_spark.registry import register
 #: On a cluster, size to the expected pair-subgraph volume.
 GRAPH_ITER_SHUFFLE = os.environ.get("SPARK_GRAFT_GRAPH_SHUFFLE", "8")
 
+#: AQE inside the iteration phases. A fixed-shape round over bounded
+#: state gains nothing from adaptive re-planning — every Exchange
+#: becomes its own materialized query stage (a separate job with a
+#: driver re-optimization), so an 8-half-round loop pays ~40 extra
+#: scheduling round-trips per query (measured on g13 at sf0.1:
+#: 51 jobs → 15 jobs, 5.0 s → 3.5 s, identical output). Iterative
+#: graph engines pin a fixed partitioner for exactly this reason
+#: (GraphX/Pregel). The corpus-scale stages that feed the loops
+#: (pair generation, edge builds) run OUTSIDE this context and keep
+#: AQE's skew handling. Re-enable per-round AQE on a cluster where
+#: iterated state is skewed enough to need runtime splitting.
+GRAPH_ITER_AQE = os.environ.get("SPARK_GRAFT_GRAPH_ITER_AQE", "false")
+
 
 @contextlib.contextmanager
 def _iter_shuffle(spark: SparkSession):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", GRAPH_ITER_SHUFFLE)
+    spark.conf.set("spark.sql.adaptive.enabled", GRAPH_ITER_AQE)
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 #: Convergence safeguard. Propagation needs diameter(G) rounds; a
@@ -430,23 +446,30 @@ def _pagerank_iterate(
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     ).localCheckpoint(eager=True)
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    n = nodes.count()
+    # deg's key set IS the node set (distinct src), so one checkpointed
+    # frame serves both roles — the previous shape recomputed the
+    # `nodes` distinct from the edge list in every round's left join
+    # (an extra exchange per round) and joined `deg` separately inside
+    # every contrib aggregate. The rank vector now CARRIES the constant
+    # out-degree column d, so each round is exactly one edge⋈rank join
+    # + one aggregate + one node-keyed left join, all in one
+    # checkpoint job. Arithmetic unchanged: same per-edge half-up
+    # share, same damped sum, bit-identical ranks.
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     ).localCheckpoint(eager=True)
+    n = deg.count()
 
     def halfup_py(a: int, b: int) -> int:
         return (2 * a + b) // (2 * b)
 
     base = halfup_py(15 * 10 ** 10, n)  # teleport 0.15/n, scaled
-    r = nodes.select(
-        "node", F.lit(halfup_py(PR_SCALE, n)).cast("bigint").alias("r")
-    ).localCheckpoint(eager=True)
+    r = deg.select(
+        "node", "d", F.lit(halfup_py(PR_SCALE, n)).cast("bigint").alias("r")
+    )
     for _ in range(PR_ITERS):
         contrib = (
             edges.join(r, edges["src"] == r["node"])
-            .join(deg.withColumnRenamed("node", "dn"), F.col("src") == F.col("dn"))
             .groupBy(F.col("dst").alias("cnode"))
             .agg(
                 F.sum(
@@ -459,9 +482,10 @@ def _pagerank_iterate(
             f" + {PR_DAMP_DEN}) div (2 * {PR_DAMP_DEN}) AS BIGINT)"
         )
         r = (
-            nodes.join(contrib, nodes["node"] == contrib["cnode"], "left")
+            deg.join(contrib, deg["node"] == contrib["cnode"], "left")
             .select(
                 "node",
+                "d",
                 (F.lit(base).cast("bigint") + damped).cast("bigint").alias("r"),
             )
             .localCheckpoint(eager=True)
@@ -1183,21 +1207,34 @@ def g6_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     census = [(0, n_nodes, edges.count())]
     e = edges
-    for i in range(1, KCORE_ROUNDS + 1):
-        deg = (
-            e.select(F.col("u").alias("n"))
-            .union(e.select("v"))
-            .groupBy("n")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        alive = deg.filter(F.col("d") >= KCORE_K).select("n")
-        e = (
-            e.join(alive.withColumnRenamed("n", "u"), "u", "left_semi")
-            .join(alive.withColumnRenamed("n", "v"), "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
-        census.append((i, alive.count(), e.count()))
+    from pyspark.sql import Observation
+
+    with _iter_shuffle(spark):
+        for i in range(1, KCORE_ROUNDS + 1):
+            # One degree aggregate per round: the survivor set is
+            # checkpointed (it is referenced twice by the semi joins
+            # AND counted for the census — the previous shape re-ran
+            # the union+groupBy degree build for each of those three
+            # uses), and its census count rides the checkpoint job via
+            # df.observe.
+            obs = Observation()
+            alive = (
+                e.select(F.col("u").alias("n"))
+                .union(e.select("v"))
+                .groupBy("n")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= KCORE_K)
+                .select("n")
+                .observe(obs, F.count(F.lit(1)).alias("n_alive"))
+                .localCheckpoint(eager=True)
+            )
+            e = (
+                e.join(alive.withColumnRenamed("n", "u"), "u", "left_semi")
+                .join(alive.withColumnRenamed("n", "v"), "v", "left_semi")
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+            census.append((i, obs.get["n_alive"], e.count()))
     return spark.createDataFrame(
         [(int(r), int(n), int(m)) for r, n, m in census],
         "round int, n_nodes long, n_edges long",
@@ -1807,6 +1844,13 @@ def g12_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 HITS_SCALE = 10 ** 6
 HITS_ROUNDS = 4
 HITS_TOP_K = 10
+#: Broadcast the per-round hub/authority vectors while the edge list
+#: (an upper bound on either vector's row count) stays under this many
+#: rows (~16 bytes/row → tens of MB built); past it, plain shuffle
+#: joins. Same gating idea as tc1's _maybe_bcast.
+HITS_BCAST_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_HITS_BCAST_MAX_EDGES", "5000000")
+)
 
 
 def _hits_halfup(a: str, b: str) -> str:
@@ -1886,6 +1930,8 @@ def g13_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = HITS_SCALE
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    # corpus-scale stage: runs OUTSIDE the iteration context (session
+    # shuffle width, AQE skew handling active)
     edges = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("v"))
@@ -1906,40 +1952,61 @@ def g13_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", F.lit(s // n_hubs).cast("bigint").alias("h"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
+    # Size-gated broadcast of the per-round score vectors (bounded by
+    # the edge count, known from the checkpoint for the price of a
+    # metadata-cheap count): joining edges against a broadcast rank
+    # vector leaves the big edge side entirely unshuffled each round —
+    # the §2.4 "broadcast join replaces a shuffle of the large side"
+    # rule. Past the gate the loop degrades to the plain shuffle join.
+    _mb = (
+        F.broadcast
+        if edges.count() <= HITS_BCAST_MAX_EDGES
+        else (lambda df: df)
+    )
     a = None
-    for _ in range(HITS_ROUNDS):
-        ar = (
-            edges.join(h, "u")
-            .groupBy("v")
-            .agg(F.sum("h").cast("bigint").alias("a_raw"))
-        )
-        at = ar.agg(F.sum("a_raw").cast("bigint").alias("tot"))
-        a = (
-            ar.crossJoin(F.broadcast(at))
-            .select(
+    with _iter_shuffle(spark):
+        for _ in range(HITS_ROUNDS):
+            # One job per half-round: the raw edge-keyed aggregate is
+            # the checkpoint, and the 1-row L1 normalizer rides that
+            # same job via df.observe (the cc-family discipline). The
+            # previous shape — a scalar-aggregate broadcast crossJoined
+            # back — cost a second full edges⋈scores+groupBy evaluation
+            # per half-round (the broadcast-build job recomputed the
+            # un-cached subtree) plus a broadcast exchange; the
+            # normalization itself is then a lazy projection with a
+            # LITERAL total, bit-identical half-up arithmetic.
+            obs_a = Observation()
+            ar = (
+                edges.join(_mb(h), "u")
+                .groupBy("v")
+                .agg(F.sum("h").cast("bigint").alias("a_raw"))
+                .observe(obs_a, F.sum("a_raw").cast("bigint").alias("tot"))
+                .localCheckpoint(eager=True)
+            )
+            tot_a = obs_a.get["tot"]
+            a = ar.select(
                 "v",
-                F.expr(f"(2 * a_raw * {s} + tot) div (2 * tot)")
+                F.expr(f"(2 * a_raw * {s} + {tot_a}) div (2 * {tot_a})")
                 .cast("bigint")
                 .alias("a"),
             )
-            .localCheckpoint(eager=True)
-        )
-        hr = (
-            edges.join(a, "v")
-            .groupBy("u")
-            .agg(F.sum("a").cast("bigint").alias("h_raw"))
-        )
-        ht = hr.agg(F.sum("h_raw").cast("bigint").alias("tot"))
-        h = (
-            hr.crossJoin(F.broadcast(ht))
-            .select(
+            obs_h = Observation()
+            hr = (
+                edges.join(_mb(a), "v")
+                .groupBy("u")
+                .agg(F.sum("a").cast("bigint").alias("h_raw"))
+                .observe(obs_h, F.sum("h_raw").cast("bigint").alias("tot"))
+                .localCheckpoint(eager=True)
+            )
+            tot_h = obs_h.get["tot"]
+            h = hr.select(
                 "u",
-                F.expr(f"(2 * h_raw * {s} + tot) div (2 * tot)")
+                F.expr(f"(2 * h_raw * {s} + {tot_h}) div (2 * {tot_h})")
                 .cast("bigint")
                 .alias("h"),
             )
-            .localCheckpoint(eager=True)
-        )
     return (
         a.orderBy(F.col("a").desc(), "v")
         .limit(HITS_TOP_K)

@@ -19,7 +19,10 @@ from bc_proj3_spark import registry
 from bc_proj3_spark.session import apply_runtime_conf, get_spark
 
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-spark = get_spark(app_name="profile")
+spark = get_spark(
+    app_name="profile",
+    extra_conf={"spark.ui.showConsoleProgress": "false"},
+)
 apply_runtime_conf(spark)
 spark.sparkContext.setLogLevel("ERROR")
 sc = spark.sparkContext
