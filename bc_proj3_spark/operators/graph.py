@@ -57,26 +57,30 @@ from bc_proj3_spark.registry import register
 #: On a cluster, size to the expected pair-subgraph volume.
 GRAPH_ITER_SHUFFLE = os.environ.get("SPARK_GRAFT_GRAPH_SHUFFLE", "8")
 
-#: AQE inside the iteration phases. A fixed-shape round over bounded
-#: state gains nothing from adaptive re-planning — every Exchange
-#: becomes its own materialized query stage (a separate job with a
-#: driver re-optimization), so an 8-half-round loop pays ~40 extra
-#: scheduling round-trips per query (measured on g13 at sf0.1:
-#: 51 jobs → 15 jobs, 5.0 s → 3.5 s, identical output). Iterative
-#: graph engines pin a fixed partitioner for exactly this reason
-#: (GraphX/Pregel). The corpus-scale stages that feed the loops
-#: (pair generation, edge builds) run OUTSIDE this context and keep
-#: AQE's skew handling. Re-enable per-round AQE on a cluster where
-#: iterated state is skewed enough to need runtime splitting.
+#: AQE inside an iteration phase whose small side is EXPLICITLY
+#: broadcast (g13's gated rank-vector broadcast): adaptive re-planning
+#: then has nothing left to improve — the join strategy is already
+#: decided — while every Exchange still becomes its own materialized
+#: query stage (a separate job + driver re-optimization), so an
+#: 8-half-round loop pays ~40 extra scheduling round-trips per query
+#: (measured on g13 at sf0.1: 51 jobs → 15, 5.0 s → 3.5 s, identical
+#: output). Loops WITHOUT an explicit broadcast must keep AQE: its
+#: runtime size discovery is what converts their per-round shuffle
+#: joins to broadcast joins (measured: disabling it cost g11/g12/cc2
+#: +1.2-2 s each). Env-overridable for cluster tuning.
 GRAPH_ITER_AQE = os.environ.get("SPARK_GRAFT_GRAPH_ITER_AQE", "false")
 
 
 @contextlib.contextmanager
-def _iter_shuffle(spark: SparkSession):
+def _iter_shuffle(spark: SparkSession, aqe: str | None = None):
+    """Size the shuffle width for an iteration phase; optionally pin
+    AQE (pass ``aqe="false"`` ONLY for loops that broadcast their
+    small side explicitly — see GRAPH_ITER_AQE note)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", GRAPH_ITER_SHUFFLE)
-    spark.conf.set("spark.sql.adaptive.enabled", GRAPH_ITER_AQE)
+    if aqe is not None:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
     try:
         yield
     finally:
@@ -1960,13 +1964,13 @@ def g13_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector leaves the big edge side entirely unshuffled each round —
     # the §2.4 "broadcast join replaces a shuffle of the large side"
     # rule. Past the gate the loop degrades to the plain shuffle join.
-    _mb = (
-        F.broadcast
-        if edges.count() <= HITS_BCAST_MAX_EDGES
-        else (lambda df: df)
-    )
+    _use_bcast = edges.count() <= HITS_BCAST_MAX_EDGES
+    _mb = F.broadcast if _use_bcast else (lambda df: df)
     a = None
-    with _iter_shuffle(spark):
+    # AQE is pinned off only on the broadcast path (strategy already
+    # decided; see GRAPH_ITER_AQE note) — past the gate the shuffle
+    # joins keep AQE's runtime re-planning.
+    with _iter_shuffle(spark, aqe=GRAPH_ITER_AQE if _use_bcast else None):
         for _ in range(HITS_ROUNDS):
             # One job per half-round: the raw edge-keyed aggregate is
             # the checkpoint, and the 1-row L1 normalizer rides that

@@ -10,10 +10,15 @@ Spark plan is the honest distributed shape at every step:
    ``transform`` → one ``explode``; no self-join, no Python) and
    decimal-summing per (i, j) cell — a map-side-combinable aggregate
    whose output size is DIM², independent of corpus size;
-2. each of the fixed ITERS matvec rounds is a broadcast join of the
-   4096-cell matrix against the 64-row vector plus an exact-decimal
-   groupBy — the iteration state lives in DataFrames, nothing numeric
-   ever collects to the driver.
+2. the fixed-ITERS power iteration then runs on the DRIVER over the
+   collected DIM²-bounded Gram (a constant-size collect — the
+   hot-key-list precedent), replaying the identical decimal protocol
+   in Python Decimal arithmetic. This is MLlib's own shape for
+   small-d spectral work (RowMatrix.computeSVD gathers the Gramian
+   and decomposes locally): the corpus is touched exactly once, and
+   the iteration costs O(DIM²·iters) scalar ops regardless of corpus
+   size — versus ~30-80 Spark jobs of 64-row joins when the rounds
+   ran as DataFrame plans (the r10 optimization round's measurement).
 
 Cross-engine determinism — the iteration state is EXACT DECIMAL
 end-to-end, learned the hard way:
@@ -173,52 +178,64 @@ def _gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TICK = "0.000000000001"
 
 
-def _power_rounds(
-    spark: SparkSession, c: DataFrame, iters: int = PI_ITERS
-) -> tuple[DataFrame, DataFrame]:
-    """``iters`` decimal-exact power-iteration rounds over Gram ``c``;
-    returns (v, nrm): the unit vector (pos, x decimal) and its final
-    pre-normalization norm (1-row double). Module docstring explains
-    every cast/truncation choice."""
-    vk = spark.range(1, DIM + 1).select(
-        F.col("id").cast("int").alias("pos"),
-        F.lit("0.125").cast(_DEC).alias("x"),
+def _dec_to_double(x) -> float:
+    """Spark's DECIMAL→DOUBLE cast on the driver: correctly-rounded
+    nearest double (CPython float(Decimal) and BigDecimal.doubleValue
+    are both correctly rounded, so the bit patterns agree). BigDecimal
+    has no signed zero, so Python's Decimal('-0') must land on +0.0."""
+    f = float(x)
+    return f + 0.0 if f == 0.0 else f
+
+
+def _round_half_up(v: float, scale: int):
+    """Spark's ROUND(double, scale) → CAST(... AS DECIMAL(.,scale))
+    replayed on the driver: BigDecimal.valueOf(double) builds from
+    Double.toString (the shortest round-trip repr — identical digits
+    to CPython's repr), then setScale(scale, HALF_UP). The rounded
+    value has ≤ 15 significant digits here, so the double→decimal
+    round-trip in the second cast is exact and the composition is one
+    quantize."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(repr(v)).quantize(
+        Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
     )
-    tick = F.lit(_TICK).cast(_DEC)
-    nrm_col = None
-    for _ in range(iters):
-        y24 = F.sum(F.col("c") * F.col("x"))
-        mv = (
-            c.join(F.broadcast(vk), c["j"] == vk["pos"])
-            .groupBy(F.col("i").alias("mpos"))
-            .agg(y24.alias("y24"))
-            .select(
-                "mpos", (F.col("y24") - F.col("y24") % tick).cast(_DEC).alias("y")
-            )
-        )
-        s24 = F.sum((F.col("y") * F.col("y")).cast(_DEC_SQ))
-        nrm = (
-            mv.agg(s24.alias("s24"))
-            .select(
-                F.sqrt(
-                    (F.col("s24") - F.col("s24") % tick)
-                    .cast("decimal(16,12)")
-                    .cast("double")
-                ).alias("nrm")
-            )
-        )
-        vk = (
-            mv.crossJoin(F.broadcast(nrm))
-            .select(
-                F.col("mpos").alias("pos"),
-                F.round(F.col("y").cast("double") / F.col("nrm"), _RND)
-                .cast(_DEC)
-                .alias("x"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        nrm_col = nrm
-    return vk, nrm_col
+    # BigDecimal rounds tiny negatives to an UNSIGNED zero
+    return q.copy_abs() if q.is_zero() else q
+
+
+def _power_rounds_local(
+    cells: "list[tuple[int, int, object]]", iters: int = PI_ITERS
+) -> "tuple[dict[int, object], float | None]":
+    """``iters`` decimal-exact power-iteration rounds over the
+    collected DIM²-bounded Gram cells; returns ({pos: x decimal}, nrm
+    float). Replays the in-plan decimal protocol (module docstring)
+    op-for-op on the driver: exact Decimal sums/products, remainder
+    truncation (sign of dividend in both BigDecimal and Python
+    Decimal), correctly-rounded decimal→double at sqrt/divide, HALF_UP
+    re-entry to the 1e-12 lattice — bit-identical to the previous
+    in-plan loop, held to the same unrolled-CTE oracle."""
+    import math
+    from decimal import Decimal, localcontext
+
+    tick = Decimal(_TICK)
+    with localcontext() as ctx:
+        ctx.prec = 60  # exact: operands stay far below 60 digits
+        x = {p: Decimal("0.125") for p in range(1, DIM + 1)}
+        nrm = None
+        for _ in range(iters):
+            y24: dict[int, object] = {}
+            for i, j, cv in cells:
+                if j in x:
+                    y24[i] = y24.get(i, Decimal(0)) + cv * x[j]
+            y = {i: v - v % tick for i, v in y24.items()}
+            s24 = sum((v * v for v in y.values()), Decimal(0))
+            nrm = math.sqrt(_dec_to_double(s24 - s24 % tick))
+            x = {
+                i: _round_half_up(_dec_to_double(v) / nrm, _RND)
+                for i, v in y.items()
+            }
+        return x, nrm
 
 
 @register("pi1_power_iteration", _pi1_oracle())
@@ -226,12 +243,28 @@ def pi1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the sampled embedding Gram matrix
     after a fixed PI_ITERS power-iteration rounds; returns the 64
     loadings plus the eigenvalue estimate (the final pre-normalization
-    norm). See module docstring for the plan and determinism story."""
-    vk, nrm = _power_rounds(spark, _gram(spark, sf_dir))
-    return vk.crossJoin(F.broadcast(nrm)).select(
-        "pos",
-        F.col("x").cast("double").alias("loading"),
-        F.round(F.col("nrm"), 6).alias("eigenvalue_est"),
+    norm). See module docstring for the plan and determinism story.
+
+    The corpus-scale work (one embedding scan → DIM² decimal Gram) is
+    distributed; the iteration itself runs on the DRIVER over the
+    collected 4096-cell matrix — a constant-size collect (the
+    hot-key-list/Bloom-literal precedent) replacing ~30 Spark jobs of
+    64-row joins per query. This is MLlib's own shape for small-d
+    spectral work (RowMatrix.computeSVD collects the Gramian and
+    decomposes locally); iteration cost is O(DIM²·iters) scalar ops,
+    independent of corpus size."""
+    cells = [(r["i"], r["j"], r["c"]) for r in _gram(spark, sf_dir).collect()]
+    if not cells:
+        return spark.createDataFrame(
+            [], "pos int, loading double, eigenvalue_est double"
+        )
+    x, nrm = _power_rounds_local(cells)
+    rows = [
+        (pos, _dec_to_double(x[pos]), float(_round_half_up(nrm, 6)))
+        for pos in sorted(x)
+    ]
+    return spark.createDataFrame(
+        rows, "pos int, loading double, eigenvalue_est double"
     )
 
 
@@ -478,82 +511,62 @@ def pi2_spectral_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds a DEFLATED iterative algorithm to bit equality; v1 comes from
     the same _power_rounds the pi1 oracle unrolls, so the two
     registered queries share one convergence story."""
-    c = _gram(spark, sf_dir)
-    v1, nrm1 = _power_rounds(spark, c)
-    v1 = v1.localCheckpoint(eager=True)  # read thrice per round
+    # Like pi1, the distributed work is the one corpus scan that builds
+    # the DIM² Gram; the deflated iteration replays the identical
+    # decimal protocol on the DRIVER over the collected constant-size
+    # matrix (see pi1's docstring for the precedent), replacing ~80
+    # Spark jobs of 64-row joins with O(DIM²·iters) exact scalar ops.
+    import math
+    from decimal import Decimal, localcontext
 
-    tick = F.lit(_TICK).cast(_DEC)
-    wk = spark.range(1, DIM + 1).select(
-        F.col("id").cast("int").alias("pos"),
-        F.when(F.col("id") % 2 == 0, F.lit("0.125"))
-        .otherwise(F.lit("-0.125"))
-        .cast(_DEC)
-        .alias("x"),
-    )
-    nrm_col = None
-    for _ in range(PI_ITERS):
-        mv = (
-            c.join(F.broadcast(wk), c["j"] == wk["pos"])
-            .groupBy(F.col("i").alias("pos"))
-            .agg(F.sum(F.col("c") * F.col("x")).alias("y24"))
-            .select(
-                "pos",
-                (F.col("y24") - F.col("y24") % tick).cast(_DEC_W).alias("y"),
-            )
+    cells = [(r["i"], r["j"], r["c"]) for r in _gram(spark, sf_dir).collect()]
+    if not cells:
+        return spark.createDataFrame(
+            [],
+            "pos int, loading2 double, eigenvalue2_est double,"
+            " gap_ratio double",
         )
-        d = (
-            mv.join(F.broadcast(v1), "pos")
-            .agg(F.sum(F.col("x") * F.col("y")).alias("d24"))
-            .select(
-                (F.col("d24") - F.col("d24") % tick).cast(_DEC_W).alias("d")
-            )
+    v1, nrm1 = _power_rounds_local(cells)
+
+    tick = Decimal(_TICK)
+    with localcontext() as ctx:
+        ctx.prec = 60
+        w = {
+            p: Decimal("0.125") if p % 2 == 0 else Decimal("-0.125")
+            for p in range(1, DIM + 1)
+        }
+        nrm = None
+        for _ in range(PI_ITERS):
+            y24: dict[int, object] = {}
+            for i, j, cv in cells:
+                if j in w:
+                    y24[i] = y24.get(i, Decimal(0)) + cv * w[j]
+            y = {i: v - v % tick for i, v in y24.items()}
+            d24 = sum((v1[p] * y[p] for p in y if p in v1), Decimal(0))
+            d = d24 - d24 % tick
+            perp = {}
+            for p in y:
+                if p in v1:
+                    p24 = y[p] - d * v1[p]
+                    perp[p] = p24 - p24 % tick
+            s24 = sum((v * v for v in perp.values()), Decimal(0))
+            nrm = math.sqrt(_dec_to_double(s24 - s24 % tick))
+            w = {
+                p: _round_half_up(_dec_to_double(v) / nrm, _RND)
+                for p, v in perp.items()
+            }
+    rows = [
+        (
+            pos,
+            _dec_to_double(w[pos]),
+            float(_round_half_up(nrm, 6)),
+            float(_round_half_up(nrm / nrm1, 9)),
         )
-        perp = (
-            mv.join(F.broadcast(v1), "pos")
-            .crossJoin(F.broadcast(d))
-            .select(
-                "pos",
-                (F.col("y") - F.col("d") * F.col("x")).alias("p24"),
-            )
-            .select(
-                "pos",
-                (F.col("p24") - F.col("p24") % tick).cast(_DEC_W).alias("y"),
-            )
-        )
-        nrm = (
-            perp.agg(
-                F.sum((F.col("y") * F.col("y")).cast("decimal(38,24)")).alias(
-                    "s24"
-                )
-            )
-            .select(
-                F.sqrt(
-                    (F.col("s24") - F.col("s24") % tick)
-                    .cast("decimal(16,12)")
-                    .cast("double")
-                ).alias("nrm")
-            )
-        )
-        wk = (
-            perp.crossJoin(F.broadcast(nrm))
-            .select(
-                "pos",
-                F.round(F.col("y").cast("double") / F.col("nrm"), _RND)
-                .cast(_DEC)
-                .alias("x"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        nrm_col = nrm
-    return (
-        wk.crossJoin(F.broadcast(nrm_col))
-        .crossJoin(F.broadcast(nrm1.select(F.col("nrm").alias("nrm1"))))
-        .select(
-            "pos",
-            F.col("x").cast("double").alias("loading2"),
-            F.round(F.col("nrm"), 6).alias("eigenvalue2_est"),
-            F.round(F.col("nrm") / F.col("nrm1"), 9).alias("gap_ratio"),
-        )
+        for pos in sorted(w)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "pos int, loading2 double, eigenvalue2_est double, gap_ratio double",
     )
 
 
