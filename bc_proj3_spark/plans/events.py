@@ -295,6 +295,34 @@ def _slope_batch(pdf):
     )
 
 
+#: Grouped-map fan-in for e4b: applyInPandas crosses the Python
+#: boundary once PER GROUP, so grouping directly by user_id ships
+#: thousands of few-row Arrow batches (guide §4: tiny batches are the
+#: anti-pattern). Grouping by a hash BUCKET of the user key instead
+#: sends ~this many large batches and the per-user math runs as a
+#: pandas groupby INSIDE the worker — same per-user row subsets, same
+#: Series arithmetic, identical floats. Scale note: buckets cap Python
+#: call overhead, not state — a bucket holds ~n_users/N_BUCKETS
+#: groups; size so one bucket's rows fit a worker's memory.
+E4B_BUCKETS = 32
+
+
+def _slope_bucket(pdf):
+    """Per-user slopes for one hash bucket: pandas groupby + the SAME
+    _slope_batch per group (identical pairwise Series sums → identical
+    IEEE results as the one-group-per-call shape)."""
+    import pandas as pd
+
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            {"user_id": [], "n_events": [], "slope6": []}
+        ).astype({"user_id": "int64", "n_events": "int64", "slope6": "float64"})
+    return pd.concat(
+        [_slope_batch(g) for _, g in pdf.groupby("user_id", sort=False)],
+        ignore_index=True,
+    )
+
+
 @register("e4_user_value_trend", _E4_ORACLE)
 def e4_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user linear trend of event values over time via the built-in
@@ -342,9 +370,10 @@ def e4b_trend_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("ts").cast("double") / F.lit(1e6)).alias("x"),
         "value",
+        F.pmod(F.xxhash64("user_id"), F.lit(E4B_BUCKETS)).alias("bkt"),
     )
-    out = g.groupBy("user_id").applyInPandas(
-        _slope_batch, schema="user_id long, n_events long, slope6 double"
+    out = g.groupBy("bkt").applyInPandas(
+        _slope_bucket, schema="user_id long, n_events long, slope6 double"
     )
     return out.filter(F.col("n_events") >= 2)
 
