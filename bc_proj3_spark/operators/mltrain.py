@@ -315,10 +315,10 @@ def bt1_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the fact table is scanned ONCE into the (day, segment)
     aggregate; matches derive from a day-keyed self-join of that
-    bounded table; everything iterative runs on the K(K-1)/2-row win
-    matrix — O(K²) per round regardless of corpus size (e24's
-    aggregate-then-iterate split). The per-round 1-row normalizer rides
-    a broadcast."""
+    bounded table; everything iterative runs on the COLLECTED
+    K(K-1)/2-row win matrix as exact driver-side integer arithmetic —
+    O(K²) per round regardless of corpus size (e24's
+    aggregate-then-iterate split)."""
     s = BT_SCALE
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
@@ -353,39 +353,34 @@ def bt1_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("winner"),
         )
     )
-    up = (
-        m.groupBy("sa", "sb")
+    # The win matrix is K(K-1)/2-bounded by the segment vocabulary —
+    # collect it and run the MM rounds as exact Python integer
+    # arithmetic on the driver (pi1/e24's constant-size-collect
+    # precedent; was ~65 Spark jobs of K-row joins per query). The
+    # corpus-scale work above (orders ⋈ customer aggregate + day-keyed
+    # self-join) stays distributed.
+    up = [
+        (r["sa"], r["sb"], r["n"], r["wa"])
+        for r in m.groupBy("sa", "sb")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(F.when(F.col("winner") == F.col("sa"), 1).otherwise(0))
             .cast("bigint")
             .alias("wa"),
         )
-        .localCheckpoint(eager=True)
-    )
-    dir_ = (
-        up.select(F.col("sa").alias("i"), F.col("sb").alias("j"), "n")
-        .unionAll(
-            up.select(F.col("sb").alias("i"), F.col("sa").alias("j"), "n")
-        )
-        .localCheckpoint(eager=True)
-    )
-    wins = (
-        up.select(F.col("sa").alias("i"), F.col("wa").alias("w"), "n")
-        .unionAll(
-            up.select(
-                F.col("sb").alias("i"), (F.col("n") - F.col("wa")).alias("w"), "n"
-            )
-        )
-        .groupBy("i")
-        .agg(
-            F.sum("w").cast("bigint").alias("n_wins"),
-            F.sum("n").cast("bigint").alias("n_matches"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    k_players = wins.count()
-    if k_players == 0:
+        .collect()
+    ]
+    dir_: list = []
+    n_wins: dict = {}
+    n_matches: dict = {}
+    for sa, sb, n, wa in up:
+        dir_.append((sa, sb, n))
+        dir_.append((sb, sa, n))
+        n_wins[sa] = n_wins.get(sa, 0) + wa
+        n_matches[sa] = n_matches.get(sa, 0) + n
+        n_wins[sb] = n_wins.get(sb, 0) + (n - wa)
+        n_matches[sb] = n_matches.get(sb, 0) + n
+    if not n_wins:
         # degenerate input (no two segments ever share an order date):
         # the oracle's final join over the empty win table yields zero
         # rows — mirror it instead of crashing on SCALE // 0
@@ -394,51 +389,25 @@ def bt1_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg string, n_wins long, n_matches long,"
             " p_scaled long, strength double",
         )
-    p = wins.select(
-        "i", F.lit(s // k_players).cast("bigint").alias("p")
-    ).localCheckpoint(eager=True)
+
+    def halfup(a: int, b: int) -> int:
+        return (2 * a + b) // (2 * b)
+
+    p = {i: s // len(n_wins) for i in n_wins}
     for _ in range(BT_ROUNDS):
-        d = (
-            dir_.join(p.select(F.col("i"), F.col("p").alias("p_i")), "i")
-            .join(
-                p.select(F.col("i").alias("j"), F.col("p").alias("p_j")),
-                "j",
-            )
-            .groupBy("i")
-            .agg(
-                F.sum(
-                    F.expr(
-                        f"(2 * n * {s} * {s} + (p_i + p_j))"
-                        f" div (2 * (p_i + p_j))"
-                    )
-                )
-                .cast("bigint")
-                .alias("d")
-            )
-        )
-        u = wins.join(d, "i").select(
-            "i",
-            F.expr(
-                f"(2 * n_wins * {s} * {s} + d) div (2 * d)"
-            ).alias("pu"),
-        )
-        tot = u.agg(F.sum("pu").cast("bigint").alias("tot"))
-        p = (
-            u.crossJoin(F.broadcast(tot))
-            .select(
-                "i",
-                F.expr(f"(2 * pu * {s} + tot) div (2 * tot)")
-                .cast("bigint")
-                .alias("p"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return wins.join(p, "i").select(
-        F.col("i").alias("seg"),
-        "n_wins",
-        "n_matches",
-        F.col("p").cast("bigint").alias("p_scaled"),
-        (F.col("p").cast("double") / F.lit(float(s))).alias("strength"),
+        d: dict = {}
+        for i, j, n in dir_:
+            d[i] = d.get(i, 0) + halfup(n * s * s, p[i] + p[j])
+        u = {i: halfup(n_wins[i] * s * s, d[i]) for i in d}
+        tot = sum(u.values())
+        p = {i: halfup(pu * s, tot) for i, pu in u.items()}
+    return spark.createDataFrame(
+        [
+            (i, n_wins[i], n_matches[i], p[i], float(p[i]) / float(s))
+            for i in sorted(n_wins)
+        ],
+        "seg string, n_wins long, n_matches long,"
+        " p_scaled long, strength double",
     )
 
 

@@ -2784,8 +2784,11 @@ def e24_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE windowed pass over events builds the transition
     cells (e11's plan — pre-bucketing events by user makes it
     exchange-free); everything after runs on the (types × types) cell
-    table, so iteration cost is O(K²) per round REGARDLESS of corpus
-    size — the canonical aggregate-then-iterate split."""
+    table — K²-bounded by the type vocabulary, so it is COLLECTED and
+    the 8 rounds run as exact Python integer arithmetic on the driver
+    (pi1's constant-size-collect precedent; was ~50 Spark jobs of
+    K-row joins). Iteration cost is O(K²) per round REGARDLESS of
+    corpus size — the canonical aggregate-then-iterate split."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -2798,45 +2801,36 @@ def e24_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_type").alias("to_type"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    types = ev.select(F.col("event_type").alias("t")).distinct()
-    na = cells.groupBy("from_type").agg(F.sum("n").alias("tot"))
-    q = (
-        cells.join(na, "from_type")
-        .select(
-            "from_type",
-            "to_type",
-            F.expr(
-                f"(2 * n * {MARKOV_SCALE} + tot) div (2 * tot)"
-            ).alias("q"),
+    types = sorted(
+        r["t"] for r in ev.select(F.col("event_type").alias("t")).distinct().collect()
+    )
+    if not types:
+        return spark.createDataFrame(
+            [], "event_type string, pi_scaled long, pi double"
         )
-        .localCheckpoint(eager=True)  # feeds every iteration round
-    )
-    n_types = types.count()
-    p = types.select(
-        "t", F.lit(MARKOV_SCALE // n_types).cast("bigint").alias("p")
-    ).localCheckpoint(eager=True)
+
+    def halfup(a: int, b: int) -> int:
+        return (2 * a + b) // (2 * b)
+
+    tot: dict = {}
+    for r in cells:
+        tot[r["from_type"]] = tot.get(r["from_type"], 0) + r["n"]
+    q = [
+        (r["from_type"], r["to_type"], halfup(r["n"] * MARKOV_SCALE, tot[r["from_type"]]))
+        for r in cells
+    ]
+    p = {t: MARKOV_SCALE // len(types) for t in types}
     for _ in range(MARKOV_ROUNDS):
-        m = (
-            p.join(q, p["t"] == q["from_type"])
-            .select(
-                F.col("to_type").alias("t"),
-                F.expr(
-                    f"(2 * p * q + {MARKOV_SCALE}) div (2 * {MARKOV_SCALE})"
-                ).alias("c"),
-            )
-            .groupBy("t")
-            .agg(F.sum("c").cast("bigint").alias("s"))
-        )
-        p = (
-            types.join(m, "t", "left_outer")
-            .select("t", F.coalesce(F.col("s"), F.lit(0)).alias("p"))
-            .localCheckpoint(eager=True)
-        )
-    return p.select(
-        F.col("t").alias("event_type"),
-        F.col("p").cast("bigint").alias("pi_scaled"),
-        (F.col("p").cast("double") / MARKOV_SCALE).alias("pi"),
+        s: dict = {}
+        for ft, tt, qv in q:
+            if ft in p:
+                s[tt] = s.get(tt, 0) + halfup(p[ft] * qv, MARKOV_SCALE)
+        p = {t: s.get(t, 0) for t in types}
+    return spark.createDataFrame(
+        [(t, p[t], float(p[t]) / MARKOV_SCALE) for t in types],
+        "event_type string, pi_scaled long, pi double",
     )
 
 
