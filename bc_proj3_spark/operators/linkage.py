@@ -202,7 +202,14 @@ def er3_canonical_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     view = f"er3_assign_{uuid.uuid4().hex[:8]}"
-    er2_canonical_assignment(spark, sf_dir).createOrReplaceTempView(view)
+    # Materialize the assignment BEFORE the recursion: the recursive
+    # CTE re-evaluates the anchor/step relation each iteration, and an
+    # unmaterialized view would re-run er1's blocked Levenshtein pair
+    # generation once per recursion depth. The checkpoint makes every
+    # step a join against the match-bounded materialized table.
+    er2_canonical_assignment(spark, sf_dir).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView(view)
     try:
         return spark.sql(_ER3_RECURSIVE.format(assign=view))
     finally:

@@ -1309,45 +1309,51 @@ def hs2_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel_l"), F.asc("vec_id"))
-    selected = (
-        cand.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "vec_id", "rel_l", F.lit(1).alias("mmr_rank"))
-    )
-    for r in range(2, MMR_K + 1):
-        rem = cand.join(
-            selected.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
-        )
-        sel_ids = selected.select(
-            F.col("query_id").alias("sq"), F.col("vec_id").alias("bi")
-        )
-        ms = (
-            rem.join(
-                pairs.join(
-                    sel_ids,
-                    (pairs["query_id"] == F.col("sq")) & (pairs["bi"] == sel_ids["bi"]),
-                ).select(pairs["query_id"], "ai", "sim_l"),
-                (rem["query_id"] == pairs["query_id"]) & (rem["vec_id"] == F.col("ai")),
-            )
-            .groupBy(rem["query_id"].alias("query_id"), "vec_id", "rel_l")
-            .agg(F.max("sim_l").alias("maxsim"))
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc(MMR_LAM * F.col("rel_l") - (10 - MMR_LAM) * F.col("maxsim")),
-            F.asc("vec_id"),
-        )
-        pick = (
-            ms.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("query_id", "vec_id", "rel_l", F.lit(r).alias("mmr_rank"))
-        )
-        selected = selected.unionByName(pick).localCheckpoint(eager=True)
-    return selected.select(
-        "query_id",
-        F.col("mmr_rank").cast("bigint").alias("mmr_rank"),
-        "vec_id",
-        F.col("rel_l").cast("double").alias("relevance"),
+    # The greedy runs on the (N_QUERIES × K)-bounded candidate table —
+    # a CONSTANT-size frame (the query set is a fixed sample at every
+    # scale) — so it is collected and the argmax rounds run as exact
+    # driver-side Decimal arithmetic (pi1/e24/bt1 precedent; was ~50
+    # Spark jobs of per-round joins+windows over ≤50-row frames). The
+    # corpus-scale work (s1's scan, the pair cosines) stays
+    # distributed; decimal(28,10) values collect as exact Decimals.
+    from decimal import localcontext
+
+    from bc_proj3_spark.operators.linalg import _dec_to_double
+
+    cand_rows = cand.collect()
+    sim = {
+        (r["query_id"], r["ai"], r["bi"]): r["sim_l"]
+        for r in pairs.collect()
+    }
+    by_q: dict = {}
+    for r in cand_rows:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["rel_l"]))
+    out_rows = []
+    with localcontext() as ctx:
+        ctx.prec = 50  # exact: operands stay well below 50 digits
+        for q in sorted(by_q):
+            cands = by_q[q]
+            picked = []
+            first = min(cands, key=lambda c: (-c[1], c[0]))
+            picked.append(first[0])
+            out_rows.append((q, 1, first[0], _dec_to_double(first[1])))
+            for rank in range(2, MMR_K + 1):
+                best = None
+                for vid, rel in cands:
+                    if vid in picked:
+                        continue
+                    maxsim = max(sim[(q, vid, b)] for b in picked)
+                    obj = MMR_LAM * rel - (10 - MMR_LAM) * maxsim
+                    key = (-obj, vid)
+                    if best is None or key < best[0]:
+                        best = (key, vid, rel)
+                if best is None:
+                    break
+                picked.append(best[1])
+                out_rows.append((q, rank, best[1], _dec_to_double(best[2])))
+    return spark.createDataFrame(
+        out_rows,
+        "query_id long, mmr_rank long, vec_id long, relevance double",
     )
 
 
