@@ -1848,10 +1848,19 @@ def _t27_oracle() -> str:
 
 def _bpe_spellings(
     spark: SparkSession, sf_dir: str
-) -> "tuple[list[DataFrame], list[DataFrame]]":
-    """(v0..vN spelling frames (w, freq, s), per-round 1-row best-merge
-    frames (pair, cnt)). Each vr is eagerly localCheckpointed
-    (cc-family O(1)-lineage discipline)."""
+) -> "tuple[list[DataFrame], list[tuple]]":
+    """(v0..vN spelling frames (w, freq, s), per-round stat tuples
+    (pair, cnt, n_changed, total_symbols)). Each vr is eagerly
+    localCheckpointed (cc-family O(1)-lineage discipline).
+
+    Per round exactly TWO jobs run: the 1-row best-merge winner is
+    collected directly (it is needed on the driver anyway — its pair
+    string parameterizes the merge application, injected as a literal
+    instead of the former crossJoin-broadcast whose build job re-ran
+    the pair count), and the round's trajectory stats ride the
+    spelling checkpoint via df.observe (the former shape ran a third
+    job joining consecutive vocab frames per round)."""
+    from pyspark.sql import Observation
     from pyspark.sql.window import Window
 
     docs = fanout(table(spark, sf_dir, "documents"))
@@ -1872,7 +1881,7 @@ def _bpe_spellings(
             eager=True
         )
     ]
-    stats = []
+    stats: list = []
     w_cum = (
         Window.partitionBy("w")
         .orderBy("i")
@@ -1881,11 +1890,13 @@ def _bpe_spellings(
     w_seq = Window.partitionBy("w").orderBy("i")
     for _ in range(BPE_ROUNDS):
         prev = frames[-1]
-        base = prev.select("w", "freq", F.split("s", " ").alias("a"))
+        base = prev.select(
+            "w", "freq", F.col("s").alias("old_s"), F.split("s", " ").alias("a")
+        )
         pair_idx = F.when(
             F.size("a") >= 2, F.sequence(F.lit(1), F.size("a") - 1)
         ).otherwise(F.array().cast("array<int>"))
-        best = (
+        best_rows = (
             base.select("freq", "a", F.explode(pair_idx).alias("i"))
             .select(
                 "freq",
@@ -1899,17 +1910,23 @@ def _bpe_spellings(
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "pair")
             .limit(1)
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        stats.append(best)
+        if not best_rows:
+            # degenerate corpus (empty vocabulary / no adjacent pairs):
+            # the merge is a no-op; keep the spelling frame and mirror
+            # t27's NULL-pair stat row
+            stats.append((None, None, 0, None))
+            frames.append(prev)
+            continue
+        bp = best_rows[0]["pair"]
         pos = (
             base.select(
-                "w", "freq", "a",
+                "w", "freq", "old_s", "a",
                 F.explode(F.sequence(F.lit(1), F.size("a"))).alias("i"),
             )
-            .crossJoin(F.broadcast(best.select(F.col("pair").alias("bp"))))
             .select(
-                "w", "freq", "i", "bp",
+                "w", "freq", "old_s", "i",
                 F.element_at("a", F.col("i")).alias("sym"),
                 F.when(
                     F.col("i") < F.size("a"),
@@ -1919,7 +1936,7 @@ def _bpe_spellings(
             .withColumn(
                 "m",
                 F.col("nxt").isNotNull()
-                & (F.concat_ws(" ", "sym", "nxt") == F.col("bp")),
+                & (F.concat_ws(" ", "sym", "nxt") == F.lit(bp)),
             )
         )
         pos = pos.withColumn(
@@ -1937,9 +1954,10 @@ def _bpe_spellings(
             .when(F.lag("active").over(w_seq), F.lit(None))
             .otherwise(F.col("sym")),
         )
+        obs = Observation()
         nxt_frame = (
             pos.filter(F.col("esym").isNotNull())
-            .groupBy("w", "freq")
+            .groupBy("w", "freq", "old_s")
             .agg(
                 F.array_join(
                     F.transform(
@@ -1951,9 +1969,26 @@ def _bpe_spellings(
                     " ",
                 ).alias("s")
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("s") != F.col("old_s")).cast("int")
+                ).alias("changed"),
+                F.sum(
+                    F.col("freq") * F.size(F.split("s", " "))
+                ).alias("total"),
+            )
             .localCheckpoint(eager=True)
         )
         frames.append(nxt_frame)
+        stats.append(
+            (
+                bp,
+                int(best_rows[0]["cnt"]),
+                int(obs.get["changed"]),
+                int(obs.get["total"]),
+            )
+        )
     return frames, stats
 
 
@@ -1984,45 +2019,17 @@ def t27_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one corpus scan builds the word-frequency table; each
     round is bounded by vocabulary size — a map-side-combinable pair
-    count, a 1-row winner (broadcast back), and three windows whose
+    count, a 1-row winner (collected and re-injected as a literal), and three windows whose
     partitions are single WORDS (bounded by word length). Spellings are
     eagerly localCheckpointed per round. Nothing corpus-sized shuffles
     after the first aggregate."""
-    frames, stats = _bpe_spellings(spark, sf_dir)
-    out_rows = []
-    for r in range(1, BPE_ROUNDS + 1):
-        best_rows = stats[r - 1].collect()
-        # degenerate corpus (empty vocabulary): mirror the oracle's
-        # NULL-pair rows instead of crashing on the empty winner frame
-        if not best_rows:
-            out_rows.append((r, None, None, 0, None))
-            continue
-        best = best_rows[0]
-        # one job per round: spelling-change count and the weighted
-        # symbol total ride the same 1:1 vocab join
-        stat = (
-            frames[r]
-            .alias("n")
-            .join(frames[r - 1].alias("o"), "w")
-            .agg(
-                F.sum(
-                    (F.col("n.s") != F.col("o.s")).cast("int")
-                ).alias("changed"),
-                F.sum(
-                    F.col("n.freq") * F.size(F.split(F.col("n.s"), " "))
-                ).alias("total"),
-            )
-            .collect()[0]
-        )
-        out_rows.append(
-            (
-                r,
-                best["pair"],
-                int(best["cnt"]),
-                int(stat["changed"]),
-                int(stat["total"]),
-            )
-        )
+    _frames, stats = _bpe_spellings(spark, sf_dir)
+    # the trajectory stats rode each round's spelling-checkpoint job
+    # via df.observe (no per-round join or extra collect here)
+    out_rows = [
+        (r, pair, cnt, changed, total)
+        for r, (pair, cnt, changed, total) in enumerate(stats, start=1)
+    ]
     return spark.createDataFrame(
         out_rows,
         "round int, merged_pair string, weighted_count long,"

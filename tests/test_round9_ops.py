@@ -322,10 +322,12 @@ def test_t27_greedy_nonoverlap_on_runs(spark):
             " n_chars long",
         ).write.parquet(f"{tmp}/documents.parquet")
         frames, stats = _bpe_spellings(spark, tmp)
-        best1 = stats[0].collect()[0]
+        # stats rows are (pair, cnt, n_changed, total_symbols) tuples
+        # since the r10 optimization round (observe-folded trajectory)
+        best1_pair = stats[0][0]
         v1 = {r.w: r.s for r in frames[1].collect()}
     spark.catalog.clearCache()
-    assert best1["pair"] == "x x"
+    assert best1_pair == "x x"
     assert v1["xxxx"] == "xx xx"
     assert v1["xxx"] == "xx x"
 
