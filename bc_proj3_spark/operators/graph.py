@@ -534,6 +534,35 @@ FROM base
 """
 
 
+def copurchase_pairs(li: DataFrame) -> DataFrame:
+    """One (u, v) row (u < v) per order that contains both parts.
+
+    ONE lineitem scan into a per-order sorted distinct part array
+    (collect_set dedups duplicate part lines BEFORE the quadratic
+    fan-out), then map-side pair expansion from the array — no
+    self-join, so lineitem is neither scanned twice nor shuffled into
+    a join (tc1's edge build, r9 verdict item 4: measured ~2× faster
+    at sf0.1 than the items-self-join build with an identical pair
+    list). Per-order fan-out is k(k-1)/2 on basket size k — bounded by
+    the order schema (TPC-H ≤ 7 lines), the same bound the self-join
+    had. ``.distinct()`` of this frame is the unweighted co-purchase
+    edge list; aggregating it by (u, v) gives the co-purchase support
+    (number of distinct orders containing the pair) — both identical
+    to the items-self-join forms, since each order contributes each
+    pair exactly once. Shared by tc1/g3/g4/g6/g9/g10/g11/g12/mb1."""
+    pair_expr = (
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        "y -> struct(x AS u, y AS v))))"
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(F.explode(F.expr(pair_expr)).alias("e"))
+        .select("e.u", "e.v")
+    )
+
+
 @register("tc1_triangle_census", _TC1_ORACLE)
 def tc1_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the part
@@ -554,25 +583,10 @@ def tc1_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle replays the naive canonical-order join (identical
     count by the orientation-invariance argument above) — the oracle
     verifies the NUMBER; the Spark plan carries the scale posture."""
-    # Edge build: ONE lineitem scan into a per-order sorted distinct
-    # part set (collect_set dedups duplicate part lines BEFORE the
-    # quadratic fan-out), then map-side pair expansion from the array —
-    # no self-join, so lineitem is neither scanned twice nor shuffled
-    # into a join. Measured 2× faster than the join+distinct build at
-    # sf0.1 with an identical pair list (r9 verdict item 4). Per-order
-    # fan-out is k(k-1)/2 on basket size k — bounded by the order
-    # schema (TPC-H ≤ 7 lines), the same bound the join build had.
-    pair_expr = (
-        "flatten(transform(ps, (x, i) -> "
-        "transform(slice(ps, i + 2, size(ps) - i - 1), "
-        "y -> struct(x AS pa, y AS pb))))"
-    )
+    # Edge build: shared map-side pair expansion (copurchase_pairs).
     edges = (
-        table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-        .select(F.explode(F.expr(pair_expr)).alias("e"))
-        .select("e.pa", "e.pb")
+        copurchase_pairs(table(spark, sf_dir, "lineitem"))
+        .select(F.col("u").alias("pa"), F.col("v").alias("pb"))
         .distinct()
     )
     return triangle_census(edges)
@@ -903,20 +917,8 @@ def g3_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     row. The two 1-row count frames are crossJoined in (BNLJ-gated
     pattern, tc1 precedent)."""
     li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-        .persist()
-    )
+    # edge build: shared map-side pair expansion (copurchase_pairs)
+    edges = copurchase_pairs(li).distinct().persist()
     directed = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
@@ -1038,20 +1040,8 @@ def g4_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans. The two 1-row threshold frames cross in (BNLJ-gated) and
     inline-explode to the per-k output."""
     li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-        .persist()
-    )
+    # edge build: shared map-side pair expansion (copurchase_pairs)
+    edges = copurchase_pairs(li).distinct().persist()
     directed = edges.select(F.col("u").alias("src")).union(
         edges.select(F.col("v").alias("src"))
     )
@@ -1187,17 +1177,10 @@ def g6_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     jobs and assembles driver-side (KCORE_ROUNDS+1 rows of three
     ints - a bounded collect, Bloom-literal precedent)."""
     li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
+    # edge build: shared map-side pair expansion (copurchase_pairs)
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        copurchase_pairs(li)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= KCORE_MIN_SUPPORT)
         .select("u", "v")
@@ -1339,17 +1322,10 @@ def g9_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     and top-k compiles to TakeOrderedAndProject — K rows cross the
     wire, never a global sort."""
     li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
+    # edge build: shared map-side pair expansion (copurchase_pairs)
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        copurchase_pairs(li)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= AA_MIN_SUPPORT)
         .select("u", "v")
@@ -1472,17 +1448,10 @@ def g10_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     set survives it; credits shuffle triangle-count rows only; top-k
     compiles to TakeOrderedAndProject."""
     li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    ia, ib = items.alias("ia"), items.alias("ib")
+    # edge build: shared map-side pair expansion (copurchase_pairs)
     edges = (
-        ia.join(
-            ib,
-            (F.col("ia.l_orderkey") == F.col("ib.l_orderkey"))
-            & (F.col("ia.l_partkey") < F.col("ib.l_partkey")),
-        )
-        .groupBy(
-            F.col("ia.l_partkey").alias("u"), F.col("ib.l_partkey").alias("v")
-        )
+        copurchase_pairs(li)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= AA_MIN_SUPPORT)
         .select("u", "v")
@@ -1612,17 +1581,10 @@ def _lp_edges(
     the directed frame is built here so both g11 and g12 share one
     symmetrization rule."""
     li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
+    # edge build: shared map-side pair expansion (copurchase_pairs)
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        copurchase_pairs(li)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= LP_MIN_SUPPORT)
         .select("u", "v")

@@ -591,26 +591,22 @@ LIMIT {MB1_TOP_K}
 @register("mb1_copurchase_pairs", _MB1_ORACLE)
 def mb1_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: the most frequently co-purchased
-    part pairs. The self-join on the basket key is the textbook
+    part pairs. Pair expansion on the basket key is the textbook
     quadratic trap; here it is safe BY DATA CONTRACT — baskets are
     bounded (TPC-H orders carry ≤7 lines), so per-key fan-out is ≤ 21
-    pairs regardless of table size, and the join is a plain key-hash
-    shuffle. (Unbounded baskets would need the d3-style hot-key cap
+    pairs regardless of table size, and the expansion is map-side from
+    each order's distinct part array, one lineitem scan, no self-join.
+    (Unbounded baskets would need the d3-style hot-key cap
     first — the same pattern, which is why the shingle index caps
-    document frequency.) DISTINCT first so quantity re-lines don't
+    document frequency.) collect_set first so quantity re-lines don't
     double-count; top-k through TakeOrderedAndProject, never a global
     sort. Deterministic tiebreak on the pair key."""
+    from bc_proj3_spark.operators.graph import copurchase_pairs
+
     li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"),
-        F.col("b.l_partkey").alias("part_b"),
+    # edge build: shared map-side pair expansion (graph.copurchase_pairs)
+    pairs = copurchase_pairs(li).select(
+        F.col("u").alias("part_a"), F.col("v").alias("part_b")
     )
     return (
         pairs.groupBy("part_a", "part_b")
