@@ -222,19 +222,23 @@ def _shingle_pairs(
             .collect()
         )
     ]
-    sh = sh0
     if hot_keys:
         hot = docs.sparkSession.createDataFrame(
             [(k,) for k in hot_keys], "k bigint"
         )
-        sh = sh0.join(F.broadcast(hot), "k", "left_anti")
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sh.count()  # materialize: downstream plans read cached blocks
-    if hot_keys:
+        sh = sh0.join(F.broadcast(hot), "k", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        sh.count()  # materialize: downstream plans read cached blocks
         # the capped index is materialized; the raw one is only safe to
         # release when it is a DIFFERENT frame (no hot keys -> sh IS
         # sh0, and unpersisting would drop the live cache)
         sh0.unpersist()
+    else:
+        # clean corpus: the capped index IS sh0, whose cache the hot-key
+        # census job just filled — a second persist+count would only
+        # re-read the cache (one whole job of pure overhead, r10 trim)
+        sh = sh0
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     return sh, sizes
 
@@ -339,8 +343,12 @@ def _verified_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    cand.count()
+    cand_was_cached = cand.is_cached
+    if not cand_was_cached:
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        cand.count()
+    # else: _lsh_candidate_pairs already persisted AND materialized it —
+    # re-counting would spend one whole job re-reading the cache.
     docs_in = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()

@@ -349,10 +349,15 @@ def o6_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(28,10)"
     )
     disc = F.col("l_discount").cast("decimal(28,10)")
+    # m feeds BOTH the frontier join side and (via levels/strict) the
+    # broadcast build: lazy persist so gated_broadcast's count job —
+    # which computes strict's subtree and therefore m — fills m's cache
+    # and the final job reads it instead of re-running the lineitem
+    # aggregate a second time (r10 measure-first finding).
     m = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.sum(rev).cast("double").alias("revenue"),
         (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_discount"),
-    )
+    ).persist()
     # (b): best discount among revenue peers
     peer_min = F.min("avg_discount").over(Window.partitionBy("revenue"))
     # (a): running min of per-level best discount over strictly higher levels

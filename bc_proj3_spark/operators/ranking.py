@@ -669,45 +669,47 @@ def t29_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     that plan consumes."""
     from pyspark.sql.window import Window
 
+    # Checkpoint the composed t16 result: without it the bigram-LM plan
+    # is embedded in BOTH consumer branches and computed twice per run
+    # (r10 measure-first finding); one left join replaces the previous
+    # inner-join + anti-join pair, so the tokenize(base) pass also runs
+    # once instead of twice. Bucket assignment is unchanged: scored
+    # rows rank identically (nulls sort strictly last under
+    # desc_nulls_last, and n_lang counts scored rows only), unscored
+    # rows are caught by the isNull branch before any tercile test.
     ds = t16_bigram_logprob(spark, sf_dir).select(
         "doc_id", F.col("mean_logprob").alias("score")
-    )
+    ).localCheckpoint(eager=True)
     docs = table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "lang", F.size(T.tokenize(F.col("text"))).alias("n_tokens")
     )
     w_rank = Window.partitionBy("lang").orderBy(
-        F.col("score").desc(), "doc_id"
+        F.col("score").desc_nulls_last(), "doc_id"
     )
     w_lang = Window.partitionBy("lang")
-    ranked = (
-        base.join(ds, "doc_id")
+    bucketed = (
+        base.join(ds, "doc_id", "left")
         .select(
             "lang",
             "n_tokens",
             "score",
             F.row_number().over(w_rank).alias("rn"),
-            F.count(F.lit(1)).over(w_lang).alias("n_lang"),
+            F.count("score").over(w_lang).alias("n_lang"),
         )
         .select(
             "lang",
             "n_tokens",
             "score",
-            F.when(F.col("rn") * 3 <= F.col("n_lang"), "head")
+            F.when(F.col("score").isNull(), "unscored")
+            .when(F.col("rn") * 3 <= F.col("n_lang"), "head")
             .when(F.col("rn") * 3 <= 2 * F.col("n_lang"), "middle")
             .otherwise("tail")
             .alias("bucket"),
         )
     )
-    unscored = base.join(ds, "doc_id", "left_anti").select(
-        "lang",
-        "n_tokens",
-        F.lit(None).cast("double").alias("score"),
-        F.lit("unscored").alias("bucket"),
-    )
     return (
-        ranked.unionAll(unscored)
-        .groupBy("lang", "bucket")
+        bucketed.groupBy("lang", "bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
