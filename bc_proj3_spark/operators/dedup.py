@@ -785,6 +785,22 @@ WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
+def _fp_winner():
+    """Exact-dedup winner per fingerprint as ONE hash aggregate:
+    ``max_by`` over the (n_chars, -doc_id) key keeps the longest, then
+    lowest-id, member — value-identical to the previous
+    ``row_number() == 1`` rank window (doc_id is unique, so the order
+    key is tie-free), but partially aggregable map-side and with no
+    per-partition sort of the full text payload (guide §2.2: the window
+    form shuffled AND sorted every text row inside each fp group; this
+    form collapses duplicate fingerprints before the exchange and
+    drops the sort entirely)."""
+    return F.max_by(
+        F.struct("doc_id", "text"),
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")),
+    ).alias("s")
+
+
 @register("d6_dedup_corpus", _D6_ORACLE)
 def d6_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data pipeline's dedup stage end-to-end: which docs
@@ -802,7 +818,6 @@ def d6_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole operator is shuffles on doc-sized keys; nothing is ever
     corpus × corpus."""
     from pyspark import StorageLevel
-    from pyspark.sql.window import Window
 
     # Result-level disk seam (contract in docs/benching.md): this OWNER
     # query always COMPUTES — its bench row measures the funnel, never
@@ -812,13 +827,12 @@ def d6_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a persisted table downstream stages read). Correctness runs never
     # set the variable; value parity pinned by test_round12_ops.
     docs = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
     surv = (
         fanout(docs)
         .select("doc_id", "n_chars", "text", T.fingerprint(F.col("text")).alias("fp"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text")
+        .groupBy("fp")
+        .agg(_fp_winner())
+        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.text").alias("text"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_surv = surv.count()
@@ -1112,16 +1126,14 @@ def d9_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are 1-row aggregates crossJoined into a single row — three
     scalar broadcasts, no data movement beyond d6's own shuffles."""
     from pyspark import StorageLevel
-    from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
     surv = (
         fanout(docs)
         .select("doc_id", "n_chars", "text", T.fingerprint(F.col("text")).alias("fp"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text")
+        .groupBy("fp")
+        .agg(_fp_winner())
+        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.text").alias("text"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_surv_rows = surv.count()

@@ -1597,30 +1597,41 @@ def _lp_edges(
 
 
 def _lp_iterate(directed: DataFrame) -> list[DataFrame]:
-    """l0..lN label frames, each eagerly checkpointed (O(1) lineage)."""
-    from pyspark.sql.window import Window
-
+    """l0..lN (node, lab, plab) frames, each eagerly checkpointed
+    (O(1) lineage). Each round's frame CARRIES the node's previous
+    label (plab) so census consumers need no per-round join-back, and
+    the per-node argmax runs as a ``max_by`` hash aggregate over the
+    (c, -lab) key — value-identical to the previous
+    ``row_number() == 1`` window (labels are distinct within a node
+    group, so the key is tie-free) without the per-partition sort
+    (guide §2.2)."""
     labels = [
         directed.select(F.col("src").alias("node"))
         .distinct()
-        .select("node", F.col("node").alias("lab"))
+        .select(
+            "node",
+            F.col("node").alias("lab"),
+            F.col("node").alias("plab"),
+        )
         .localCheckpoint(eager=True)
     ]
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
     for _ in range(LP_ROUNDS):
         prev = labels[-1]
+        prevnl = prev.select("node", "lab")
         cnt = (
-            directed.join(prev, directed["dst"] == prev["node"])
+            directed.join(prevnl, directed["dst"] == prevnl["node"])
             .groupBy(F.col("src").alias("node2"), "lab")
             .agg(F.count(F.lit(1)).alias("c"))
             .withColumnRenamed("node2", "node")
         )
-        nxt = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lab")
-            .localCheckpoint(eager=True)
+        top = cnt.groupBy("node").agg(
+            F.max_by(
+                "lab", F.struct(F.col("c"), (-F.col("lab")).alias("nl"))
+            ).alias("lab")
         )
+        nxt = top.join(
+            prev.select("node", F.col("lab").alias("plab")), "node"
+        ).localCheckpoint(eager=True)
         labels.append(nxt)
     return labels
 
@@ -1654,23 +1665,33 @@ def g11_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, directed = _lp_edges(spark, sf_dir)
     with _iter_shuffle(spark):
         labels = _lp_iterate(directed)
-        census = [(0, labels[0].count(), 0)]
+        # ONE census job for the whole trajectory: every checkpointed
+        # round already carries (lab, plab), so a union of the bounded
+        # (node, lab, plab) frames + one grouped aggregate replaces the
+        # former per-round join+collect jobs (LP_ROUNDS+1 jobs -> 1).
+        # Round 0 falls out of the same aggregate: plab == lab there,
+        # so n_moved sums to 0 and COUNT(DISTINCT lab) is the node
+        # count.
+        u = labels[0].select(F.lit(0).alias("round"), "lab", "plab")
         for i in range(1, LP_ROUNDS + 1):
-            cur, prev = labels[i], labels[i - 1]
-            # one job per round: both census quantities in one aggregate
-            row = (
-                cur.join(prev.withColumnRenamed("lab", "plab"), "node")
-                .agg(
-                    F.count_distinct("lab").alias("nc"),
-                    F.sum(
-                        (F.col("lab") != F.col("plab")).cast("int")
-                    ).alias("mv"),
-                )
-                .collect()[0]
+            u = u.unionAll(
+                labels[i].select(F.lit(i).alias("round"), "lab", "plab")
             )
-            census.append((i, row["nc"], row["mv"] or 0))
+        rows = (
+            u.groupBy("round")
+            .agg(
+                F.count_distinct("lab").alias("nc"),
+                F.sum(
+                    (F.col("lab") != F.col("plab")).cast("int")
+                ).alias("mv"),
+            )
+            .collect()
+        )
+    census = sorted(
+        (int(r["round"]), int(r["nc"]), int(r["mv"] or 0)) for r in rows
+    )
     return spark.createDataFrame(
-        [(int(r), int(c), int(m)) for r, c, m in census],
+        census,
         "round int, n_communities long, n_moved long",
     )
 
