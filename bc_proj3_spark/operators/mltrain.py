@@ -535,8 +535,14 @@ def ml2_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     vocab = dt.select("w").distinct()
-    n_docs = cls.agg(F.sum("n_docs_c")).collect()[0][0]
-    v = vocab.count()
+    # both model scalars in ONE job (two 1-row aggregates crossed),
+    # instead of a collect for N and a separate count for V
+    scal = (
+        cls.agg(F.sum("n_docs_c").alias("nd"))
+        .crossJoin(vocab.agg(F.count(F.lit(1)).alias("nv")))
+        .collect()[0]
+    )
+    n_docs, v = scal["nd"], scal["nv"]
     if not n_docs or v == 0:
         # degenerate corpus (no content tokens anywhere): the oracle's
         # confusion CTE is empty — mirror it instead of crashing on

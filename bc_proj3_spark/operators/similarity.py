@@ -261,9 +261,21 @@ def _bucketed(corpus: DataFrame) -> DataFrame:
         ]
         return pd.Series(list(np.stack(per_table, axis=1)))
 
-    return corpus.select(
+    from pyspark import StorageLevel
+
+    cb = corpus.select(
         "vec_id", F.posexplode(_buckets(F.col("v"))).alias("t", "bkt")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Every caller joins cb against a projection of ITSELF (query-side
+    # vs corpus-side buckets), so without a materialization barrier the
+    # Arrow matmul above runs once per join side — eager persist+count
+    # halves the Python-boundary work for all six consumers (s2/s3/s9/
+    # hs3/hs4/hs5) and stops AQE's concurrent exchange jobs racing to
+    # recompute the uncached UDF subtree (the _verified_jaccard
+    # rationale). The bucket table is (vec_id, t, bkt) — narrow rows,
+    # LSH_TABLES per vector.
+    cb.count()
+    return cb
 
 
 @register("s2_ann_lsh", _S2_ORACLE)

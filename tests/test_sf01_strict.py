@@ -136,6 +136,13 @@ SF01_QUERIES = [
 @pytest.fixture(scope="module")
 def sf01_con():
     con = duckdb.connect()
+    # Cap DuckDB's thread count for the sf0.1 oracles: at the default
+    # (one per host core, 32 here) the d4-CTE-embedding graph oracles
+    # (cc3/g6/g11/...) thread-partition their materialized CTEs into
+    # tens of GB of .tmp spill and run for an hour; at 8 threads the
+    # same cc3 oracle finishes in ~3 min fully in memory (measured
+    # r10: 162 s / 0 spill at 6 threads vs >60 min / 58 GB at 32).
+    con.execute("SET threads=8")
     for name in TABLE_NAMES:
         path = f"{SF01_DIR}/{name}.parquet"
         if os.path.exists(path):

@@ -16,6 +16,9 @@ SPECS = registry.all_queries()
 fail = 0
 for sf in sfs:
     con = duckdb.connect()
+    # 32-thread DuckDB partitions the big materialized-CTE oracles into
+    # tens of GB of temp spill at sf0.1 (see tests/test_sf01_strict.py)
+    con.execute("SET threads=8")
     for t in ["region","nation","customer","supplier","part","orders","lineitem",
               "events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf{sf}/{t}.parquet')")
