@@ -785,22 +785,6 @@ WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
-def _fp_winner():
-    """Exact-dedup winner per fingerprint as ONE hash aggregate:
-    ``max_by`` over the (n_chars, -doc_id) key keeps the longest, then
-    lowest-id, member — value-identical to the previous
-    ``row_number() == 1`` rank window (doc_id is unique, so the order
-    key is tie-free), but partially aggregable map-side and with no
-    per-partition sort of the full text payload (guide §2.2: the window
-    form shuffled AND sorted every text row inside each fp group; this
-    form collapses duplicate fingerprints before the exchange and
-    drops the sort entirely)."""
-    return F.max_by(
-        F.struct("doc_id", "text"),
-        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")),
-    ).alias("s")
-
-
 @register("d6_dedup_corpus", _D6_ORACLE)
 def d6_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data pipeline's dedup stage end-to-end: which docs
@@ -818,6 +802,7 @@ def d6_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole operator is shuffles on doc-sized keys; nothing is ever
     corpus × corpus."""
     from pyspark import StorageLevel
+    from pyspark.sql.window import Window
 
     # Result-level disk seam (contract in docs/benching.md): this OWNER
     # query always COMPUTES — its bench row measures the funnel, never
@@ -827,12 +812,19 @@ def d6_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a persisted table downstream stages read). Correctness runs never
     # set the variable; value parity pinned by test_round12_ops.
     docs = table(spark, sf_dir, "documents")
+    # Survivor pick stays a rank WINDOW deliberately: an r10 A/B of the
+    # max_by-aggregate form (buffer the full (doc_id, text) struct per
+    # fingerprint in the agg hash map) regressed d6 5.4 -> 7.9 s at
+    # sf0.1 — fingerprints are ~unique, so partial aggregation buffers
+    # the whole text payload for no reduction, while the window streams
+    # it through one codegen sort.
+    w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
     surv = (
         fanout(docs)
         .select("doc_id", "n_chars", "text", T.fingerprint(F.col("text")).alias("fp"))
-        .groupBy("fp")
-        .agg(_fp_winner())
-        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.text").alias("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_surv = surv.count()
@@ -1126,14 +1118,17 @@ def d9_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are 1-row aggregates crossJoined into a single row — three
     scalar broadcasts, no data movement beyond d6's own shuffles."""
     from pyspark import StorageLevel
+    from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
+    # rank window, not max_by — see the d6 comment (r10 A/B)
+    w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
     surv = (
         fanout(docs)
         .select("doc_id", "n_chars", "text", T.fingerprint(F.col("text")).alias("fp"))
-        .groupBy("fp")
-        .agg(_fp_winner())
-        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.text").alias("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_surv_rows = surv.count()
