@@ -613,16 +613,26 @@ def d4_pairs_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out if out is not None else d4_minhash_lsh_pairs(spark, sf_dir)
 
 
-def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
+def _lsh_candidate_pairs(
+    sh: DataFrame, sig: DataFrame | None = None
+) -> DataFrame:
     """Banded-LSH candidate (doc_a, doc_b) pairs from a (persisted)
     shingle index: MinHash signatures → per-band bucket keys → bucket
     self-join. The band table is persisted + counted so both self-join
-    sides read one materialization (see d4's docstring)."""
+    sides read one materialization (see d4's docstring).
+
+    ``sig``: a caller that already materialized the signature table
+    (d11 persists it for its estimate lookups) passes it in so the band
+    build reads the cache instead of re-running the 16-min aggregate
+    over the shingle index a second time (guide §1.2 double-compute).
+    The expression tree is identical either way, so passing it never
+    changes the candidate set."""
     from pyspark import StorageLevel
 
-    sig = sh.groupBy("doc_id").agg(
-        *[_minhash_col(i) for i in range(NUM_HASHES)]
-    )
+    if sig is None:
+        sig = sh.groupBy("doc_id").agg(
+            *[_minhash_col(i) for i in range(NUM_HASHES)]
+        )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -1368,7 +1378,7 @@ def d11_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[_minhash_col(i) for i in range(NUM_HASHES)]
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sig.count()  # feeds the band build AND both estimate lookups
-    cand = _lsh_candidate_pairs(sh)
+    cand = _lsh_candidate_pairs(sh, sig=sig)
     inter = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(
