@@ -62,7 +62,7 @@ def _artifact_restore(
     return out
 
 
-def _artifact_publish(df: DataFrame, sf_dir: str, name: str) -> None:
+def _artifact_publish(df: DataFrame, sf_dir: str, name: str) -> bool:
     """Write a computed result as the artifact consumers restore from.
 
     Write-once: an existing artifact is left in place (a bench min-of-N
@@ -70,14 +70,19 @@ def _artifact_publish(df: DataFrame, sf_dir: str, name: str) -> None:
     restore may still be backed by). Any write failure degrades to the
     no-artifact path (consumers then recompute via the owner) —
     PySpark writer failures surface as Py4JJavaError/AnalysisException,
-    so the catch is broad (r9 ADVICE)."""
+    so the catch is broad (r9 ADVICE).
+
+    Returns True when the write job actually ran (r11: owners whose
+    result frame is persisted use this to skip the redundant
+    materialization count — the write job already filled the cache)."""
     path = _artifact_path(sf_dir, name)
     if path is None or os.path.exists(os.path.join(path, "_SUCCESS")):
-        return
+        return False
     try:
         df.write.mode("overwrite").parquet(path)
+        return True
     except Exception:  # pragma: no cover - unwritable spill dir
-        pass
+        return False
 
 
 def publish_owner_result(df: DataFrame, sf_dir: str, name: str) -> DataFrame:

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from bc_proj3_spark.functions import text as T
 from bc_proj3_spark.functions.hashing import hash32, hash60, sql_hash32, sql_hash60
-from bc_proj3_spark.plans.tables import fanout, table
+from bc_proj3_spark.plans.tables import fanout, local_rows_df, table
 from bc_proj3_spark.registry import register
 
 # MinHash/LSH geometry: K = NUM_BANDS * ROWS_PER_BAND signatures.
@@ -162,7 +162,9 @@ def _minhash_col(i: int) -> Column:
 
 
 def _shingle_pairs(
-    docs: DataFrame, n_docs: int | None = None
+    docs: DataFrame,
+    n_docs: int | None = None,
+    n_docs_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(sh, sizes): hashed distinct-shingle index and per-doc counts,
     with the document-frequency cap applied (SHINGLE_DF_CAP_DIV).
@@ -199,9 +201,8 @@ def _shingle_pairs(
     materialized the doc count (d6's survivor set)."""
     from pyspark import StorageLevel
 
-    if n_docs is None:
+    if n_docs is None and n_docs_df is None:
         n_docs = docs.count()  # parquet metadata count — no data scan
-    cap = shingle_df_cap(n_docs)
     shs = fanout(docs).select(
         "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("s")
     )
@@ -212,16 +213,26 @@ def _shingle_pairs(
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("a"),
         F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("b"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    hot_keys = [
-        r[0]
-        for r in (
-            sh0.groupBy("k")
-            .agg(F.count(F.lit(1)).alias("dfreq"))
-            .filter(F.col("dfreq") > cap)
-            .select("k")
-            .collect()
+    census = sh0.groupBy("k").agg(F.count(F.lit(1)).alias("dfreq"))
+    if n_docs_df is not None:
+        # cap computed IN-PLAN (r11 job trim): a caller whose doc set is
+        # itself a computed frame (d6/d9's survivor set) passes its
+        # 1-row count subtree instead of paying a separate count job
+        # just to derive the cap — the census collect below is then the
+        # FIRST job over the survivor set and fills its cache. The
+        # arithmetic mirrors shingle_df_cap exactly (floor division,
+        # SHINGLE_DF_CAP_MIN floor).
+        hot = census.crossJoin(n_docs_df.select(F.col("n_docs_cap"))).filter(
+            F.col("dfreq")
+            > F.greatest(
+                # integer DIV, the exact twin of shingle_df_cap's //
+                F.expr(f"n_docs_cap DIV {SHINGLE_DF_CAP_DIV}"),
+                F.lit(SHINGLE_DF_CAP_MIN).cast("bigint"),
+            )
         )
-    ]
+    else:
+        hot = census.filter(F.col("dfreq") > shingle_df_cap(n_docs))
+    hot_keys = [r[0] for r in hot.select("k").collect()]
     if hot_keys:
         hot = docs.sparkSession.createDataFrame(
             [(k,) for k in hot_keys], "k bigint"
@@ -352,10 +363,15 @@ def _verified_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
     docs_in = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
+    # r11 job trim: no standalone shc.count — the single action below
+    # (out.count) fills shc's cache on first touch. The A/B'd AQE risk
+    # (broadcast-subquery branches racing to recompute an UNCACHED
+    # subtree) is bounded here: shc's subtree is one semi-join of the
+    # already-cached index against the already-broadcast id list, so a
+    # duplicate evaluation costs less than the job it replaces.
     shc = sh.join(F.broadcast(docs_in), "doc_id", "left_semi").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    shc.count()
     sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ca = cand.join(
         shc.alias("sa"), F.col("doc_a") == F.col("sa.doc_id")
@@ -613,26 +629,10 @@ def d4_pairs_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out if out is not None else d4_minhash_lsh_pairs(spark, sf_dir)
 
 
-def _lsh_candidate_pairs(
-    sh: DataFrame, sig: DataFrame | None = None
-) -> DataFrame:
-    """Banded-LSH candidate (doc_a, doc_b) pairs from a (persisted)
-    shingle index: MinHash signatures → per-band bucket keys → bucket
-    self-join. The band table is persisted + counted so both self-join
-    sides read one materialization (see d4's docstring).
-
-    ``sig``: a caller that already materialized the signature table
-    (d11 persists it for its estimate lookups) passes it in so the band
-    build reads the cache instead of re-running the 16-min aggregate
-    over the shingle index a second time (guide §1.2 double-compute).
-    The expression tree is identical either way, so passing it never
-    changes the candidate set."""
-    from pyspark import StorageLevel
-
-    if sig is None:
-        sig = sh.groupBy("doc_id").agg(
-            *[_minhash_col(i) for i in range(NUM_HASHES)]
-        )
+def _band_table(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key) — one row per document per LSH band, keys
+    md5-composed from the band's ROWS_PER_BAND signature components
+    (identical expression to _sql_band_key)."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -648,26 +648,67 @@ def _lsh_candidate_pairs(
         )
         for b in range(NUM_BANDS)
     ]
-    bl = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", "bk.band", "bk.key").persist(StorageLevel.MEMORY_AND_DISK)
-    bl.count()
+    ).select("doc_id", "bk.band", "bk.key")
+
+
+#: In-bucket ordered pair expansion over a sorted doc-id array ``ds``:
+#: all (doc_a, doc_b) with doc_a < doc_b — the map-side k(k-1)/2
+#: pattern shared with graph.copurchase_pairs (r9/r10).
+_BUCKET_PAIR_EXPR = (
+    "flatten(transform(ds, (x, i) -> "
+    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+    "y -> struct(x AS doc_a, y AS doc_b))))"
+)
+
+
+def _lsh_candidate_pairs(
+    sh: DataFrame, sig: DataFrame | None = None
+) -> DataFrame:
+    """Banded-LSH candidate (doc_a, doc_b) pairs from a (persisted)
+    shingle index: MinHash signatures → per-band bucket keys → sorted
+    per-bucket doc-id lists → map-side in-bucket pair expansion.
+
+    r11 (guide §2.4/§3): the bucket SELF-JOIN — which needed the band
+    table persisted + counted so both join sides read one
+    materialization — is replaced by groupBy(band, key) + collect_list
+    + in-bucket expansion, the same map-side k(k-1)/2 pattern as
+    graph.copurchase_pairs. The candidate SET is identical: a bucket
+    holding docs {d1..dk} contributes exactly the pairs doc_a < doc_b
+    under both forms (doc_ids are unique within a bucket — one band row
+    per doc — and sort_array makes the expansion emit ascending pairs),
+    and the trailing .distinct() dedups across bands either way. What
+    it buys: ONE linear plan instead of a self-join — no band-table
+    persist+count job, the signature aggregate is computed once by
+    construction, and one shuffle of (band, key, doc_id) replaces the
+    two self-join sides. Per-bucket memory is the doc-id list (8 bytes
+    per doc); output volume stays the same quadratic-in-bucket the
+    self-join had, so the hot-bucket failure mode is unchanged.
+
+    ``sig``: a caller that already materialized the signature table
+    (d11 persists it for its estimate lookups) passes it in so the band
+    build reads the cache instead of re-running the 16-min aggregate
+    over the shingle index a second time (guide §1.2 double-compute).
+    The expression tree is identical either way, so passing it never
+    changes the candidate set."""
+    from pyspark import StorageLevel
+
+    if sig is None:
+        sig = sh.groupBy("doc_id").agg(
+            *[_minhash_col(i) for i in range(NUM_HASHES)]
+        )
     cand = (
-        bl.alias("x")
-        .join(
-            bl.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
+        _band_table(sig)
+        .groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_BUCKET_PAIR_EXPR)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand.count()
-    bl.unpersist()
     return cand
 
 
@@ -742,6 +783,56 @@ def d5_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d6 — end-to-end corpus dedup (exact survivors, then LSH near-dup prune)
 # ---------------------------------------------------------------------------
 
+
+def _exact_survivors(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) of the exact-dedup survivors: one doc per content
+    fingerprint — longest, then lowest doc_id (d2's rank semantics).
+
+    r11 (guide §2.3/§8 "decide with small rows, move big rows once"):
+    the survivor DECISION depends only on (fp, n_chars, doc_id) — ~40
+    bytes per doc — never on ``text``, so the pick aggregates NARROW
+    rows (min_by doc_id over the (-n_chars, doc_id) ordering ≡ the old
+    rank-window's ORDER BY n_chars DESC, doc_id; ties impossible since
+    doc_id is unique within a fingerprint group) and the text payload
+    is attached afterwards by a semi-join of ``documents`` against the
+    surviving ids. The r10 window shape shuffled AND sorted every
+    document's full text through Exchange hashpartitioning(fp); now
+    text crosses at most one hash-join boundary (none at all when the
+    id list broadcasts), and the only sort anywhere runs over the
+    narrow decision rows. This is the narrow variant of the r10
+    max_by A/B (which buffered the full (doc_id, text) struct in the
+    aggregate hash map and regressed) — the aggregate state here is a
+    single bigint per fingerprint.
+    """
+    surv_ids = (
+        fanout(docs)
+        .select("doc_id", "n_chars", T.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min_by(
+                "doc_id",
+                F.struct(
+                    (-F.col("n_chars")).alias("neg_len"),
+                    F.col("doc_id").alias("tie"),
+                ),
+            ).alias("doc_id")
+        )
+        .select("doc_id")
+    )
+    # fanout the PROBE side before the join (a cached frame's
+    # partitioning is materialized, so _shingle_pairs' own fanout would
+    # no-op): the single-file test corpus would otherwise leave the
+    # survivor set — and every shingle explode built on it — in ONE
+    # partition. Joining FROM the fanned-out scan lets the (locally
+    # broadcast) semi-join inherit its parallelism map-side instead of
+    # needing a second repartition after the join. At scale fanout is a
+    # no-op and the join degrades to a doc_id-keyed hash join — text
+    # still crosses at most one exchange.
+    return fanout(docs).join(surv_ids, "doc_id", "left_semi").select(
+        "doc_id", "text"
+    )
+
+
 #: Shared CTE prefix for the end-to-end dedup funnel — d6 selects the
 #: surviving doc ids from it, d9 aggregates the funnel counts from it.
 _DEDUP_FUNNEL_CTES = f"""
@@ -812,7 +903,6 @@ def d6_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole operator is shuffles on doc-sized keys; nothing is ever
     corpus × corpus."""
     from pyspark import StorageLevel
-    from pyspark.sql.window import Window
 
     # Result-level disk seam (contract in docs/benching.md): this OWNER
     # query always COMPUTES — its bench row measures the funnel, never
@@ -822,23 +912,12 @@ def d6_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a persisted table downstream stages read). Correctness runs never
     # set the variable; value parity pinned by test_round12_ops.
     docs = table(spark, sf_dir, "documents")
-    # Survivor pick stays a rank WINDOW deliberately: an r10 A/B of the
-    # max_by-aggregate form (buffer the full (doc_id, text) struct per
-    # fingerprint in the agg hash map) regressed d6 5.4 -> 7.9 s at
-    # sf0.1 — fingerprints are ~unique, so partial aggregation buffers
-    # the whole text payload for no reduction, while the window streams
-    # it through one codegen sort.
-    w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
-    surv = (
-        fanout(docs)
-        .select("doc_id", "n_chars", "text", T.fingerprint(F.col("text")).alias("fp"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n_surv = surv.count()
-    sh, _sizes = _shingle_pairs(surv, n_docs=n_surv)  # persisted inside
+    surv = _exact_survivors(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # No standalone count job (r11 trim): the shingle hot-key census is
+    # the first job over surv (filling its cache), and the df-cap is
+    # derived in the same plan from surv's own 1-row count subtree.
+    n_surv_df = surv.agg(F.count(F.lit(1)).alias("n_docs_cap"))
+    sh, _sizes = _shingle_pairs(surv, n_docs_df=n_surv_df)  # persisted inside
     pairs = _verified_jaccard(_lsh_candidate_pairs(sh), sh)
     sh.unpersist()
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
@@ -847,9 +926,12 @@ def d6_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dropped, "doc_id", "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    out.count()
+    # r11 job trim: when the seam-on publish write runs, that job fills
+    # out's cache — the explicit count is only needed when publish was
+    # a no-op (seam off, or artifact already written by a prior run).
+    if not _artifact_publish(out, sf_dir, "d6_survivors"):
+        out.count()
     surv.unpersist()
-    _artifact_publish(out, sf_dir, "d6_survivors")
     return out
 
 
@@ -1039,45 +1121,39 @@ def d8_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sh.groupBy("doc_id").agg(
         *[_minhash_col(i) for i in range(NUM_HASHES)]
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"h{b * ROWS_PER_BAND + j}").cast("string")
-                        for j in range(ROWS_PER_BAND)
-                    ],
-                )
-            ).alias("key"),
-        )
-        for b in range(NUM_BANDS)
-    ]
-    from pyspark import StorageLevel
-
-    bl = (
-        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
-        .select("doc_id", "bk.band", "bk.key")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    bl.count()
+    # r11 (guide §2.4): the batch-side × existing-side band-bucket JOIN
+    # — which needed the band table persisted + counted so both sides
+    # read one materialization — is replaced by ONE groupBy(band, key)
+    # + collect_list + in-bucket cross expansion between the bucket's
+    # batch members and its existing members. Pair set identical: the
+    # join emitted every (batch doc, existing doc) sharing a bucket,
+    # exactly what the per-bucket cross of the two filtered sub-arrays
+    # emits; .distinct() dedups across bands either way. One linear
+    # plan, no persist+count job, signature aggregate computed once by
+    # construction, one shuffle instead of two join sides.
     is_batch = F.col("doc_id") % D8_BATCH_MOD == D8_BATCH_REM
+    cross_expr = (
+        "flatten(transform(ba, x -> "
+        "transform(ea, y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     cand = (
-        bl.filter(is_batch)
-        .alias("x")
-        .join(
-            bl.filter(~is_batch).alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key")),
-        )
+        _band_table(sig)
+        .groupBy("band", "key")
+        .agg(F.collect_list("doc_id").alias("ds"))
         .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            F.expr(
+                f"filter(ds, d -> d % {D8_BATCH_MOD} = {D8_BATCH_REM})"
+            ).alias("ba"),
+            F.expr(
+                f"filter(ds, d -> d % {D8_BATCH_MOD} != {D8_BATCH_REM})"
+            ).alias("ea"),
         )
+        .filter((F.size("ba") > 0) & (F.size("ea") > 0))
+        .select(F.explode(F.expr(cross_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     pairs = _verified_jaccard(cand, sh)
-    bl.unpersist()
     dropped = pairs.select(F.col("doc_a").alias("doc_id")).distinct()
     batch = table(spark, sf_dir, "documents").filter(is_batch).select("doc_id")
     out = batch.join(dropped, "doc_id", "left_anti")
@@ -1128,44 +1204,42 @@ def d9_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are 1-row aggregates crossJoined into a single row — three
     scalar broadcasts, no data movement beyond d6's own shuffles."""
     from pyspark import StorageLevel
-    from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
-    # rank window, not max_by — see the d6 comment (r10 A/B)
-    w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
-    surv = (
-        fanout(docs)
-        .select("doc_id", "n_chars", "text", T.fingerprint(F.col("text")).alias("fp"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n_surv_rows = surv.count()
-    sh, _sizes = _shingle_pairs(surv, n_docs=n_surv_rows)
+    surv = _exact_survivors(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    n_surv = surv.count()
+    sh, _sizes = _shingle_pairs(surv, n_docs=n_surv)
     pairs = _verified_jaccard(_lsh_candidate_pairs(sh), sh)
     sh.unpersist()
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
 
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    n_surv = surv.agg(F.count(F.lit(1)).alias("n_surv"))
-    n_near = dropped.agg(F.count(F.lit(1)).alias("n_near_dropped"))
-    out = (
-        n_docs.crossJoin(n_surv)
-        .crossJoin(n_near)
-        .select(
-            "n_docs",
-            (F.col("n_docs") - F.col("n_surv")).alias("n_exact_dropped"),
-            F.col("n_near_dropped"),
-            (F.col("n_surv") - F.col("n_near_dropped")).alias("n_final"),
-            F.round(
-                (F.col("n_surv") - F.col("n_near_dropped")).cast("double")
-                / F.col("n_docs"),
-                9,
-            ).alias("keep_rate"),
-        )
+    # r11 (guide §5.3, the r10 pi1/e24 bounded-state pattern): the
+    # report is THREE scalars, all already materialized or one cheap
+    # job over the cached pair list — collect them and emit the row as
+    # literals instead of a 3-agg double-crossJoin plan whose final
+    # action scheduled a broadcast exchange per scalar. n_surv is the
+    # survivor cache-fill count; n_docs is a parquet metadata-only
+    # count; n_near counts the persisted (candidate-bounded) pair list.
+    # keep_rate replays Spark's ROUND(double, 9) exactly: IEEE double
+    # division, then shortest-repr HALF_UP quantize, correctly-rounded
+    # back to double (linalg._round_half_up/_dec_to_double, the r10
+    # driver-replay discipline).
+    from bc_proj3_spark.operators.linalg import _dec_to_double, _round_half_up
+
+    n_docs = docs.count()
+    n_near = dropped.count()
+    surv.unpersist()
+    pairs.unpersist()
+    keep_rate = _dec_to_double(
+        _round_half_up(float(n_surv - n_near) / float(n_docs), 9)
     )
-    return out
+    row = [(n_docs, n_docs - n_surv, n_near, n_surv - n_near, keep_rate)]
+    return local_rows_df(
+        spark,
+        row,
+        "n_docs bigint, n_exact_dropped bigint, n_near_dropped bigint, "
+        "n_final bigint, keep_rate double",
+    )
 
 
 # ---------------------------------------------------------------------------

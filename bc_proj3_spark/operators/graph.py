@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bc_proj3_spark.operators.dedup import d4_pairs_artifact
-from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.plans.tables import local_rows_df, table
 from bc_proj3_spark.registry import register
 
 #: Shuffle width for the ITERATION phases. The iterated frames (rank
@@ -1222,7 +1222,8 @@ def g6_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True)
             )
             census.append((i, obs.get["n_alive"], e.count()))
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(int(r), int(n), int(m)) for r, n, m in census],
         "round int, n_nodes long, n_edges long",
     )
@@ -1690,7 +1691,8 @@ def g11_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     census = sorted(
         (int(r["round"]), int(r["nc"]), int(r["mv"] or 0)) for r in rows
     )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         census,
         "round int, n_communities long, n_moved long",
     )

@@ -59,7 +59,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bc_proj3_spark.plans.tables import fanout, table
+from bc_proj3_spark.plans.tables import fanout, local_rows_df, table
 from bc_proj3_spark.registry import register
 
 DIM = 64
@@ -263,8 +263,8 @@ def pi1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pos, _dec_to_double(x[pos]), float(_round_half_up(nrm, 6)))
         for pos in sorted(x)
     ]
-    return spark.createDataFrame(
-        rows, "pos int, loading double, eigenvalue_est double"
+    return local_rows_df(
+        spark, rows, "pos int, loading double, eigenvalue_est double"
     )
 
 
@@ -564,7 +564,8 @@ def pi2_spectral_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for pos in sorted(w)
     ]
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows,
         "pos int, loading2 double, eigenvalue2_est double, gap_ratio double",
     )

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.plans.tables import local_rows_df, table
 from bc_proj3_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -401,7 +401,8 @@ def bt1_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         u = {i: halfup(n_wins[i] * s * s, d[i]) for i in d}
         tot = sum(u.values())
         p = {i: halfup(pu * s, tot) for i, pu in u.items()}
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [
             (i, n_wins[i], n_matches[i], p[i], float(p[i]) / float(s))
             for i in sorted(n_wins)

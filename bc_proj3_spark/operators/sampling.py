@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bc_proj3_spark.functions.hashing import hash32, hash60, sql_hash32, sql_hash60
-from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.plans.tables import local_rows_df, table
 from bc_proj3_spark.registry import register
 
 #: split thresholds over hash-bucket % 100: [0,90) train, [90,95) val,
@@ -995,8 +995,8 @@ def sp13_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     single scan; languages outside MIX_TARGET drop via the inner
     join."""
     docs = table(spark, sf_dir, "documents")
-    tgt = docs.sparkSession.createDataFrame(
-        list(MIX_TARGET.items()), "lang string, share bigint"
+    tgt = local_rows_df(
+        docs.sparkSession, list(MIX_TARGET.items()), "lang string, share bigint"
     )
     cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     j = cnt.join(tgt, "lang")
@@ -1072,8 +1072,8 @@ def sp14_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Repeats are TAGGED, not copied: downstream stages key on
     (doc_id, epoch) and payload bytes are stored once."""
     docs = table(spark, sf_dir, "documents")
-    rec = docs.sparkSession.createDataFrame(
-        list(EPOCH_PCT.items()), "lang string, pct bigint"
+    rec = local_rows_df(
+        docs.sparkSession, list(EPOCH_PCT.items()), "lang string, pct bigint"
     )
     coin = hash60(_seeded("epoch", F.col("doc_id").cast("string"))) % 100
     rep = (

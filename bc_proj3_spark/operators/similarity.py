@@ -47,7 +47,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bc_proj3_spark.plans.tables import fanout, table
+from bc_proj3_spark.plans.tables import fanout, local_rows_df, table
 from bc_proj3_spark.registry import register
 
 DIM = 64  # embeddings.parquet vector width (TESTDATA.md)
@@ -1363,7 +1363,8 @@ def hs2_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     break
                 picked.append(best[1])
                 out_rows.append((q, rank, best[1], _dec_to_double(best[2])))
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         out_rows,
         "query_id long, mmr_rank long, vec_id long, relevance double",
     )
@@ -1780,7 +1781,8 @@ def s12_centroid_dendrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2, ka, kb = min(eligible)
         active[ka] += active.pop(kb)
         out.append((rnd, int(ka), int(kb), float(d2), int(active[ka])))
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         out,
         "round int, rep_kept long, rep_merged long, d2 double,"
         " n_members long",

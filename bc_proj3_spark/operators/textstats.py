@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from bc_proj3_spark.functions import text as T
 from bc_proj3_spark.functions.joins import gated_broadcast
-from bc_proj3_spark.plans.tables import fanout, table
+from bc_proj3_spark.plans.tables import fanout, local_rows_df, table
 from bc_proj3_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -2030,7 +2030,8 @@ def t27_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r, pair, cnt, changed, total)
         for r, (pair, cnt, changed, total) in enumerate(stats, start=1)
     ]
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         out_rows,
         "round int, merged_pair string, weighted_count long,"
         " n_spellings_changed long, total_symbols long",

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bc_proj3_spark.functions.numeric import dec_sum, sql_dec_sum
-from bc_proj3_spark.plans.tables import table
+from bc_proj3_spark.plans.tables import local_rows_df, table
 from bc_proj3_spark.registry import register
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
@@ -2828,7 +2828,8 @@ def e24_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             if ft in p:
                 s[tt] = s.get(tt, 0) + halfup(p[ft] * qv, MARKOV_SCALE)
         p = {t: s.get(t, 0) for t in types}
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(t, p[t], float(p[t]) / MARKOV_SCALE) for t in types],
         "event_type string, pi_scaled long, pi double",
     )

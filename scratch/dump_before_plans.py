@@ -1,4 +1,4 @@
-"""Dump post-change .explain("formatted") plans to plans/r11/<name>_after.txt.
+"""Dump post-change .explain("formatted") plans to plans/r11/<name>_before.txt.
 
 Same method as the _before dumps (scratch/profile_queries.py): build the
 DataFrame, execute once via the noop sink so AQE final plans materialize,
@@ -42,7 +42,7 @@ for name in names:
     df = spec.builder(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     t1 = time.perf_counter()
-    with open(os.path.join(out_dir, f"{name}_after.txt"), "w") as f:
+    with open(os.path.join(out_dir, f"{name}_before.txt"), "w") as f:
         f.write(df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"))
     print(f"{name:40s} {t1 - t0:7.2f}s", flush=True)
