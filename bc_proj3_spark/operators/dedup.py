@@ -1606,8 +1606,6 @@ def d13_hamming_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-heavy corpora should pre-drop exact duplicates (d1/d6)
     before indexing; the 20-bit band domain (1M keys) keeps random
     collisions negligible at any corpus size."""
-    from pyspark import StorageLevel
-
     sigs = _simhash60(spark, sf_dir)
     band_structs = [
         F.struct(
@@ -1618,26 +1616,38 @@ def d13_hamming_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(HAM_BANDS)
     ]
-    bl = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.array(*band_structs)).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.key").persist(
-        StorageLevel.MEMORY_AND_DISK
+    # r11 (guide §2.4, the _lsh_candidate_pairs pattern): the band
+    # self-join — which needed the band table persisted + counted so
+    # both sides read one materialization — is replaced by ONE
+    # groupBy(band, key) + sorted collect_list of (doc_id, simhash)
+    # structs + in-bucket pair expansion. Pair set identical: a bucket
+    # {d1..dk} contributes exactly the (doc_a < doc_b) pairs under both
+    # forms (sort_array orders by doc_id, the struct's first field, and
+    # doc_ids are unique within a bucket), and .distinct() dedups
+    # across bands either way. One linear plan, no persist+count job,
+    # the 60-bit signature build computed once by construction.
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), "
+        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.simhash AS sh_a, y.simhash AS sh_b))))"
     )
-    bl.count()  # one materialization feeds both self-join sides
     cand = (
-        bl.alias("x")
-        .join(
-            bl.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        sigs.select(
+            "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
         )
+        .groupBy("bk.band", "bk.key")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.simhash").bitwiseXOR(F.col("y.simhash")).alias("x_xor"),
+            "p.doc_a",
+            "p.doc_b",
+            F.col("p.sh_a").bitwiseXOR(F.col("p.sh_b")).alias("x_xor"),
         )
         .distinct()
     )

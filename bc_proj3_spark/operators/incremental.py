@@ -124,6 +124,7 @@ def merge_upsert(
     key: str,
     update_when: Column,
     partition_col: str | None = None,
+    eager_metrics: bool = True,
 ) -> MergeResult:
     """Pure-Spark MERGE: update matched rows satisfying ``update_when``
     (a predicate over ``tgt.<c>``/``src.<c>`` aliases), insert unmatched
@@ -171,8 +172,12 @@ def merge_upsert(
         *[F.col(c) for c in cols]
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    n_updated = upd.count()
-    n_inserted = inserts.count()
+    # ``eager_metrics=False`` (r11, st8's per-batch path): skip the two
+    # metric-count jobs — the branches stay persisted and the CALLER's
+    # single action on ``df`` fills both caches; inserted/updated are
+    # then -1 (unknown). Only for callers that never read the metrics.
+    n_updated = upd.count() if eager_metrics else -1
+    n_inserted = inserts.count() if eager_metrics else -1
     # re-assert tgt's column order: the USING-style anti join above
     # promotes the key column to the front of `kept`
     out = (

@@ -417,11 +417,19 @@ def t14_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines pick identical rows in identical order."""
     from pyspark.sql.window import Window
 
-    docs = table(spark, sf_dir, "documents")
+    from pyspark import StorageLevel
+
+    docs = fanout(table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(T.tokenize(F.col("text"))).alias("t")
     )
-    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    # r11 single-tokenize: tf feeds BOTH the idf derivation and the
+    # scoring join probe — un-cached, the regex tokenize ran twice.
+    # The idf gate's measured count below is the first job and fills
+    # this cache; the scoring action then reads (doc,term,tf) rows.
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = df.crossJoin(F.broadcast(n_docs)).select(
@@ -498,6 +506,10 @@ def t16_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     module-wide ln-ulp discipline)."""
     docs = fanout(table(spark, sf_dir, "documents"))
     base = docs.select("doc_id", T.tokenize(F.col("text")).alias("toks"))
+    # (r11 A/B: persisting the bigram stream here measured FLAT for
+    # t16 and regressed t29 — whose eager checkpoint of the composed
+    # result already evaluates this plan exactly once, turning the
+    # persist into a pure cache-write. Left un-cached.)
     big = base.select(
         "doc_id",
         F.explode(

@@ -341,7 +341,14 @@ def s3_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join generates candidates (no vector×vector cross join),
     cosine is verified for candidates only. Recall scales with table
     count; exhaustiveness is never bought with a cartesian product."""
-    corpus = _corpus(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    # r11 (r10 deferred item): the (vec_id, v, nrm) projection feeds the
+    # bucket build AND both verify joins — un-cached, the embeddings
+    # scan + per-row norm ran three times. _bucketed's materialization
+    # count is the first job over it and fills this cache; ea/eb then
+    # read cached rows (after-plan: one embeddings scan).
+    corpus = _corpus(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     cb = _bucketed(corpus)
     cand = (
         cb.alias("x")

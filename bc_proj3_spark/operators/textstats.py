@@ -533,8 +533,21 @@ def t11_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     PMI is a single ln per surviving bigram computed from exact integer
     counts — no log-sums, so cross-engine parity needs only the final
     round(6). Total order (pmi desc, a, b) shared with the oracle."""
+    from pyspark import StorageLevel
+
     docs = fanout(table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", T.tokenize(F.col("text")).alias("w"))
+    # r11 single-tokenize (guide §1.2 double-compute): the token stream
+    # feeds THREE aggregate branches (bigram counts, unigram counts,
+    # and the totals broadcast re-evaluating both), so the un-cached
+    # plan ran the regex tokenize 3-4×. Persist the tokenized frame —
+    # the gate's measured count below is the first job and fills it;
+    # every branch then reads cached arrays. Same trade as the r7
+    # shingle-index A/B: at scale this swaps repeated tokenizer CPU for
+    # one line-rate local cache write, never a shuffle. Released by the
+    # session's per-query clearCache (d11-sig precedent).
+    toks = docs.select("doc_id", T.tokenize(F.col("text")).alias("w")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     size = F.size(F.col("w"))
     idx = F.when(size >= 2, F.sequence(F.lit(1), size - 1)).otherwise(
         F.array().cast("array<int>")
@@ -734,7 +747,10 @@ def t15_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate (map-side combine absorbs each partition's repeats)
     and the top-k compiles to TakeOrderedAndProject with a total order
     (count desc, then both words) so both engines pick identical rows."""
-    docs = table(spark, sf_dir, "documents")
+    # fanout: the heavy pair fan-out otherwise runs in the scan's
+    # partitioning — ONE task on the single-file test corpus (r11;
+    # no-op at scale where the scan reads >= shuffle-width files)
+    docs = fanout(table(spark, sf_dir, "documents"))
     toks = docs.select(T.tokenize(F.col("text")).alias("t")).filter(
         F.size("t") >= 2
     )

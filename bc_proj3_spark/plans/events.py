@@ -13,6 +13,8 @@ Determinism: window orderings always carry a unique tiebreaker
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -301,10 +303,27 @@ def _slope_batch(pdf):
 #: anti-pattern). Grouping by a hash BUCKET of the user key instead
 #: sends ~this many large batches and the per-user math runs as a
 #: pandas groupby INSIDE the worker — same per-user row subsets, same
-#: Series arithmetic, identical floats. Scale note: buckets cap Python
-#: call overhead, not state — a bucket holds ~n_users/N_BUCKETS
-#: groups; size so one bucket's rows fit a worker's memory.
-E4B_BUCKETS = 32
+#: Series arithmetic, identical floats. Buckets cap Python CALL
+#: overhead, not state: one bucket's rows (~n_events/N_BUCKETS) are
+#: concatenated into a single pandas frame in one worker, so the
+#: bucket count bounds per-worker memory and MUST scale with input
+#: size (r10 verdict item 2 — a constant 32 is a worker-memory cliff
+#: at 100 TB). Env-parameterized like the other scale knobs
+#: (SPARK_GRAFT_STREAM_SHUFFLE precedent); the default derives from
+#: the session's shuffle width — itself env/cluster-sized — at one
+#: bucket per shuffle slot, so a bucket holds the row volume a shuffle
+#: partition already must hold (and the local default reproduces
+#: r10's measured-best 32).
+#: Result-invariant by construction: the bucket id never appears in
+#: the output and every user's rows land in exactly one bucket
+#: whatever the count.
+E4B_BUCKETS = int(os.environ.get("SPARK_GRAFT_E4B_BUCKETS", "0"))
+
+
+def _e4b_buckets(spark: SparkSession) -> int:
+    if E4B_BUCKETS > 0:
+        return E4B_BUCKETS
+    return int(spark.conf.get("spark.sql.shuffle.partitions"))
 
 
 def _slope_bucket(pdf):
@@ -370,7 +389,7 @@ def e4b_trend_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("ts").cast("double") / F.lit(1e6)).alias("x"),
         "value",
-        F.pmod(F.xxhash64("user_id"), F.lit(E4B_BUCKETS)).alias("bkt"),
+        F.pmod(F.xxhash64("user_id"), F.lit(_e4b_buckets(spark))).alias("bkt"),
     )
     out = g.groupBy("bkt").applyInPandas(
         _slope_bucket, schema="user_id long, n_events long, slope6 double"

@@ -48,6 +48,36 @@ from bc_proj3_spark.registry import register
 #: coalesce this, so it must be SIZED: to expected peak state volume on
 #: a cluster (hundreds for 100 TB feeds), small for bounded demo
 #: drains. Env-overridable like the batch width.
+#: Scratch base for EPHEMERAL drain state (per-call checkpoint dirs,
+#: st8's staged feed). Every registered streaming query creates a fresh
+#: checkpoint per call and deletes it on exit — the dir is scratch by
+#: construction, so it goes on the fastest local medium available
+#: (tmpfs when present): micro-batch latency here is dominated by the
+#: offset/commit-log and state-store fsyncs, not compute. A real
+#: deployment needs DURABLE checkpoints for exactly-once restart —
+#: point SPARK_GRAFT_STREAM_SCRATCH at the durable location (or any
+#: other base) to override; unset with no /dev/shm falls back to the
+#: system tempdir, the pre-r11 behavior.
+_SCRATCH_BASE = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH") or (
+    "/dev/shm" if os.path.isdir("/dev/shm") else None
+)
+
+
+def _scratch_mkdtemp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_BASE)
+
+
+@contextlib.contextmanager
+def _scratch_dir(prefix: str):
+    import shutil
+
+    d = _scratch_mkdtemp(prefix)
+    try:
+        yield d
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 STREAM_SHUFFLE = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
 
 
@@ -100,7 +130,7 @@ def st1_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     sink = f"st1_sink_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="st1-ckpt-") as ckpt, _stream_shuffle(spark):
+    with _scratch_dir(prefix="st1-ckpt-") as ckpt, _stream_shuffle(spark):
         # AvailableNow drains the whole backlog in this one call, so the
         # checkpoint is dead state once the query terminates — scope it
         # to the drain (a restartable deployment passes a durable dir).
@@ -293,7 +323,7 @@ def st3_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"st3_sink_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="st3-ckpt-") as ckpt, _stream_shuffle(spark):
+    with _scratch_dir(prefix="st3-ckpt-") as ckpt, _stream_shuffle(spark):
         query = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -375,7 +405,7 @@ def st2_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = f"st2_sink_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="st2-ckpt-") as ckpt, _stream_shuffle(spark):
+    with _scratch_dir(prefix="st2-ckpt-") as ckpt, _stream_shuffle(spark):
         # checkpoint scoped to the AvailableNow drain, as in st1
         query = (
             out.writeStream.format("memory")
@@ -427,7 +457,7 @@ def st4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     sink = f"st4_sink_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="st4-ckpt-") as ckpt, _stream_shuffle(spark):
+    with _scratch_dir(prefix="st4-ckpt-") as ckpt, _stream_shuffle(spark):
         query = (
             deduped.writeStream.format("memory")
             .queryName(sink)
@@ -507,7 +537,7 @@ def st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("user_id", "view_ts", "purchase_ts", "purchase_value")
     sink = f"st5_sink_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="st5-ckpt-") as ckpt, _stream_shuffle(spark):
+    with _scratch_dir(prefix="st5-ckpt-") as ckpt, _stream_shuffle(spark):
         query = (
             joined.writeStream.format("memory")
             .queryName(sink)
@@ -560,7 +590,7 @@ def st6_stream_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     sink = f"st6_sink_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="st6-ckpt-") as ckpt, _stream_shuffle(spark):
+    with _scratch_dir(prefix="st6-ckpt-") as ckpt, _stream_shuffle(spark):
         query = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -623,7 +653,7 @@ def st7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_sum"),
     )
     sink = f"st7_sink_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="st7-ckpt-") as ckpt, _stream_shuffle(spark):
+    with _scratch_dir(prefix="st7-ckpt-") as ckpt, _stream_shuffle(spark):
         query = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -699,20 +729,33 @@ def st8_stream_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         dels.select("o_orderkey", "change_type", *_VALUE_COLS)
     )
 
-    feed_dir = tempfile.mkdtemp(prefix="st8-feed-")
-    ckpt = tempfile.mkdtemp(prefix="st8-ckpt-")
+    feed_dir = _scratch_mkdtemp(prefix="st8-feed-")
+    ckpt = _scratch_mkdtemp(prefix="st8-ckpt-")
     state = {"cur": v1.localCheckpoint(eager=True)}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df.localCheckpoint(eager=True)
-        b_ups = b.filter(F.col("change_type") == "upsert").select(
+        # r11 per-batch job trim: no eager localCheckpoint of the batch
+        # (it is one small parquet file the source just listed — its two
+        # filter branches re-scan it for less than the checkpoint job
+        # cost) and no merge metric counts (eager_metrics=False; the
+        # one localCheckpoint action below materializes the merge's
+        # persisted branches). 3 jobs/batch → 1.
+        b_ups = batch_df.filter(F.col("change_type") == "upsert").select(
             "o_orderkey", *_VALUE_COLS
         )
-        b_del = b.filter(F.col("change_type") == "delete").select("o_orderkey")
+        b_del = batch_df.filter(F.col("change_type") == "delete").select(
+            "o_orderkey"
+        )
         changed = F.lit(False)
         for c in _VALUE_COLS:
             changed = changed | ~F.col(f"tgt.{c}").eqNullSafe(F.col(f"src.{c}"))
-        res = merge_upsert(state["cur"], b_ups, key="o_orderkey", update_when=changed)
+        res = merge_upsert(
+            state["cur"],
+            b_ups,
+            key="o_orderkey",
+            update_when=changed,
+            eager_metrics=False,
+        )
         cur = res.df.join(b_del, "o_orderkey", "left_anti").localCheckpoint(
             eager=True
         )
@@ -801,7 +844,7 @@ def st9_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(rho).cast("int").alias("max_rho"))
     )
     sink = f"st9_sink_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="st9-ckpt-") as ckpt, _stream_shuffle(spark):
+    with _scratch_dir(prefix="st9-ckpt-") as ckpt, _stream_shuffle(spark):
         query = (
             regs.writeStream.format("memory")
             .queryName(sink)
@@ -861,7 +904,7 @@ def st10_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     sink = f"st10_sink_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="st10-ckpt-") as ckpt, _stream_shuffle(spark):
+    with _scratch_dir(prefix="st10-ckpt-") as ckpt, _stream_shuffle(spark):
         query = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -948,7 +991,7 @@ def st11_stream_countsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sgn").cast("bigint").alias("c")
     )
     sink = f"st11_sink_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="st11-ckpt-") as ckpt, _stream_shuffle(spark):
+    with _scratch_dir(prefix="st11-ckpt-") as ckpt, _stream_shuffle(spark):
         query = (
             sketch.writeStream.format("memory")
             .queryName(sink)
@@ -1031,7 +1074,7 @@ def st12_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("chars_admitted"),
     )
     sink = f"st12_sink_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="st12-ckpt-") as ckpt, \
+    with _scratch_dir(prefix="st12-ckpt-") as ckpt, \
             _stream_shuffle(spark):
         query = (
             agg.writeStream.format("memory")
@@ -1123,7 +1166,7 @@ def st13_stream_admission_ledger(
         F.sum("n_chars").cast("bigint").alias("chars_total"),
     )
     sink = f"st13_sink_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="st13-ckpt-") as ckpt, \
+    with _scratch_dir(prefix="st13-ckpt-") as ckpt, \
             _stream_shuffle(spark):
         query = (
             agg.writeStream.format("memory")
@@ -1191,7 +1234,7 @@ def st14_stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("char_sum"),
     )
     sink = f"st14_sink_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="st14-ckpt-") as ckpt, \
+    with _scratch_dir(prefix="st14-ckpt-") as ckpt, \
             _stream_shuffle(spark):
         query = (
             agg.writeStream.format("memory")
