@@ -88,38 +88,39 @@ _REGISTERING_MODULES = (
 #: row at most ~2 rounds old. Update this map from CORRECTNESS_r{N}.json
 #: each round; queries absent from the map sort first (round 0).
 _VERIFIED_ROUND: dict[str, int] = {
-    # Minted from CORRECTNESS_r01..r09 by tools/rotation.py (round 13 /
-    # driver round 9). r9 was 50/50 green, so every query registered AT
-    # THE MINT carries a driver-verified row; queries registered SINCE
-    # (the round-13 additions) are absent here, sit at round 0, and
-    # head the next prefix together with tc1's -1 plan-rewrite pin.
-    # Stalest evidence (r3-era) follows them.
-    # round 3 (CORRECTNESS_r03.json)
-    "a1_pivot_event_matrix": 3,
-    "a2_value_percentiles": 3,
-    "a3_ordered_collections": 3,
-    "a4_multi_distinct": 3,
-    "d1_surrogate_key": 3,
-    "d2_dedup_survivors": 3,
-    "d2_token_stats": 3,
-    "d3_jaccard_pairs": 3,
-    "d3_term_scoring": 3,
-    "d4_minhash_lsh_pairs": 3,
-    "d5_simhash_signatures": 3,
-    "d6_dedup_corpus": 3,
-    "d7_decontaminate": 3,
-    "m1_media_metadata": 3,
-    "m2_decode_features": 3,
-    "m3_frame_sample": 3,
-    "s1_knn_bruteforce": 3,
-    "s2_ann_lsh": 3,
-    "s3_cosine_neardup_pairs": 3,
-    "s4_ivf_probe": 3,
-    "sql1_priority_revenue": 3,
-    "st2_stateful_user_totals": 3,
-    "sv1_scholar_date_derivation": 3,
-    "sv2_arxiv_id_parse": 3,
-    "sv3_struct_audit": 3,
+    # Minted from CORRECTNESS_r01..r10 by tools/rotation.py (round 11 /
+    # second optimization round). r10 was 50/50 green and rotation.py
+    # reports 0 RED and 0 never-verified, so every registered query
+    # carries a driver-verified row. Queries whose PLANS this round
+    # rewrote (dedup funnel, map-side band pairs, single-tokenize
+    # t-family, s3 single-scan, the local_rows_df result frames, st8's
+    # per-batch trim) are pinned at -1 — the tc1 precedent — so they
+    # re-enter the driver prefix ahead of the r4-era stalest block and
+    # their r10 evidence (builder-side for pi1/pi2/e24/bt1/hs2, see
+    # r10 VERDICT item 7) is re-earned driver-side immediately.
+    # plan rewritten this round (r11) -> re-verify first
+    "d4_minhash_lsh_pairs": -1,
+    "d6_dedup_corpus": -1,
+    "d8_incremental_dedup": -1,
+    "d9_dedup_report": -1,
+    "d11_minhash_calibration": -1,
+    "d13_hamming_neardup_pairs": -1,
+    "t11_pmi_collocations": -1,
+    "t14_tfidf_topterms": -1,
+    "t15_skipgram_pairs": -1,
+    "s3_cosine_neardup_pairs": -1,
+    "pi1_power_iteration": -1,
+    "pi2_spectral_gap": -1,
+    "e24_markov_stationary": -1,
+    "bt1_bradley_terry": -1,
+    "hs2_mmr_rerank": -1,
+    "s12_centroid_dendrogram": -1,
+    "sp13_mix_rebalance": -1,
+    "sp14_epoch_upsample": -1,
+    "g6_kcore": -1,
+    "g11_label_propagation": -1,
+    "t27_bpe_learn": -1,
+    "st8_stream_apply_changes": -1,
     # round 4 (CORRECTNESS_r04.json)
     "cc1_dedup_components": 4,
     "cdc1_snapshot_diff": 4,
@@ -129,28 +130,16 @@ _VERIFIED_ROUND: dict[str, int] = {
     "e3_asof_attribution": 4,
     "e5_daily_retention": 4,
     "e6_json_props": 4,
-    "q10_returned_items": 4,
     "q11_important_part_value": 4,
     "q12_shipping_delay": 4,
-    "q13_customer_distribution": 4,
-    "q14_promo_revenue": 4,
     "q15_top_supplier": 4,
     "q16_supplier_diversity": 4,
     "q17_small_quantity_revenue": 4,
-    "q18_large_volume_customer": 4,
     "q19_disjunctive_revenue": 4,
-    "q1_pricing_summary": 4,
     "q20_dominant_share_shippers": 4,
     "q21_sole_spoiler_suppliers": 4,
-    "q22_global_sales_opportunity": 4,
     "q2_min_cost_supplier": 4,
-    "q3_shipping_priority": 4,
-    "q4_order_priority": 4,
-    "q5_local_supplier_volume": 4,
-    "q6_forecast_revenue": 4,
-    "q7_volume_shipping": 4,
     "q8_market_share": 4,
-    "q9_product_profit": 4,
     "r1_rollup_subtotals": 4,
     "sk1_countmin_sketch": 4,
     "sk2_cms_estimate": 4,
@@ -163,9 +152,7 @@ _VERIFIED_ROUND: dict[str, int] = {
     "t6_ngram_language_id": 4,
     "t8_repetition": 4,
     "t9_top_token_fraction": 4,
-    "u1_account_ledger_union": 4,
     "u2_set_operations": 4,
-    "w1_top_orders_per_customer": 4,
     # round 5 (CORRECTNESS_r05.json)
     "a10_map_roundtrip": 5,
     "a9_vector_hof": 5,
@@ -173,7 +160,6 @@ _VERIFIED_ROUND: dict[str, int] = {
     "cc5_cluster_sizes": 5,
     "cdc5_pointintime_join": 5,
     "d10_containment_pairs": 5,
-    "d9_dedup_report": 5,
     "dq4_event_freshness": 5,
     "dq5_k_anonymity": 5,
     "dq7_order_reconciliation": 5,
@@ -246,7 +232,6 @@ _VERIFIED_ROUND: dict[str, int] = {
     "st10_stream_sliding_windows": 6,
     "stat1_chi2_cells": 6,
     "stat2_welch_ttest": 6,
-    "t11_pmi_collocations": 6,
     "t12_bpe_merge_pairs": 6,
     "t18_token_entropy": 6,
     "t19_oov_rate": 6,
@@ -268,8 +253,6 @@ _VERIFIED_ROUND: dict[str, int] = {
     "ch1_chunk_documents": 7,
     "ch2_duplicate_chunks": 7,
     "cur1_curriculum_schedule": 7,
-    "d11_minhash_calibration": 7,
-    "d8_incremental_dedup": 7,
     "dq2_referential_integrity": 7,
     "dq3_benford_digits": 7,
     "er1_fuzzy_name_pairs": 7,
@@ -286,8 +269,6 @@ _VERIFIED_ROUND: dict[str, int] = {
     "mi1_mutual_information": 7,
     "o5_value_outliers": 7,
     "o6_pareto_frontier": 7,
-    "pi1_power_iteration": 7,
-    "pi2_spectral_gap": 7,
     "prof1_table_stats": 7,
     "s5_kmeans_assign": 7,
     "sj1_salted_user_join": 7,
@@ -300,41 +281,28 @@ _VERIFIED_ROUND: dict[str, int] = {
     "st5_stream_stream_join": 7,
     "st6_stream_append_windows": 7,
     "st7_stream_static_join": 7,
-    "st8_stream_apply_changes": 7,
     "t10_unigram_logprob": 7,
     "t13_langid_confusion": 7,
-    "t14_tfidf_topterms": 7,
-    "t15_skipgram_pairs": 7,
     "t16_bigram_logprob": 7,
     "t22_readability": 7,
-    # tc1's edge build was rewritten in round 13 (groupBy+explode pair
-    # expansion, r9 verdict item 4) — the r7 evidence covers the OLD
-    # plan, so it re-enters the prefix first (sp11/cur1 protocol).
-    "tc1_triangle_census": -1,
     # round 8 (CORRECTNESS_r08.json)
     "a14_mad_outliers": 8,
     "a16_gini_concentration": 8,
     "a17_winsorized_mean": 8,
     "a18_theil_decomposition": 8,
-    "bt1_bradley_terry": 8,
     "cal2_isotonic_calibration": 8,
-    "d13_hamming_neardup_pairs": 8,
     "dp1_dp_counts": 8,
     "dp2_dp_mean": 8,
     "dq9_t_closeness": 8,
     "e23_kaplan_meier": 8,
-    "e24_markov_stationary": 8,
     "e25_did_uplift": 8,
     "e26_ipw_uplift": 8,
     "fe5_woe_encoding": 8,
     "g10_clustering_coefficient": 8,
-    "g11_label_propagation": 8,
     "g12_modularity": 8,
     "g13_hits_authorities": 8,
     "g5_effective_rank": 8,
-    "g6_kcore": 8,
     "g7_jl_distortion": 8,
-    "hs2_mmr_rerank": 8,
     "hs3_ndcg_eval": 8,
     "hs4_map_eval": 8,
     "lab3_annotator_agreement": 8,
@@ -344,7 +312,6 @@ _VERIFIED_ROUND: dict[str, int] = {
     "o8_mahalanobis_outliers": 8,
     "s10_pq_codes": 8,
     "s11_kcenter_coreset": 8,
-    "s12_centroid_dendrogram": 8,
     "s8_hard_negatives": 8,
     "s9_ann_recall": 8,
     "st11_stream_countsketch": 8,
@@ -354,7 +321,6 @@ _VERIFIED_ROUND: dict[str, int] = {
     "stat5_mann_whitney": 8,
     "stat6_permutation_test": 8,
     "stat7_bh_fdr": 8,
-    "t27_bpe_learn": 8,
     "t28_textrank_keywords": 8,
     "ts10_theil_sen": 8,
     "ts5_seasonal_decompose": 8,
@@ -396,8 +362,6 @@ _VERIFIED_ROUND: dict[str, int] = {
     "s7_semantic_decontaminate": 9,
     "sk13_countsketch": 9,
     "sp12_dsir_select": 9,
-    "sp13_mix_rebalance": 9,
-    "sp14_epoch_upsample": 9,
     "sp15_length_bucketing": 9,
     "sp16_pack_efficiency": 9,
     "st13_stream_admission_ledger": 9,
@@ -413,6 +377,54 @@ _VERIFIED_ROUND: dict[str, int] = {
     "t4_doc_fingerprint": 9,
     "t5_token_count": 9,
     "t7_rolling_fingerprint": 9,
+    # round 10 (CORRECTNESS_r10.json)
+    "a19_hhi_concentration": 10,
+    "a1_pivot_event_matrix": 10,
+    "a2_value_percentiles": 10,
+    "a3_ordered_collections": 10,
+    "a4_multi_distinct": 10,
+    "d1_surrogate_key": 10,
+    "d2_dedup_survivors": 10,
+    "d2_token_stats": 10,
+    "d3_jaccard_pairs": 10,
+    "d3_term_scoring": 10,
+    "d5_simhash_signatures": 10,
+    "d7_decontaminate": 10,
+    "e28_cuped_adjusted_ate": 10,
+    "e29_sample_size_mde": 10,
+    "m1_media_metadata": 10,
+    "m2_decode_features": 10,
+    "m3_frame_sample": 10,
+    "m7_modality_balance": 10,
+    "mf1_als_user_factors": 10,
+    "prof4_column_entropy": 10,
+    "q10_returned_items": 10,
+    "q13_customer_distribution": 10,
+    "q14_promo_revenue": 10,
+    "q18_large_volume_customer": 10,
+    "q1_pricing_summary": 10,
+    "q22_global_sales_opportunity": 10,
+    "q3_shipping_priority": 10,
+    "q4_order_priority": 10,
+    "q5_local_supplier_volume": 10,
+    "q6_forecast_revenue": 10,
+    "q7_volume_shipping": 10,
+    "q9_product_profit": 10,
+    "s1_knn_bruteforce": 10,
+    "s2_ann_lsh": 10,
+    "s4_ivf_probe": 10,
+    "sp17_token_budget_mix": 10,
+    "sql1_priority_revenue": 10,
+    "st14_stream_token_budget": 10,
+    "st2_stateful_user_totals": 10,
+    "sv1_scholar_date_derivation": 10,
+    "sv2_arxiv_id_parse": 10,
+    "sv3_struct_audit": 10,
+    "t31_term_burstiness": 10,
+    "t32_source_kl_drift": 10,
+    "tc1_triangle_census": 10,
+    "u1_account_ledger_union": 10,
+    "w1_top_orders_per_customer": 10,
 }
 
 
