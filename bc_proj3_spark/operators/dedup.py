@@ -507,14 +507,18 @@ def d3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     sh, sizes = _documents_shingle_index(spark, sf_dir)
+    # r11 (guide §2.4): inverted-index self-join → ONE groupBy(k) +
+    # sorted collect_list + in-bucket ordered pair expansion (doc_a <
+    # doc_b — the _lsh_candidate_pairs/d10 pattern; doc_ids unique per
+    # key). Pair multiset identical, one shuffle instead of two join
+    # sides of the cached index.
     common = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.k") == F.col("b.k")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        sh.groupBy("k")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_BUCKET_PAIR_EXPR)).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -1334,15 +1338,26 @@ def d10_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the verified values (high containment, low jaccard = the
     subset case)."""
     sh, sizes = _documents_shingle_index(spark, sf_dir)
+    # r11 (guide §2.4, the _lsh_candidate_pairs pattern): the inverted-
+    # index self-join on the shingle key — two hash-shuffles of the
+    # cached index — is replaced by ONE groupBy(k) + collect_list +
+    # in-bucket DIRECTED pair expansion (x ≠ y, both orders — doc_ids
+    # are unique within a key, so filter(ds, y -> y != x) is exact).
+    # Pair multiset identical, one shuffle instead of two join sides;
+    # per-bucket memory is the doc-id list, output stays the same
+    # k(k-1) the join produced.
+    pair_expr = (
+        "flatten(transform(ds, x -> "
+        "transform(filter(ds, y -> y != x), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     common = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
+        sh.groupBy("k")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -238,7 +238,18 @@ def ev2_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = docs.select(
         (F.col("doc_id") - 1).alias("h_id"), toks.alias("ref")
     )
-    pairs = h.join(r, "h_id").select("pair_id", "hyp", "ref")
+    from pyspark import StorageLevel
+
+    # r11 (guide §1.2): the five consumers below (two gram sides x two
+    # orders + the totals) each re-ran the tokenize+pairing join.
+    # Tagged-concat explode folds each clipped() to ONE pass (ev3's
+    # fix), and the persisted pairing is filled by c1's broadcast-build
+    # job, so the regex tokenize runs once per call instead of 5x.
+    pairs = (
+        h.join(r, "h_id")
+        .select("pair_id", "hyp", "ref")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     def grams2(col):
         return F.expr(
@@ -248,13 +259,27 @@ def ev2_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def clipped(hyp_grams, ref_grams, out_name):
         sides = pairs.select(
-            "pair_id", F.lit("h").alias("side"),
-            F.explode(hyp_grams).alias("g"),
-        ).unionAll(
-            pairs.select(
-                "pair_id", F.lit("r").alias("side"),
-                F.explode(ref_grams).alias("g"),
-            )
+            "pair_id",
+            F.explode(
+                F.concat(
+                    F.transform(
+                        hyp_grams,
+                        lambda g: F.struct(
+                            F.lit("h").alias("side"), g.alias("g")
+                        ),
+                    ),
+                    F.transform(
+                        ref_grams,
+                        lambda g: F.struct(
+                            F.lit("r").alias("side"), g.alias("g")
+                        ),
+                    ),
+                )
+            ).alias("sg"),
+        ).select(
+            "pair_id",
+            F.col("sg.side").alias("side"),
+            F.col("sg.g").alias("g"),
         )
         cnt = sides.groupBy("pair_id", "g").agg(
             F.sum(F.when(F.col("side") == "h", 1).otherwise(0))
@@ -426,14 +451,33 @@ def ev3_chargram_fscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE CAST(array() AS array<string>) END"
         )
 
+    # r11 (guide §1.2): the old shape ran the doc pairing THREE times —
+    # once per unionAll gram branch plus the totals aggregate. Both
+    # sides' grams now explode from ONE projection (tagged struct
+    # arrays concatenated): 3 pairing passes → 2. (Deriving the totals
+    # from sum(hc)/sum(rc) of the same aggregate was considered and
+    # REJECTED: on a pairs-nonempty/grams-empty corpus the global sum
+    # over zero rows is NULL where the oracle's sum of greatest(len-3,
+    # 0) over pair rows is 0 — tot stays its own cheap aggregate.)
     sides = pairs.select(
-        "pair_id", F.lit("h").alias("side"), F.explode(grams("hyp")).alias("g")
-    ).unionAll(
-        pairs.select(
-            "pair_id", F.lit("r").alias("side"),
-            F.explode(grams("ref")).alias("g"),
-        )
-    )
+        "pair_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    grams("hyp"),
+                    lambda g: F.struct(
+                        F.lit("h").alias("side"), g.alias("g")
+                    ),
+                ),
+                F.transform(
+                    grams("ref"),
+                    lambda g: F.struct(
+                        F.lit("r").alias("side"), g.alias("g")
+                    ),
+                ),
+            )
+        ).alias("sg"),
+    ).select("pair_id", F.col("sg.side").alias("side"), F.col("sg.g").alias("g"))
     cl = (
         sides.groupBy("pair_id", "g")
         .agg(
@@ -689,13 +733,23 @@ def ev5_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") - 1).alias("h_id"), toks.alias("ref")
     )
     pairs = h.join(r, "h_id").select("pair_id", "hyp", "ref")
+    # r11: tagged-concat explode — one pairing pass feeds both sides
+    # (ev2/ev3's fix); the lens aggregate keeps its own cheap pass
     sides = pairs.select(
-        "pair_id", F.lit("h").alias("side"), F.explode("hyp").alias("g")
-    ).unionAll(
-        pairs.select(
-            "pair_id", F.lit("r").alias("side"), F.explode("ref").alias("g")
-        )
-    )
+        "pair_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.col("hyp"),
+                    lambda g: F.struct(F.lit("h").alias("side"), g.alias("g")),
+                ),
+                F.transform(
+                    F.col("ref"),
+                    lambda g: F.struct(F.lit("r").alias("side"), g.alias("g")),
+                ),
+            )
+        ).alias("sg"),
+    ).select("pair_id", F.col("sg.side").alias("side"), F.col("sg.g").alias("g"))
     clips = (
         sides.groupBy("pair_id", "g")
         .agg(

@@ -2078,6 +2078,14 @@ def stat7_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(spark.sparkContext.defaultParallelism, "o_orderkey")
     )
+    # r11 (guide §1.2): j feeds the total, the balance table and the
+    # permutation fan-out — un-cached, the orders⋈customer join ran
+    # three times. tot's broadcast build is the first job and fills
+    # this cache; bal and the fan-out read (orderkey, cents, cseg)
+    # rows. Released by the session's per-query clearCache.
+    from pyspark import StorageLevel
+
+    j = j.persist(StorageLevel.MEMORY_AND_DISK)
     tot = j.agg(F.count(F.lit(1)).alias("n"))
     bal = j.groupBy(F.col("cseg").alias("seg")).agg(
         F.count(F.lit(1)).alias("na")

@@ -128,14 +128,25 @@ def strict_rows_key(columns, rows):
 
 def compare_to_oracle(spark, oracle_con, spec, sf_dir=SF_DIR):
     """Run spec's Spark builder and DuckDB oracle; assert they agree
-    at the driver's strictness (exact values, exact Python types)."""
-    sdf = spec.builder(spark, sf_dir)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = list(sdf.columns)
+    at the driver's strictness (exact values, exact Python types).
 
-    res = oracle_con.execute(spec.oracle)
-    ocols = [d[0] for d in res.description]
-    orows = [tuple(r) for r in res.fetchall()]
+    The oracle runs in a worker thread OVERLAPPED with the Spark side
+    (r11 — the sf0.1 gates dominated the suite wall; only the worker
+    touches the connection while the main thread is in Spark, so the
+    single-connection contract holds)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _oracle():
+        res = oracle_con.execute(spec.oracle)
+        return [d[0] for d in res.description], res.fetchall()
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(_oracle)
+        sdf = spec.builder(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = list(sdf.columns)
+        ocols, oraw = fut.result()
+    orows = [tuple(r) for r in oraw]
 
     assert len(srows) == len(orows), (
         f"{spec.name}: row count {len(srows)} (spark) != {len(orows)} (duckdb)"
