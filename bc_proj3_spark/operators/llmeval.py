@@ -452,32 +452,30 @@ def ev3_chargram_fscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # r11 (guide §1.2): the old shape ran the doc pairing THREE times —
-    # once per unionAll gram branch plus the totals aggregate. Both
-    # sides' grams now explode from ONE projection (tagged struct
-    # arrays concatenated): 3 pairing passes → 2. (Deriving the totals
-    # from sum(hc)/sum(rc) of the same aggregate was considered and
-    # REJECTED: on a pairs-nonempty/grams-empty corpus the global sum
-    # over zero rows is NULL where the oracle's sum of greatest(len-3,
-    # 0) over pair rows is 0 — tot stays its own cheap aggregate.)
+    # once per unionAll gram branch plus the totals aggregate. The
+    # pairing is now PERSISTED (cl's broadcast build is the first job
+    # and fills it; the union branches and tot read cached rows).
+    # Two alternatives were A/B'd and REJECTED: (a) tagged-concat
+    # struct explode of both sides in one projection — a WIN for ev2's
+    # word bigrams but a measured ev3 regression (2.56 → 3.58 s
+    # min-of-5 interleaved: char-4-gram arrays are ~|text|-sized, and
+    # materializing the concat of two struct arrays per row costs more
+    # than the second cached-union read it saves); (b) deriving the
+    # totals from sum(hc)/sum(rc) of the gram aggregate — on a
+    # pairs-nonempty/grams-empty corpus the global sum over zero rows
+    # is NULL where the oracle's sum of greatest(len-3, 0) over pair
+    # rows is 0 — tot stays its own aggregate over the cached pairing.
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     sides = pairs.select(
-        "pair_id",
-        F.explode(
-            F.concat(
-                F.transform(
-                    grams("hyp"),
-                    lambda g: F.struct(
-                        F.lit("h").alias("side"), g.alias("g")
-                    ),
-                ),
-                F.transform(
-                    grams("ref"),
-                    lambda g: F.struct(
-                        F.lit("r").alias("side"), g.alias("g")
-                    ),
-                ),
-            )
-        ).alias("sg"),
-    ).select("pair_id", F.col("sg.side").alias("side"), F.col("sg.g").alias("g"))
+        "pair_id", F.lit("h").alias("side"), F.explode(grams("hyp")).alias("g")
+    ).unionAll(
+        pairs.select(
+            "pair_id", F.lit("r").alias("side"),
+            F.explode(grams("ref")).alias("g"),
+        )
+    )
     cl = (
         sides.groupBy("pair_id", "g")
         .agg(
