@@ -126,6 +126,34 @@ def strict_rows_key(columns, rows):
     ), [columns[i] for i in order]
 
 
+#: Process-wide memo of DuckDB oracle results keyed by
+#: (sf_dir, md5(oracle_sql)). The same deterministic oracle SQL over
+#: the same read-only parquet views is evaluated by SEVERAL files in
+#: one suite run (test_correctness, test_driver_parity's strict
+#: replay, the invariance gates) — cc3's sf0.01 oracle alone cost
+#: ~37 s + ~42 s in two files of the r11 baseline run. Caching the
+#: ORACLE side only (the Spark side is never memoized — every test
+#: still executes its own plan) removes pure duplicate reference
+#: computation. Entries are bounded to keep suite RSS sane.
+_ORACLE_MEMO: dict = {}
+_ORACLE_MEMO_MAX_ROWS = 200_000
+
+
+def oracle_eval(oracle_con, sql, sf_dir=SF_DIR):
+    """Evaluate (or recall) an oracle query: (columns, raw rows)."""
+    import hashlib
+
+    key = (sf_dir, hashlib.md5(sql.encode()).hexdigest())
+    hit = _ORACLE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    res = oracle_con.execute(sql)
+    out = ([d[0] for d in res.description], res.fetchall())
+    if len(out[1]) <= _ORACLE_MEMO_MAX_ROWS:
+        _ORACLE_MEMO[key] = out
+    return out
+
+
 def compare_to_oracle(spark, oracle_con, spec, sf_dir=SF_DIR):
     """Run spec's Spark builder and DuckDB oracle; assert they agree
     at the driver's strictness (exact values, exact Python types).
@@ -133,15 +161,12 @@ def compare_to_oracle(spark, oracle_con, spec, sf_dir=SF_DIR):
     The oracle runs in a worker thread OVERLAPPED with the Spark side
     (r11 — the sf0.1 gates dominated the suite wall; only the worker
     touches the connection while the main thread is in Spark, so the
-    single-connection contract holds)."""
+    single-connection contract holds), and repeated evaluations of the
+    same oracle at the same SF come from the process-wide memo."""
     from concurrent.futures import ThreadPoolExecutor
 
-    def _oracle():
-        res = oracle_con.execute(spec.oracle)
-        return [d[0] for d in res.description], res.fetchall()
-
     with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(_oracle)
+        fut = pool.submit(oracle_eval, oracle_con, spec.oracle, sf_dir)
         sdf = spec.builder(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
         scols = list(sdf.columns)

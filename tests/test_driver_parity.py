@@ -382,9 +382,12 @@ def test_vanilla_session_strict_values(name, parity_counts, oracle_con):
     from bc_proj3_spark import registry
 
     spec = registry.all_queries()[name]
-    res = oracle_con.execute(spec.oracle)
-    ocols = [d[0] for d in res.description]
-    orows = [tuple(r) for r in res.fetchall()]
+    # r11: memoized — test_correctness already evaluated most of these
+    # oracles at the same SF earlier in the run (conftest.oracle_eval)
+    from tests.conftest import oracle_eval
+
+    ocols, oraw = oracle_eval(oracle_con, spec.oracle, SF_DIR)
+    orows = [tuple(r) for r in oraw]
     assert n_rows == len(orows), (
         f"{name}: vanilla-session rows {n_rows} != oracle {len(orows)}"
     )
