@@ -78,6 +78,18 @@ PARITY_QUERIES = [
 #: exactly the sensitivity the driver's type-tagged hash has and
 #: conftest._norm deliberately lacks.
 STRICT_VALUE_QUERIES = [
+    # r11 plan rewrites pinned at -1 in the rotation (they head the
+    # next driver prefix) whose families weren't already listed below —
+    # the rotation plan-stability rule requires a fresh vanilla-JVM
+    # pre-flight before the driver re-verifies them
+    "d4_minhash_lsh_pairs",
+    "d6_dedup_corpus",
+    "d8_incremental_dedup",
+    "d9_dedup_report",
+    "t11_pmi_collocations",
+    "t14_tfidf_topterms",
+    "t15_skipgram_pairs",
+    "s3_cosine_neardup_pairs",
     # round-13 registrations (never driver-verified until r10 mints)
     "sp17_token_budget_mix",
     "a19_hhi_concentration",
